@@ -1,0 +1,29 @@
+"""mitsuba3_tpu — a TPU-native differentiable renderer.
+
+A from-scratch reimplementation of the capabilities of Mitsuba 3
+(mitsuba-renderer/mitsuba3) designed for TPUs: JAX/XLA tracing replaces the
+Dr.Jit JIT, Pallas kernels replace CUDA/OptiX/Embree intersection backends,
+switch-based dispatch over flat parameter tables replaces vcall registries,
+and jax.sharding scales the sample wavefront over device meshes (a
+capability the reference does not have).
+
+Public API mirrors the `mitsuba` Python package where it makes sense:
+
+    import mitsuba3_tpu as mi
+    scene = mi.load_dict(mi.cornell_box())
+    img = mi.render(scene, spp=64)
+"""
+
+__version__ = "0.1.0"
+
+from .core.transform import Transform4f
+from .core import math, warp
+from .core.random import PCG32, sample_tea_32
+from .core.distr import DiscreteDistribution, ContinuousDistribution
+from .loader import load_dict
+from .models import cornell_box
+from .render.integrator import render
+from .render.scene import Scene, FilmConfig
+from .render import film as film_lib
+
+ScalarTransform4f = Transform4f

@@ -1,0 +1,110 @@
+"""1D distributions — counterpart of ``include/mitsuba/core/distr_1d.h``.
+
+``DiscreteDistribution`` mirrors the reference semantics (unnormalized pmf,
+cumulative table, ``sample_reuse_pmf``); implemented over jnp arrays with
+``jnp.searchsorted`` (binary search lowers well on TPU for modest table
+sizes; hot paths gather the tables into VMEM inside Pallas kernels later).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .math import safe_div
+from .struct import pytree_dataclass
+
+
+@pytree_dataclass
+class DiscreteDistribution:
+    pmf: jnp.ndarray   # [N] unnormalized
+    cdf: jnp.ndarray   # [N] inclusive cumulative sum (unnormalized)
+
+    @staticmethod
+    def from_pmf(pmf):
+        pmf = jnp.asarray(pmf, jnp.float32)
+        return DiscreteDistribution(pmf=pmf, cdf=jnp.cumsum(pmf))
+
+    @property
+    def total(self):
+        return self.cdf[-1]
+
+    @property
+    def normalization(self):
+        return safe_div(1.0, self.total)
+
+    def eval_pmf_normalized(self, index):
+        return jnp.take(self.pmf, index, axis=0) * self.normalization
+
+    def sample(self, xi):
+        """xi in [0,1) → index."""
+        value = xi * self.total
+        idx = jnp.searchsorted(self.cdf, value, side="right")
+        return jnp.clip(idx, 0, self.pmf.shape[0] - 1).astype(jnp.int32)
+
+    def sample_pmf(self, xi):
+        idx = self.sample(xi)
+        return idx, self.eval_pmf_normalized(idx)
+
+    def sample_reuse_pmf(self, xi):
+        """Sample an index, rescale xi for reuse, return normalized pmf
+        (distr_1d.h:sample_reuse_pmf semantics)."""
+        idx = self.sample(xi)
+        cdf_prev = jnp.where(idx > 0, jnp.take(self.cdf, idx - 1, axis=0), 0.0)
+        pmf_i = jnp.take(self.pmf, idx, axis=0)
+        xi_reused = safe_div(xi * self.total - cdf_prev, pmf_i)
+        xi_reused = jnp.clip(xi_reused, 0.0, 1.0 - 1e-7)
+        return idx, xi_reused, pmf_i * self.normalization
+
+
+@pytree_dataclass
+class ContinuousDistribution:
+    """Piecewise-linear pdf on [range[0], range[1]] (distr_1d.h:292)."""
+    pdf: jnp.ndarray     # [N] unnormalized values at nodes
+    cdf: jnp.ndarray     # [N-1] integrated segments, cumulative
+    range_min: jnp.ndarray
+    range_max: jnp.ndarray
+
+    @staticmethod
+    def from_pdf(pdf, range_min, range_max):
+        pdf = jnp.asarray(pdf, jnp.float32)
+        n = pdf.shape[0]
+        interval = (range_max - range_min) / (n - 1)
+        segments = 0.5 * (pdf[:-1] + pdf[1:]) * interval
+        return ContinuousDistribution(
+            pdf=pdf, cdf=jnp.cumsum(segments),
+            range_min=jnp.asarray(range_min, jnp.float32),
+            range_max=jnp.asarray(range_max, jnp.float32))
+
+    @property
+    def integral(self):
+        return self.cdf[-1]
+
+    def sample(self, xi):
+        """Returns positions distributed according to the pdf."""
+        n = self.pdf.shape[0]
+        value = xi * self.integral
+        idx = jnp.clip(jnp.searchsorted(self.cdf, value, side="right"), 0, n - 2)
+        cdf_prev = jnp.where(idx > 0, jnp.take(self.cdf, idx - 1, axis=0), 0.0)
+        interval = (self.range_max - self.range_min) / (n - 1)
+        v0 = jnp.take(self.pdf, idx, axis=0)
+        v1 = jnp.take(self.pdf, idx + 1, axis=0)
+        # solve 0.5*(v0+lerp)*t*interval = value - cdf_prev on the segment
+        rem = (value - cdf_prev) / interval
+        # t from inverting integral of linear pdf: v0*t + 0.5*(v1-v0)*t^2 = rem
+        a = 0.5 * (v1 - v0)
+        disc = jnp.maximum(v0 * v0 + 4.0 * a * rem, 0.0)
+        t_lin = safe_div(rem, v0)
+        t_quad = safe_div(-v0 + jnp.sqrt(disc), 2.0 * a)
+        t = jnp.where(jnp.abs(a) < 1e-6 * (v0 + v1 + 1e-12), t_lin, t_quad)
+        t = jnp.clip(t, 0.0, 1.0)
+        return self.range_min + (idx + t) * interval
+
+    def eval_pdf_normalized(self, x):
+        n = self.pdf.shape[0]
+        interval = (self.range_max - self.range_min) / (n - 1)
+        t = (x - self.range_min) / interval
+        idx = jnp.clip(t.astype(jnp.int32), 0, n - 2)
+        frac = t - idx
+        v0 = jnp.take(self.pdf, idx, axis=0)
+        v1 = jnp.take(self.pdf, idx + 1, axis=0)
+        inside = (x >= self.range_min) & (x <= self.range_max)
+        return jnp.where(inside, (v0 + (v1 - v0) * frac) * safe_div(1.0, self.integral), 0.0)

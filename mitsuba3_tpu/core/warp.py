@@ -1,0 +1,168 @@
+"""Warp library — counterpart of ``include/mitsuba/core/warp.h``.
+
+Mappings from [0,1)^2 samples to distributions on spheres/disks/etc., plus
+their pdfs. Pure jittable functions over [..., 2] sample arrays returning
+[..., 3] (or [..., 2]) outputs. Validated by the chi² harness in
+tests/test_chi2.py (mirrors the reference's warp chi² tests).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .math import (Pi, InvPi, InvTwoPi, InvFourPi, TwoPi, safe_sqrt, sqr,
+                   vec2, vec3, safe_div, clamp)
+
+
+# ---------------------------------------------------------------------------
+# Disk
+# ---------------------------------------------------------------------------
+
+def square_to_uniform_disk_concentric(s):
+    """Shirley-Chiu low-distortion concentric disk mapping (warp.h)."""
+    x = 2.0 * s[..., 0] - 1.0
+    y = 2.0 * s[..., 1] - 1.0
+    is_zero = jnp.logical_and(x == 0.0, y == 0.0)
+    quadrant_1_or_3 = jnp.abs(x) < jnp.abs(y)
+    r = jnp.where(quadrant_1_or_3, y, x)
+    rp = jnp.where(quadrant_1_or_3, x, y)
+    phi = 0.25 * Pi * safe_div(rp, r)
+    phi = jnp.where(quadrant_1_or_3, 0.5 * Pi - phi, phi)
+    phi = jnp.where(is_zero, 0.0, phi)
+    return vec2(r * jnp.cos(phi), r * jnp.sin(phi))
+
+
+def square_to_uniform_disk_concentric_pdf(p):
+    inside = sqr(p[..., 0]) + sqr(p[..., 1]) <= 1.0
+    return jnp.where(inside, InvPi, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Sphere / hemisphere
+# ---------------------------------------------------------------------------
+
+def square_to_uniform_sphere(s):
+    z = 1.0 - 2.0 * s[..., 1]
+    r = safe_sqrt(1.0 - sqr(z))
+    phi = TwoPi * s[..., 0]
+    return vec3(r * jnp.cos(phi), r * jnp.sin(phi), z)
+
+
+def square_to_uniform_sphere_pdf(v):
+    return jnp.full(v.shape[:-1], InvFourPi, dtype=jnp.float32)
+
+
+def square_to_uniform_hemisphere(s):
+    # low-distortion variant via concentric disk (warp.h:square_to_uniform_hemisphere)
+    p = square_to_uniform_disk_concentric(s)
+    z = 1.0 - (sqr(p[..., 0]) + sqr(p[..., 1]))
+    scale = safe_sqrt(z + 1.0)
+    return vec3(p[..., 0] * scale, p[..., 1] * scale, z)
+
+
+def square_to_uniform_hemisphere_pdf(v):
+    return jnp.where(v[..., 2] >= 0.0, InvTwoPi, 0.0)
+
+
+def square_to_cosine_hemisphere(s):
+    """Low-distortion cosine-weighted hemisphere via concentric disk."""
+    p = square_to_uniform_disk_concentric(s)
+    z = safe_sqrt(1.0 - sqr(p[..., 0]) - sqr(p[..., 1]))
+    return vec3(p[..., 0], p[..., 1], z)
+
+
+def square_to_cosine_hemisphere_pdf(v):
+    return jnp.maximum(v[..., 2], 0.0) * InvPi
+
+
+def square_to_uniform_cone(s, cos_cutoff):
+    """Uniform direction in a cone around +z with cos(theta) >= cos_cutoff."""
+    one_minus = 1.0 - cos_cutoff
+    cos_theta = 1.0 - one_minus * s[..., 1]
+    sin_theta = safe_sqrt(1.0 - sqr(cos_theta))
+    phi = TwoPi * s[..., 0]
+    return vec3(sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta)
+
+
+def square_to_uniform_cone_pdf(v, cos_cutoff):
+    return jnp.where(v[..., 2] >= cos_cutoff,
+                     InvTwoPi / (1.0 - cos_cutoff), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Triangle / square
+# ---------------------------------------------------------------------------
+
+def square_to_uniform_triangle(s):
+    """Barycentric warp (warp.h square_to_uniform_triangle): returns (b1, b2)."""
+    t = safe_sqrt(1.0 - s[..., 0])
+    return vec2(1.0 - t, t * s[..., 1])
+
+
+def square_to_uniform_triangle_pdf(p):
+    inside = (p[..., 0] >= 0) & (p[..., 1] >= 0) & (p[..., 0] + p[..., 1] <= 1.0)
+    return jnp.where(inside, 2.0, 0.0)
+
+
+def square_to_tent(s):
+    def warp1(x):
+        # CDF on [-1,0]: (1+t)^2/2 ; on [0,1]: 1-(1-t)^2/2
+        flip = x < 0.5
+        x2 = jnp.where(flip, 2.0 * x, 2.0 * (1.0 - x))
+        v = safe_sqrt(x2)
+        return jnp.where(flip, v - 1.0, 1.0 - v)
+    return vec2(warp1(s[..., 0]), warp1(s[..., 1]))
+
+
+def square_to_tent_pdf(p):
+    inside = (jnp.abs(p[..., 0]) <= 1.0) & (jnp.abs(p[..., 1]) <= 1.0)
+    return jnp.where(inside,
+                     (1.0 - jnp.abs(p[..., 0])) * (1.0 - jnp.abs(p[..., 1])),
+                     0.0)
+
+
+# ---------------------------------------------------------------------------
+# von Mises-Fisher, Beckmann, GGX (used by phase functions / microfacets)
+# ---------------------------------------------------------------------------
+
+def square_to_von_mises_fisher(s, kappa):
+    """vMF distribution around +z with concentration kappa (warp.h)."""
+    # stable inversion: cos_theta = 1 + log(u + (1-u) exp(-2 kappa)) / kappa
+    u = jnp.clip(s[..., 1], 1e-7, 1.0)
+    cos_theta = 1.0 + jnp.log1p((u - 1.0) * (1.0 - jnp.exp(-2.0 * kappa))) / kappa
+    cos_theta = clamp(cos_theta, -1.0, 1.0)
+    sin_theta = safe_sqrt(1.0 - sqr(cos_theta))
+    phi = TwoPi * s[..., 0]
+    return vec3(sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta)
+
+
+def square_to_von_mises_fisher_pdf(v, kappa):
+    ct = v[..., 2]
+    return jnp.exp(kappa * (ct - 1.0)) * (kappa * InvTwoPi) / (
+        1.0 - jnp.exp(-2.0 * kappa))
+
+
+def square_to_beckmann(s, alpha):
+    phi = TwoPi * s[..., 0]
+    tan_theta_2 = -sqr(alpha) * jnp.log(1.0 - jnp.clip(s[..., 1], 0.0, 1.0 - 1e-7))
+    cos_theta = 1.0 / jnp.sqrt(1.0 + tan_theta_2)
+    sin_theta = safe_sqrt(1.0 - sqr(cos_theta))
+    return vec3(sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta)
+
+
+def square_to_beckmann_pdf(v, alpha):
+    ct = v[..., 2]
+    tan_theta_2 = safe_div(1.0 - sqr(ct), sqr(ct), fallback=jnp.inf)
+    pdf = jnp.exp(-tan_theta_2 / sqr(alpha)) / (Pi * sqr(alpha) * ct ** 3)
+    return jnp.where(ct > 1e-9, pdf, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Interval sampling helper (used by DiscreteDistribution etc.)
+# ---------------------------------------------------------------------------
+
+def interval_to_linear(v0, v1, sample):
+    """Importance sample a linear function on [0,1] with endpoints v0, v1."""
+    denom = v0 + v1
+    t = safe_div(v0 - safe_sqrt((1.0 - sample) * sqr(v0) + sample * sqr(v1)),
+                 v0 - v1, fallback=sample)
+    return jnp.where(jnp.abs(v0 - v1) > 1e-4 * denom, t, sample)

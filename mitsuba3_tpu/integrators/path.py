@@ -1,0 +1,181 @@
+"""MIS path tracer — counterpart of src/integrators/path.cpp.
+
+The reference's ``dr::while_loop`` megakernel body (path.cpp:94-346:
+intersect -> direct emission w/ MIS -> NEE -> BSDF sample -> RR) becomes a
+``lax.scan`` over a *static* bounce count with per-lane active masks: on a
+lockstep machine every lane pays for the deepest path anyway, and the scan
+keeps the loop reverse-differentiable for the plain-AD path (PRB provides
+the O(1)-memory alternative). All Monte Carlo decisions are detached
+(stop_gradient) exactly where the reference detaches them:
+sampled directions, pdfs used for RR, and MIS weights.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from .. import bsdfs
+from ..core import math as m
+from ..core.struct import pytree_dataclass
+from ..render import sampler as sampler_mod
+from ..render.records import Ray
+
+
+@dataclasses.dataclass(frozen=True)
+class PathConfig:
+    type: str = "path"
+    max_depth: int = 8
+    rr_depth: int = 5
+    hide_emitters: bool = False
+
+
+def mis_weight(pdf_a, pdf_b):
+    """Power heuristic (beta=2), detached (path.cpp:mis_weight)."""
+    pdf_a = pdf_a * pdf_a
+    pdf_b = pdf_b * pdf_b
+    w = m.safe_div(pdf_a, pdf_a + pdf_b)
+    return jax.lax.stop_gradient(jnp.where(jnp.isfinite(w), w, 0.0))
+
+
+@pytree_dataclass
+class PathState:
+    ray_o: jnp.ndarray
+    ray_d: jnp.ndarray
+    throughput: jnp.ndarray   # [N, 3]
+    result: jnp.ndarray       # [N, 3]
+    eta: jnp.ndarray          # [N]
+    depth: jnp.ndarray        # [N] int32
+    valid_ray: jnp.ndarray    # [N] bool
+    prev_p: jnp.ndarray       # [N, 3]
+    prev_bsdf_pdf: jnp.ndarray
+    prev_bsdf_delta: jnp.ndarray  # [N] bool
+    active: jnp.ndarray       # [N] bool
+    rng: object               # PCG32
+
+
+def sample(scene, rng, ray: Ray, cfg: PathConfig, active=None):
+    """Trace one wavefront of paths.
+
+    Returns (L [N,3], valid [N], rng, n_ray_queries scalar) — the last is
+    the number of closest-hit + shadow-ray queries actually issued (masked
+    lanes excluded), for Mrays/s accounting.
+    """
+    n = ray.o.shape[0]
+    if active is None:
+        active = jnp.ones(n, bool)
+    if cfg.max_depth == 0:
+        return jnp.zeros((n, 3)), jnp.zeros(n, bool), rng, jnp.float32(0)
+
+    state = PathState(
+        ray_o=ray.o, ray_d=ray.d,
+        throughput=jnp.ones((n, 3), jnp.float32),
+        result=jnp.zeros((n, 3), jnp.float32),
+        eta=jnp.ones(n, jnp.float32),
+        depth=jnp.zeros(n, jnp.int32),
+        valid_ray=jnp.zeros(n, bool) if scene.env_emitter < 0
+        else jnp.full(n, not cfg.hide_emitters),
+        prev_p=ray.o,
+        prev_bsdf_pdf=jnp.ones(n, jnp.float32),
+        prev_bsdf_delta=jnp.ones(n, bool),
+        active=active,
+        rng=rng)
+
+    def bounce(state: PathState, _):
+        s = state
+        cur_ray = Ray.make(s.ray_o, s.ray_d)
+        pi = scene.ray_intersect_preliminary(cur_ray, active=s.active)
+        si = scene.compute_surface_interaction(cur_ray, pi)
+
+        # ---------------------- Direct emission ----------------------
+        emitted = scene.eval_emitter(si)  # zero for non-emissive/back-side
+        ds_pdf = scene.pdf_emitter_direction_hit(s.prev_p, si)
+        em_pdf = jnp.where(s.prev_bsdf_delta, 0.0, ds_pdf)
+        mis_bsdf = mis_weight(s.prev_bsdf_pdf, em_pdf)
+        hit_emitter = jnp.any(emitted > 0.0, axis=-1)
+        contrib = s.throughput * emitted * mis_bsdf[..., None]
+        result = jnp.where((s.active & hit_emitter)[..., None],
+                           s.result + contrib, s.result)
+
+        # Continue?
+        active_next = s.active & ((s.depth + 1) < cfg.max_depth) & si.is_valid()
+        if cfg.hide_emitters:
+            valid_ray = s.valid_ray
+        else:
+            valid_ray = s.valid_ray | (s.active & hit_emitter)
+
+        bsdf_idx = scene.bsdf_index(si)
+        params = scene.gather_bsdf_params(bsdf_idx)
+        flags = bsdfs.lane_flags(scene.bsdf_types, bsdf_idx)
+        smooth = (flags & bsdfs.SMOOTH) != 0
+
+        # ---------------------- Emitter sampling (NEE) ----------------
+        active_em = active_next & smooth
+        rng, s1_em = sampler_mod.next_1d(s.rng)
+        rng, s2_em = sampler_mod.next_2d(rng)
+        ds, em_weight = scene.sample_emitter_direction(
+            si, s1_em, s2_em, active=active_em, test_visibility=True)
+        active_em = active_em & (ds.pdf != 0.0)
+        wo_em = si.to_local(ds.d)
+
+        # ------ Evaluate BSDF * cos and sample the next direction -----
+        rng, s1_b = sampler_mod.next_1d(rng)
+        rng, s2_b = sampler_mod.next_2d(rng)
+        bsdf_val_em, bsdf_pdf_em = bsdfs.eval_pdf(
+            scene.bsdf_types, bsdf_idx, params, si, wo_em)
+        bs, bsdf_weight = bsdfs.sample(
+            scene.bsdf_types, bsdf_idx, params, si, s1_b, s2_b)
+
+        mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, bsdf_pdf_em))
+        nee_contrib = s.throughput * bsdf_val_em * em_weight * mis_em[..., None]
+        result = jnp.where(active_em[..., None], result + nee_contrib, result)
+
+        # ---------------------- BSDF sampling -------------------------
+        wo_world = jax.lax.stop_gradient(si.to_world(bs.wo))
+        new_o = jnp.where(active_next[..., None], si.offset_p(wo_world), s.ray_o)
+        new_d = jnp.where(active_next[..., None], wo_world, s.ray_d)
+
+        throughput = jnp.where(active_next[..., None],
+                               s.throughput * bsdf_weight, s.throughput)
+        eta = jnp.where(active_next, s.eta * bs.eta, s.eta)
+        sampled_null = (bs.sampled_type & bsdfs.NULL_FLAG) != 0
+        valid_ray = valid_ray | (active_next & si.is_valid() & ~sampled_null)
+
+        depth = jnp.where(si.is_valid() & s.active, s.depth + 1, s.depth)
+
+        # ---------------------- Russian roulette -----------------------
+        throughput_max = jnp.max(throughput, axis=-1)
+        rr_prob = jnp.minimum(throughput_max * m.sqr(eta), 0.95)
+        rr_prob = jax.lax.stop_gradient(rr_prob)
+        rr_active = depth >= cfg.rr_depth
+        rng, rr_sample = sampler_mod.next_1d(rng)
+        rr_continue = rr_sample < rr_prob
+        throughput = jnp.where(
+            (rr_active & active_next)[..., None],
+            throughput * m.safe_div(1.0, rr_prob)[..., None], throughput)
+
+        new_active = (active_next & (~rr_active | rr_continue)
+                      & (throughput_max != 0.0) & (bs.pdf > 0.0))
+
+        new_state = PathState(
+            ray_o=new_o, ray_d=new_d,
+            throughput=throughput, result=result, eta=eta, depth=depth,
+            valid_ray=valid_ray,
+            prev_p=jnp.where(active_next[..., None], si.p, s.prev_p),
+            prev_bsdf_pdf=jnp.where(active_next,
+                                    jax.lax.stop_gradient(bs.pdf),
+                                    s.prev_bsdf_pdf),
+            prev_bsdf_delta=jnp.where(
+                active_next, (bs.sampled_type & bsdfs.DELTA) != 0,
+                s.prev_bsdf_delta),
+            active=new_active,
+            rng=rng)
+        # per-bounce ray-query counts (closest-hit + shadow) for Mrays/s stats
+        n_rays = (jnp.sum(s.active.astype(jnp.float32))
+                  + jnp.sum(active_em.astype(jnp.float32)))
+        return new_state, n_rays
+
+    state, ray_counts = jax.lax.scan(bounce, state, None, length=cfg.max_depth)
+    L = jnp.where(state.valid_ray[..., None], state.result, 0.0)
+    return L, state.valid_ray, state.rng, jnp.sum(ray_counts)

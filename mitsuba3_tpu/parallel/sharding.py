@@ -1,0 +1,115 @@
+"""Multi-chip parallelism — the distributed backend the reference lacks
+(SURVEY.md §2.2: reference is single-process; this is the greenfield
+component required by BASELINE.md).
+
+Strategy (per the scaling north star):
+  - the sample wavefront (pixels x spp) is data-parallel over the mesh:
+    each chip renders a contiguous pixel range;
+  - scene arrays (geometry, BSDF tables, emitter CDFs) are replicated;
+  - film contributions are psum-reduced (reconstruction filters overlap
+    shard boundaries by the filter radius, so a reduce is the simplest
+    correct assembly; halo exchange is the planned optimization);
+  - parameter gradients are psum-reduced across chips — the all-reduce that
+    overlaps with PRB replay once the PRB integrator lands.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..render import film as film_mod
+from ..render.integrator import render_pass, plan_passes
+
+
+def make_mesh(n_devices=None, devices=None):
+    if devices is None:
+        devices = jax.devices()[:n_devices] if n_devices else jax.devices()
+    import numpy as np
+    return Mesh(np.array(devices), axis_names=("chips",))
+
+
+def _pass_seed(seed, i):
+    return jnp.uint32(seed) ^ (jnp.uint32(i) * jnp.uint32(0x9E3779B9))
+
+
+def render_sharded(scene, mesh: Mesh, seed=0, spp=None, max_wavefront=1 << 19):
+    """Forward render, pixels sharded over `mesh`. Returns image [H, W, 3]."""
+    n_dev = mesh.devices.size
+    w, h = scene.film.width, scene.film.height
+    n_pixels = w * h
+    assert n_pixels % n_dev == 0, "image size must divide the mesh for now"
+    pix_per_dev = n_pixels // n_dev
+    assert pix_per_dev % w == 0, "pixel shards must be whole rows"
+    sppc, n_passes = plan_passes(scene, spp, max_wavefront * n_dev)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(),), out_specs=P(),
+             check_vma=False)
+    def _render(scene):
+        chip = jax.lax.axis_index("chips")
+
+        def body(i, acc):
+            image, weight = acc
+            # decorrelate chips AND passes in the seed
+            ps = _pass_seed(seed, i) ^ (jnp.uint32(chip) * jnp.uint32(0x85EBCA6B))
+            img_i, wgt_i, _ = render_pass(
+                scene, ps, sppc,
+                pixel_offset=chip * pix_per_dev, n_pixels=pix_per_dev)
+            return image + img_i, weight + wgt_i
+
+        init = (jnp.zeros((h, w, 3), jnp.float32),
+                jnp.zeros((h, w), jnp.float32))
+        image, weight = jax.lax.fori_loop(0, n_passes, body, init)
+        image = jax.lax.psum(image, "chips")
+        weight = jax.lax.psum(weight, "chips")
+        return film_mod.develop(image, weight)
+
+    return jax.jit(_render)(scene)
+
+
+def train_step_sharded(scene, mesh: Mesh, target, opt_state, optimizer,
+                       params_fn, seed=0, spp=8):
+    """One data-parallel inverse-rendering step: render -> L2 image loss ->
+    psum parameter gradients -> optax update. `params_fn` maps
+    (scene, params) -> scene with params substituted (which scene leaves
+    are optimized).
+
+    Returns (new_params, new_opt_state, loss).
+    """
+    n_dev = mesh.devices.size
+    w, h = scene.film.width, scene.film.height
+    n_pixels = w * h
+    pix_per_dev = n_pixels // n_dev
+    sppc = max(1, spp)
+
+    params = params_fn(scene, None)  # None => extract current params
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P(), P()), out_specs=(P(), P()),
+             check_vma=False)
+    def _grad(scene, params, target):
+        chip = jax.lax.axis_index("chips")
+
+        def loss_fn(p):
+            s = params_fn(scene, p)
+            ps = jnp.uint32(seed) ^ (jnp.uint32(chip) * jnp.uint32(0x85EBCA6B))
+            img, wgt, _ = render_pass(s, ps, sppc,
+                                      pixel_offset=chip * pix_per_dev,
+                                      n_pixels=pix_per_dev)
+            img = jax.lax.psum(img, "chips")
+            wgt = jax.lax.psum(wgt, "chips")
+            developed = film_mod.develop(img, wgt)
+            return jnp.mean((developed - target) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = jax.lax.psum(grads, "chips")
+        # loss is already identical on all chips (computed on the psum'd film)
+        return loss, grads
+
+    loss, grads = jax.jit(_grad)(scene, params, target)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    import optax
+    new_params = optax.apply_updates(params, updates)
+    return new_params, opt_state, loss

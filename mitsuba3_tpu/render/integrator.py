@@ -1,0 +1,112 @@
+"""Render orchestration — counterpart of SamplingIntegrator::render
+(src/render/integrator.cpp:151-396).
+
+The reference builds one wavefront of width*height*spp samples (capped at
+2^32, split into passes). Here the wavefront is capped by a memory budget
+(``max_wavefront`` lanes) and the spp loop runs as an on-device
+``lax.fori_loop`` over passes, so a full render is ONE compiled XLA program:
+seed -> ray gen -> path trace -> splat, repeated n_passes times, then
+develop. Multi-chip sharding wraps this same function in shard_map
+(mitsuba3_tpu/parallel).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .. import sensors
+from ..integrators import get_integrator
+from . import film as film_mod
+from . import sampler as sampler_mod
+
+
+def render_pass(scene, pass_seed, sppc: int, pixel_offset=0, n_pixels=None):
+    """Trace one pass of `sppc` samples for `n_pixels` pixels starting at
+    linear pixel index `pixel_offset` (must be row-aligned: both divisible
+    by the film width). Returns full-canvas (image, weight, n_rays)
+    contributions; samples are pixel-ordered so splatting is the dense
+    scatter-free path (film.splat_ordered).
+
+    Exposed separately so the sharded path can render pixel shards
+    (`pixel_offset` may be traced, e.g. axis_index-derived).
+    """
+    w, h = scene.film.width, scene.film.height
+    if n_pixels is None:
+        n_pixels = w * h
+    assert n_pixels % w == 0, "pixel shard must be row-aligned"
+    h_local = n_pixels // w
+    n = n_pixels * sppc
+
+    rng = sampler_mod.seed(pass_seed, n)
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    pixel = idx // sppc + pixel_offset
+    px = (pixel % w).astype(jnp.float32)
+    py = (pixel // w).astype(jnp.float32)
+
+    rng, jitter = sampler_mod.next_2d(rng)
+    pos = jnp.stack([px, py], axis=-1) + jitter        # film coords in pixels
+    pos01 = pos / jnp.array([w, h], jnp.float32)
+
+    ray = sensors.sample_ray(scene.sensor, pos01)
+
+    integrator = get_integrator(scene.integrator)
+    L, valid, rng, n_rays = integrator.sample(scene, rng, ray, scene.integrator)
+
+    halo = film_mod.halo_rows(scene.film)
+    img_local, wgt_local = film_mod.splat_ordered(
+        scene.film, jitter, L, sppc, h_local, w)
+    row0 = pixel_offset // w  # may be traced (sharded path)
+    canvas_i = jnp.zeros((h + 2 * halo, w, 3), jnp.float32)
+    canvas_w = jnp.zeros((h + 2 * halo, w), jnp.float32)
+    canvas_i = jax.lax.dynamic_update_slice(canvas_i, img_local,
+                                            (row0, 0, 0))
+    canvas_w = jax.lax.dynamic_update_slice(canvas_w, wgt_local, (row0, 0))
+    image = canvas_i[halo:h + halo] if halo else canvas_i
+    weight = canvas_w[halo:h + halo] if halo else canvas_w
+    return image, weight, n_rays + n  # + primary rays
+
+
+@partial(jax.jit, static_argnames=("sppc", "n_passes"))
+def _render_jit(scene, seed, sppc: int, n_passes: int):
+    w, h = scene.film.width, scene.film.height
+
+    def body(i, acc):
+        image, weight, rays = acc
+        pass_seed = (jnp.uint32(seed) ^ (jnp.uint32(i) * jnp.uint32(0x9E3779B9)))
+        img_i, wgt_i, rays_i = render_pass(scene, pass_seed, sppc)
+        return image + img_i, weight + wgt_i, rays + rays_i
+
+    init = (jnp.zeros((h, w, 3), jnp.float32), jnp.zeros((h, w), jnp.float32),
+            jnp.float32(0))
+    if n_passes == 1:
+        image, weight, rays = body(0, init)
+    else:
+        image, weight, rays = jax.lax.fori_loop(0, n_passes, body, init)
+    return film_mod.develop(image, weight), rays
+
+
+def plan_passes(scene, spp=None, max_wavefront=1 << 19):
+    spp = spp if spp is not None else scene.spp
+    n_pixels = scene.film.width * scene.film.height
+    sppc = max(1, min(spp, max_wavefront // n_pixels))
+    while spp % sppc != 0:
+        sppc -= 1
+    return sppc, spp // sppc
+
+
+def render(scene, seed=0, spp=None, max_wavefront=1 << 19):
+    """Forward render -> developed image [H, W, 3] (mi.render analog)."""
+    sppc, n_passes = plan_passes(scene, spp, max_wavefront)
+    img, _ = _render_jit(scene, seed, sppc, n_passes)
+    return img
+
+
+def render_with_stats(scene, seed=0, spp=None, max_wavefront=1 << 19):
+    """Like render(), but also returns the total ray-query count (for
+    Mrays/s benchmarking — analog of the reference's render stats logs,
+    integrator.cpp:361-388)."""
+    sppc, n_passes = plan_passes(scene, spp, max_wavefront)
+    return _render_jit(scene, seed, sppc, n_passes)

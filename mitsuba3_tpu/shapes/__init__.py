@@ -1,0 +1,128 @@
+"""Host-side shape -> triangle-mesh lowering.
+
+The reference implements shapes as plugins with per-backend intersection
+programs (src/shapes/*.cpp + optix/*.cuh). The TPU build lowers every shape
+to SoA triangle arrays at scene-build time (NumPy on host); analytic shapes
+(sphere, disk) additionally get dedicated intersection branches later.
+
+Canonical geometry matches the reference plugins:
+  - rectangle: [-1,1]^2 in the XY plane, +Z normal (src/shapes/rectangle.cpp)
+  - cube:      [-1,1]^3, outward normals (src/shapes/cube.cpp)
+  - sphere:    unit sphere at origin (triangulated; analytic path later)
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.transform import Transform4f
+
+
+class MeshData:
+    """Host-side triangle mesh (world space)."""
+
+    def __init__(self, vertices: np.ndarray, faces: np.ndarray,
+                 uvs: np.ndarray | None = None,
+                 normals: np.ndarray | None = None):
+        self.vertices = np.asarray(vertices, np.float64)
+        self.faces = np.asarray(faces, np.int32)
+        self.uvs = uvs if uvs is None else np.asarray(uvs, np.float64)
+        self.normals = normals if normals is None else np.asarray(normals, np.float64)
+
+    def transformed(self, t: Transform4f) -> "MeshData":
+        v = t.transform_point(self.vertices)
+        n = None
+        if self.normals is not None:
+            n = t.transform_normal(self.normals)
+            ln = np.linalg.norm(n, axis=-1, keepdims=True)
+            n = n / np.maximum(ln, 1e-20)
+        return MeshData(v, self.faces, self.uvs, n)
+
+    def face_areas(self) -> np.ndarray:
+        p = self.vertices[self.faces]
+        return 0.5 * np.linalg.norm(
+            np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0]), axis=-1)
+
+    def surface_area(self) -> float:
+        return float(self.face_areas().sum())
+
+
+def make_rectangle() -> MeshData:
+    v = np.array([[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], np.float64)
+    f = np.array([[0, 1, 2], [2, 3, 0]], np.int32)
+    uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float64)
+    return MeshData(v, f, uv)
+
+
+def make_cube() -> MeshData:
+    # 24 vertices (4 per face) so normals/uvs stay per-face-consistent
+    verts = []
+    faces = []
+    uvs = []
+    axes = [(0, 1, 2), (1, 2, 0), (2, 0, 1)]
+    for ax, u_ax, v_ax in axes:
+        for sgn in (1.0, -1.0):
+            base = len(verts)
+            for (uu, vv) in [(-1, -1), (1, -1), (1, 1), (-1, 1)]:
+                p = np.zeros(3)
+                p[ax] = sgn
+                p[u_ax] = uu * sgn  # winding flips with the face sign
+                p[v_ax] = vv
+                verts.append(p)
+                uvs.append([(uu + 1) / 2, (vv + 1) / 2])
+            faces.append([base, base + 1, base + 2])
+            faces.append([base + 2, base + 3, base])
+    return MeshData(np.array(verts), np.array(faces, np.int32), np.array(uvs))
+
+
+def make_sphere_mesh(subdiv_theta: int = 64, subdiv_phi: int = 128) -> MeshData:
+    """Lat-long triangulated unit sphere (placeholder until the analytic
+    sphere intersection branch lands)."""
+    th = np.linspace(0.0, np.pi, subdiv_theta + 1)
+    ph = np.linspace(0.0, 2 * np.pi, subdiv_phi, endpoint=False)
+    tt, pp = np.meshgrid(th, ph, indexing="ij")
+    x = np.sin(tt) * np.cos(pp)
+    y = np.sin(tt) * np.sin(pp)
+    z = np.cos(tt)
+    verts = np.stack([x, y, z], axis=-1).reshape(-1, 3)
+    faces = []
+    for i in range(subdiv_theta):
+        for j in range(subdiv_phi):
+            a = i * subdiv_phi + j
+            b = i * subdiv_phi + (j + 1) % subdiv_phi
+            c = (i + 1) * subdiv_phi + j
+            d = (i + 1) * subdiv_phi + (j + 1) % subdiv_phi
+            if i > 0:
+                faces.append([a, c, b])
+            if i < subdiv_theta - 1:
+                faces.append([b, c, d])
+    return MeshData(verts, np.array(faces, np.int32),
+                    normals=verts.copy())
+
+
+def build_shape(spec: dict) -> MeshData:
+    """Lower a scene-dict shape spec to a world-space MeshData."""
+    stype = spec["type"]
+    if stype == "rectangle":
+        mesh = make_rectangle()
+    elif stype == "cube":
+        mesh = make_cube()
+    elif stype == "sphere":
+        mesh = make_sphere_mesh()
+        center = spec.get("center", None)
+        radius = spec.get("radius", None)
+        t = Transform4f()
+        if center is not None or radius is not None:
+            t = t.translate(center or [0, 0, 0]).scale(radius or 1.0)
+            mesh = mesh.transformed(t)
+    elif stype in ("obj", "ply"):
+        from .loaders import load_mesh_file
+        mesh = load_mesh_file(spec["filename"], stype)
+    else:
+        raise ValueError(f"Unsupported shape type: {stype}")
+
+    to_world = spec.get("to_world", None)
+    if to_world is not None:
+        if not isinstance(to_world, Transform4f):
+            to_world = Transform4f(np.asarray(to_world, np.float64))
+        mesh = mesh.transformed(to_world)
+    return mesh
