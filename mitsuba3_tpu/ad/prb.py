@@ -1,0 +1,278 @@
+"""Path Replay Backpropagation (PRB) — counterpart of
+src/python/python/ad/integrators/prb.py (detached-sampling PRB).
+
+The reference implements reverse-mode rendering derivatives without a tape:
+a primal pass computes per-sample radiance L, and the backward pass *replays*
+the identical light path (same PCG32 stream) while re-evaluating each
+vertex's local shading differentiably, injecting the adjoint δL at every
+bounce (prb.py:68-339; the O(1)-in-depth memory structure of SURVEY §3.3).
+
+TPU-native formulation: ``sample`` is a ``jax.custom_vjp`` whose
+- fwd runs the detached primal loop (a lax.scan of masked bounces) and
+  saves only (rays, initial sampler state, L) — O(1) residual memory;
+- bwd replays the loop; at each bounce a *local* jax.grad over the
+  differentiable scene parameters θ computes ∂(δL·Lo)/∂θ where
+  Lo = Le + Lr_dir + L_remaining · bsdf_val/detach(bsdf_val)
+  (the relative-gradient trick, prb.py:294), and the per-bounce gradients
+  are accumulated in the scan carry.
+
+Round-1 scope: gradients w.r.t. BSDF parameters and emitter radiance
+(configs 1-2 of BASELINE.md). Geometry motion (solid-angle Jacobians,
+attached si.wi recompute — prb.py:129-146,201-210) is the prb_reparam
+follow-up.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+
+from .. import bsdfs
+from ..core import math as m
+from ..core.struct import pytree_dataclass
+from ..integrators.path import mis_weight
+from ..render import sampler as sampler_mod
+from ..render.records import Ray
+
+
+@dataclasses.dataclass(frozen=True)
+class PRBConfig:
+    type: str = "prb"
+    max_depth: int = 8
+    rr_depth: int = 5
+    hide_emitters: bool = False
+
+
+DIFF_PARAM_NAMES = ("bsdf_params", "em_radiance")
+
+
+def extract_theta(scene):
+    return {k: getattr(scene, k) for k in DIFF_PARAM_NAMES}
+
+
+def substitute_theta(scene, theta):
+    return scene.replace(**theta)
+
+
+def _attached_em_weight(scene_t, ds):
+    """Recompute the NEE emitter weight attached to θ, with the detached
+    pdf (prb.py:207-210 em_val_diff * detach(rcp(pdf)))."""
+    ok = ds.pdf > 0.0
+    inv_pdf = jnp.where(ok, 1.0 / jnp.maximum(ds.pdf, 1e-20), 0.0)
+    radiance = scene_t.em_radiance[jnp.maximum(ds.emitter_index, 0)]
+    radiance = jnp.where((ds.emitter_index >= 0)[..., None], radiance, 0.0)
+    return radiance * jax.lax.stop_gradient(inv_pdf)[..., None]
+
+
+@pytree_dataclass
+class PRBState:
+    ray_o: jnp.ndarray
+    ray_d: jnp.ndarray
+    L: jnp.ndarray           # primal: accumulates up; backward: counts down
+    beta: jnp.ndarray        # [N, 3]
+    eta: jnp.ndarray
+    depth: jnp.ndarray
+    active: jnp.ndarray
+    prev_p: jnp.ndarray
+    prev_bsdf_pdf: jnp.ndarray
+    prev_bsdf_delta: jnp.ndarray
+    rng: object
+    grad: object             # θ-shaped cotangent accumulator (bwd) or None-like zeros
+
+
+def _loop(scene, rng, ray, cfg: PRBConfig, mode: str, dL=None, L_in=None,
+          theta=None):
+    """Shared primal/backward bounce loop. `mode` in ('primal', 'backward').
+
+    RNG draw order is IDENTICAL in both modes — the replay invariant.
+    Returns (L_or_dL, valid, rng, n_rays, grad_theta).
+    """
+    primal = mode == "primal"
+    n = ray.o.shape[0]
+    scene_det = jax.tree_util.tree_map(jax.lax.stop_gradient, scene)
+
+    zero_grad = (jax.tree_util.tree_map(jnp.zeros_like, theta)
+                 if theta is not None else {})
+
+    state = PRBState(
+        ray_o=jax.lax.stop_gradient(ray.o),
+        ray_d=jax.lax.stop_gradient(ray.d),
+        L=jnp.zeros((n, 3), jnp.float32) if primal else L_in,
+        beta=jnp.ones((n, 3), jnp.float32),
+        eta=jnp.ones(n, jnp.float32),
+        depth=jnp.zeros(n, jnp.int32),
+        active=jnp.ones(n, bool),
+        prev_p=jax.lax.stop_gradient(ray.o),
+        prev_bsdf_pdf=jnp.ones(n, jnp.float32),
+        prev_bsdf_delta=jnp.ones(n, bool),
+        rng=rng,
+        grad=zero_grad)
+
+    def bounce(s: PRBState, _):
+        cur_ray = Ray.make(s.ray_o, s.ray_d)
+        pi = scene_det.ray_intersect_preliminary(cur_ray, active=s.active)
+        si = scene_det.compute_surface_interaction(cur_ray, pi)
+        si = jax.tree_util.tree_map(jax.lax.stop_gradient, si)
+
+        # ---------------- Direct emission (detached numbers) --------------
+        emitted_det = scene_det.eval_emitter(si)
+        ds_pdf = scene_det.pdf_emitter_direction_hit(s.prev_p, si)
+        em_pdf = jnp.where(s.prev_bsdf_delta, 0.0, ds_pdf)
+        mis = mis_weight(s.prev_bsdf_pdf, em_pdf)
+        Le_det = jnp.where(s.active[..., None],
+                           s.beta * emitted_det * mis[..., None], 0.0)
+
+        active_next = s.active & ((s.depth + 1) < cfg.max_depth) & si.is_valid()
+
+        bsdf_idx = scene_det.bsdf_index(si)
+        flags = bsdfs.lane_flags(scene_det.bsdf_types, bsdf_idx)
+        smooth = (flags & bsdfs.SMOOTH) != 0
+
+        # ---------------- Emitter sampling (detached) ---------------------
+        active_em = active_next & smooth
+        rng, s1_em = sampler_mod.next_1d(s.rng)
+        rng, s2_em = sampler_mod.next_2d(rng)
+        ds, em_weight_det = scene_det.sample_emitter_direction(
+            si, s1_em, s2_em, active=active_em, test_visibility=True)
+        active_em = active_em & (ds.pdf != 0.0)
+        wo_em = si.to_local(ds.d)
+
+        # ---------------- Detached BSDF sampling --------------------------
+        rng, s1_b = sampler_mod.next_1d(rng)
+        rng, s2_b = sampler_mod.next_2d(rng)
+        params_det = scene_det.gather_bsdf_params(bsdf_idx)
+        bsdf_val_em_det, bsdf_pdf_em = bsdfs.eval_pdf(
+            scene_det.bsdf_types, bsdf_idx, params_det, si, wo_em)
+        bs, bsdf_weight_det = bsdfs.sample(
+            scene_det.bsdf_types, bsdf_idx, params_det, si, s1_b, s2_b)
+
+        mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, bsdf_pdf_em))
+        Lr_dir_det = jnp.where(
+            active_em[..., None],
+            s.beta * bsdf_val_em_det * em_weight_det * mis_em[..., None], 0.0)
+
+        wo_world = si.to_world(bs.wo)
+        new_o = jnp.where(active_next[..., None], si.offset_p(wo_world), s.ray_o)
+        new_d = jnp.where(active_next[..., None], wo_world, s.ray_d)
+
+        # ---------------- Radiance bookkeeping ----------------------------
+        if primal:
+            L = s.L + Le_det + Lr_dir_det
+        else:
+            L = s.L - Le_det - Lr_dir_det  # remaining radiance after this vertex
+
+        # sampled next-direction BSDF value (detached), for relative grad
+        bsdf_val_next_det, _ = bsdfs.eval_pdf(
+            scene_det.bsdf_types, bsdf_idx, params_det, si, bs.wo)
+
+        grad = s.grad
+        if not primal:
+            beta_det = s.beta
+            L_rem = L
+
+            def local_contrib(th):
+                scene_t = substitute_theta(scene, th)
+                params_t = scene_t.gather_bsdf_params(bsdf_idx)
+                # Le(θ)
+                emitted_a = scene_t.eval_emitter(si)
+                Le_a = jnp.where(s.active[..., None],
+                                 beta_det * emitted_a * mis[..., None], 0.0)
+                # Lr_dir(θ)
+                em_weight_a = _attached_em_weight(scene_t, ds)
+                # keep the detached visibility/occlusion decision
+                em_weight_a = jnp.where(
+                    (em_weight_det.sum(-1) > 0.0)[..., None], em_weight_a, 0.0)
+                bsdf_val_em_a, _ = bsdfs.eval_pdf(
+                    scene_t.bsdf_types, bsdf_idx, params_t, si, wo_em)
+                Lr_dir_a = jnp.where(
+                    active_em[..., None],
+                    beta_det * bsdf_val_em_a * em_weight_a * mis_em[..., None],
+                    0.0)
+                # Lr_ind(θ) = L_remaining * bsdf_val(θ)/detach(bsdf_val)
+                bsdf_val_a, _ = bsdfs.eval_pdf(
+                    scene_t.bsdf_types, bsdf_idx, params_t, si, bs.wo)
+                rel = m.safe_div(bsdf_val_a,
+                                 jax.lax.stop_gradient(bsdf_val_next_det))
+                Lr_ind_a = jnp.where(active_next[..., None], L_rem * rel, 0.0)
+                Lo = Le_a + Lr_dir_a + Lr_ind_a
+                return jnp.sum(dL * Lo)
+
+            g = jax.grad(local_contrib)(theta)
+            grad = jax.tree_util.tree_map(jnp.add, grad, g)
+
+        # ---------------- Loop var update / RR -----------------------------
+        beta = jnp.where(active_next[..., None],
+                         s.beta * bsdf_weight_det, s.beta)
+        eta = jnp.where(active_next, s.eta * bs.eta, s.eta)
+        depth = jnp.where(si.is_valid() & s.active, s.depth + 1, s.depth)
+
+        beta_max = jnp.max(beta, axis=-1)
+        rr_prob = jax.lax.stop_gradient(jnp.minimum(beta_max * m.sqr(eta), 0.95))
+        rr_active = depth >= cfg.rr_depth
+        rng, rr_sample = sampler_mod.next_1d(rng)
+        rr_continue = rr_sample < rr_prob
+        beta = jnp.where((rr_active & active_next)[..., None],
+                         beta * m.safe_div(1.0, rr_prob)[..., None], beta)
+        new_active = (active_next & (~rr_active | rr_continue)
+                      & (beta_max != 0.0))
+
+        n_rays = (jnp.sum(s.active.astype(jnp.float32))
+                  + jnp.sum(active_em.astype(jnp.float32)))
+
+        return PRBState(
+            ray_o=new_o, ray_d=new_d, L=L, beta=beta, eta=eta, depth=depth,
+            active=new_active,
+            prev_p=jnp.where(active_next[..., None], si.p, s.prev_p),
+            prev_bsdf_pdf=jnp.where(active_next, bs.pdf, s.prev_bsdf_pdf),
+            prev_bsdf_delta=jnp.where(active_next,
+                                      (bs.sampled_type & bsdfs.DELTA) != 0,
+                                      s.prev_bsdf_delta),
+            rng=rng, grad=grad), n_rays
+
+    state, ray_counts = jax.lax.scan(bounce, state, None, length=cfg.max_depth)
+    valid = state.depth != 0
+    return state.L, valid, state.rng, jnp.sum(ray_counts), state.grad
+
+
+@lru_cache(maxsize=None)
+def _make_prb_fn(cfg: PRBConfig):
+    @jax.custom_vjp
+    def prb_L(theta, scene, rng, ray):
+        scene_t = substitute_theta(scene, theta)
+        L, valid, rng_out, n_rays, _ = _loop(scene_t, rng, ray, cfg, "primal")
+        return L, valid, n_rays
+
+    def prb_fwd(theta, scene, rng, ray):
+        scene_t = substitute_theta(scene, theta)
+        L, valid, rng_out, n_rays, _ = _loop(scene_t, rng, ray, cfg, "primal")
+        # O(1)-in-depth residuals: inputs + primal radiance only (no tape)
+        return (L, valid, n_rays), (theta, scene, rng, ray, L)
+
+    def prb_bwd(res, cotangents):
+        theta, scene, rng, ray, L = res
+        dL, _, _ = cotangents  # δL per sample [N, 3]
+        scene_t = substitute_theta(scene, theta)
+        _, _, _, _, grad_theta = _loop(
+            scene_t, rng, ray, cfg, "backward", dL=dL, L_in=L, theta=theta)
+        zero_scene = jax.tree_util.tree_map(jnp.zeros_like, scene)
+        zero_rng = jax.tree_util.tree_map(jnp.zeros_like, rng)
+        zero_ray = jax.tree_util.tree_map(jnp.zeros_like, ray)
+        return grad_theta, zero_scene, zero_rng, zero_ray
+
+    prb_L.defvjp(prb_fwd, prb_bwd)
+    return prb_L
+
+
+def sample(scene, rng, ray, cfg: PRBConfig, active=None):
+    """Integrator-registry entry point: (L, valid, rng, n_rays).
+
+    The returned L is differentiable w.r.t. scene.bsdf_params and
+    scene.em_radiance through the PRB custom_vjp (replay-based, O(1) memory
+    in path depth). The sampler state is NOT returned advanced across the
+    custom_vjp boundary (it is re-derived per pass anyway)."""
+    fn = _make_prb_fn(cfg)
+    theta = extract_theta(scene)
+    L, valid, n_rays = fn(theta, scene, rng, ray)
+    return L, valid, rng, n_rays

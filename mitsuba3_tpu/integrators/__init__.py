@@ -16,7 +16,16 @@ def register(name, module):
     _REGISTRY[name] = module
 
 
+def _lazy_register(name):
+    # AD integrators live in mitsuba3_tpu.ad and import integrators.path,
+    # so they are registered lazily to avoid the import cycle.
+    if name == "prb" and "prb" not in _REGISTRY:
+        from ..ad import prb as prb_mod
+        _REGISTRY["prb"] = prb_mod
+
+
 def get_integrator(cfg):
+    _lazy_register(cfg.type)
     return _REGISTRY[cfg.type]
 
 
@@ -28,6 +37,14 @@ def config_from_dict(spec: dict):
             max_depth=int(spec.get("max_depth", 8)),
             rr_depth=int(spec.get("rr_depth", 5)),
             hide_emitters=bool(spec.get("hide_emitters", False)))
+    if itype == "prb":
+        from ..ad.prb import PRBConfig
+        return PRBConfig(
+            type="prb",
+            max_depth=int(spec.get("max_depth", 8)),
+            rr_depth=int(spec.get("rr_depth", 5)),
+            hide_emitters=bool(spec.get("hide_emitters", False)))
+    _lazy_register(itype)
     if itype in _REGISTRY and hasattr(_REGISTRY[itype], "config_from_dict"):
         return _REGISTRY[itype].config_from_dict(spec)
     raise ValueError(f"Unknown integrator type {itype!r}")
