@@ -45,7 +45,7 @@ class PRBConfig:
     hide_emitters: bool = False
 
 
-DIFF_PARAM_NAMES = ("bsdf_params", "em_radiance")
+DIFF_PARAM_NAMES = ("bsdf_params", "em_radiance", "textures", "env_data")
 
 
 def extract_theta(scene):
@@ -63,6 +63,9 @@ def _attached_em_weight(scene_t, ds):
     inv_pdf = jnp.where(ok, 1.0 / jnp.maximum(ds.pdf, 1e-20), 0.0)
     radiance = scene_t.em_radiance[jnp.maximum(ds.emitter_index, 0)]
     radiance = jnp.where((ds.emitter_index >= 0)[..., None], radiance, 0.0)
+    if scene_t.env_emitter >= 0:
+        radiance = jnp.where((ds.emitter_index == scene_t.env_emitter)[..., None],
+                             scene_t.eval_env(ds.d), radiance)
     return radiance * jax.lax.stop_gradient(inv_pdf)[..., None]
 
 
@@ -117,8 +120,14 @@ def _loop(scene, rng, ray, cfg: PRBConfig, mode: str, dL=None, L_in=None,
         si = jax.tree_util.tree_map(jax.lax.stop_gradient, si)
 
         # ---------------- Direct emission (detached numbers) --------------
+        miss = ~si.is_valid()
         emitted_det = scene_det.eval_emitter(si)
         ds_pdf = scene_det.pdf_emitter_direction_hit(s.prev_p, si)
+        if scene.env_emitter >= 0:
+            emitted_det = jnp.where(miss[..., None],
+                                    scene_det.eval_env(cur_ray.d), emitted_det)
+            ds_pdf = jnp.where(
+                miss, scene_det.pdf_emitter_direction_miss(cur_ray.d), ds_pdf)
         em_pdf = jnp.where(s.prev_bsdf_delta, 0.0, ds_pdf)
         mis = mis_weight(s.prev_bsdf_pdf, em_pdf)
         Le_det = jnp.where(s.active[..., None],
@@ -142,11 +151,9 @@ def _loop(scene, rng, ray, cfg: PRBConfig, mode: str, dL=None, L_in=None,
         # ---------------- Detached BSDF sampling --------------------------
         rng, s1_b = sampler_mod.next_1d(rng)
         rng, s2_b = sampler_mod.next_2d(rng)
-        params_det = scene_det.gather_bsdf_params(bsdf_idx)
         bsdf_val_em_det, bsdf_pdf_em = bsdfs.eval_pdf(
-            scene_det.bsdf_types, bsdf_idx, params_det, si, wo_em)
-        bs, bsdf_weight_det = bsdfs.sample(
-            scene_det.bsdf_types, bsdf_idx, params_det, si, s1_b, s2_b)
+            scene_det, bsdf_idx, si, wo_em)
+        bs, bsdf_weight_det = bsdfs.sample(scene_det, bsdf_idx, si, s1_b, s2_b)
 
         mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, bsdf_pdf_em))
         Lr_dir_det = jnp.where(
@@ -164,8 +171,7 @@ def _loop(scene, rng, ray, cfg: PRBConfig, mode: str, dL=None, L_in=None,
             L = s.L - Le_det - Lr_dir_det  # remaining radiance after this vertex
 
         # sampled next-direction BSDF value (detached), for relative grad
-        bsdf_val_next_det, _ = bsdfs.eval_pdf(
-            scene_det.bsdf_types, bsdf_idx, params_det, si, bs.wo)
+        bsdf_val_next_det, _ = bsdfs.eval_pdf(scene_det, bsdf_idx, si, bs.wo)
 
         grad = s.grad
         if not primal:
@@ -174,9 +180,12 @@ def _loop(scene, rng, ray, cfg: PRBConfig, mode: str, dL=None, L_in=None,
 
             def local_contrib(th):
                 scene_t = substitute_theta(scene, th)
-                params_t = scene_t.gather_bsdf_params(bsdf_idx)
                 # Le(θ)
                 emitted_a = scene_t.eval_emitter(si)
+                if scene.env_emitter >= 0:
+                    emitted_a = jnp.where(miss[..., None],
+                                          scene_t.eval_env(cur_ray.d),
+                                          emitted_a)
                 Le_a = jnp.where(s.active[..., None],
                                  beta_det * emitted_a * mis[..., None], 0.0)
                 # Lr_dir(θ)
@@ -184,15 +193,13 @@ def _loop(scene, rng, ray, cfg: PRBConfig, mode: str, dL=None, L_in=None,
                 # keep the detached visibility/occlusion decision
                 em_weight_a = jnp.where(
                     (em_weight_det.sum(-1) > 0.0)[..., None], em_weight_a, 0.0)
-                bsdf_val_em_a, _ = bsdfs.eval_pdf(
-                    scene_t.bsdf_types, bsdf_idx, params_t, si, wo_em)
+                bsdf_val_em_a, _ = bsdfs.eval_pdf(scene_t, bsdf_idx, si, wo_em)
                 Lr_dir_a = jnp.where(
                     active_em[..., None],
                     beta_det * bsdf_val_em_a * em_weight_a * mis_em[..., None],
                     0.0)
                 # Lr_ind(θ) = L_remaining * bsdf_val(θ)/detach(bsdf_val)
-                bsdf_val_a, _ = bsdfs.eval_pdf(
-                    scene_t.bsdf_types, bsdf_idx, params_t, si, bs.wo)
+                bsdf_val_a, _ = bsdfs.eval_pdf(scene_t, bsdf_idx, si, bs.wo)
                 rel = m.safe_div(bsdf_val_a,
                                  jax.lax.stop_gradient(bsdf_val_next_det))
                 Lr_ind_a = jnp.where(active_next[..., None], L_rem * rel, 0.0)

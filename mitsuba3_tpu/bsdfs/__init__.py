@@ -10,16 +10,16 @@ trade on a lockstep machine. Sort-by-material compaction is the planned
 upgrade for scenes with many types (SURVEY.md §7 hard part 1).
 
 Each BSDF module provides:
-  sample(params[N,8], si, s1[N], s2[N,2]) -> (BSDFSample, weight[N,3])
-  eval_pdf(params[N,8], si, wo[N,3])      -> (value[N,3], pdf[N])
+  sample(scene, bsdf_idx, si, s1[N], s2[N,2]) -> (BSDFSample, weight[N,3])
+  eval_pdf(scene, bsdf_idx, si, wo[N,3])      -> (value[N,3], pdf[N])
   FLAGS: int
+where per-lane parameter rows are scene.bsdf_params[bsdf_idx] (layout is
+each module's own contract) and textures live in scene.textures.
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-
-from ..render.records import BSDFSample
 
 # BSDFFlags (bsdf.h:31 equivalents)
 NULL_FLAG = 0x0001
@@ -29,6 +29,8 @@ GLOSSY_REFLECTION = 0x0008
 GLOSSY_TRANSMISSION = 0x0010
 DELTA_REFLECTION = 0x0020
 DELTA_TRANSMISSION = 0x0040
+FRONT_SIDE = 0x2000
+BACK_SIDE = 0x4000
 SMOOTH = DIFFUSE_REFLECTION | DIFFUSE_TRANSMISSION | GLOSSY_REFLECTION | GLOSSY_TRANSMISSION
 DELTA = DELTA_REFLECTION | DELTA_TRANSMISSION
 
@@ -38,6 +40,7 @@ CONDUCTOR = 1
 ROUGH_CONDUCTOR = 2
 DIELECTRIC = 3
 PLASTIC = 4
+N_PARAMS = 16  # bsdf_params row width
 
 _REGISTRY = {}
 
@@ -60,15 +63,15 @@ def lane_flags(bsdf_types: tuple, bsdf_idx):
     return table[bsdf_idx]
 
 
-def _dispatch(bsdf_types: tuple, bsdf_idx, fn_name, params, *args):
+def _dispatch(scene, bsdf_idx, fn_name, *args):
     """Masked static dispatch over the (static) set of types present."""
-    unique = tuple(sorted(set(bsdf_types)))
-    type_per_slot = jnp.array(bsdf_types, jnp.int32)
+    unique = tuple(sorted(set(scene.bsdf_types)))
+    type_per_slot = jnp.array(scene.bsdf_types, jnp.int32)
     lane_type = type_per_slot[bsdf_idx]
 
     result = None
     for t in unique:
-        out = getattr(_REGISTRY[t], fn_name)(params, *args)
+        out = getattr(_REGISTRY[t], fn_name)(scene, bsdf_idx, *args)
         if result is None:
             result = out
         else:
@@ -81,16 +84,19 @@ def _dispatch(bsdf_types: tuple, bsdf_idx, fn_name, params, *args):
     return result
 
 
-def sample(bsdf_types, bsdf_idx, params, si, s1, s2):
+def sample(scene, bsdf_idx, si, s1, s2):
     """-> (BSDFSample, weight[N,3])"""
-    return _dispatch(bsdf_types, bsdf_idx, "sample", params, si, s1, s2)
+    return _dispatch(scene, bsdf_idx, "sample", si, s1, s2)
 
 
-def eval_pdf(bsdf_types, bsdf_idx, params, si, wo):
-    """-> (value[N,3] including cosine, pdf[N])"""
-    return _dispatch(bsdf_types, bsdf_idx, "eval_pdf", params, si, wo)
+def eval_pdf(scene, bsdf_idx, si, wo):
+    """-> (value[N,3] including cosine foreshortening, pdf[N])"""
+    return _dispatch(scene, bsdf_idx, "eval_pdf", si, wo)
 
 
-from . import diffuse  # noqa: E402  (registers itself)
+from . import conductor, dielectric, diffuse, roughconductor  # noqa: E402
 
 register(DIFFUSE, diffuse)
+register(CONDUCTOR, conductor)
+register(ROUGH_CONDUCTOR, roughconductor)
+register(DIELECTRIC, dielectric)

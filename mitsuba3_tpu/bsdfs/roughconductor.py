@@ -1,0 +1,71 @@
+"""Rough conductor — counterpart of src/bsdfs/roughconductor.cpp.
+
+GGX/Beckmann microfacet reflection with visible-normal sampling and Smith
+shadowing. Param row: [0:3]=eta_re, [3:6]=k, [6]=alpha_u, [7]=alpha_v,
+[8:11]=specular_reflectance, [11]=distribution (0=GGX, 1=Beckmann; static
+per scene — GGX assumed when mixed).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core import math as m
+from ..core.frame import cos_theta
+from ..render import microfacet as mf
+from ..render.fresnel import fresnel_conductor, reflect_m
+from ..render.records import BSDFSample
+
+FLAGS = 0x0008 | 0x2000  # GlossyReflection | FrontSide
+
+
+def sample(scene, bsdf_idx, si, s1, s2):
+    params = scene.bsdf_params[bsdf_idx]
+    cos_theta_i = cos_theta(si.wi)
+    active = cos_theta_i > 0.0
+    alpha_u = params[..., 6]
+    alpha_v = params[..., 7]
+
+    mn, pdf_m = mf.sample_visible(mf.GGX, si.wi, s2, alpha_u, alpha_v)
+    wo = reflect_m(si.wi, mn)
+    cos_theta_o = cos_theta(wo)
+    active = active & (cos_theta_o > 0.0) & (pdf_m > 0.0)
+
+    # VNDF weight: F * G2/G1 * spec (roughconductor.cpp sample)
+    f = fresnel_conductor(m.dot(si.wi, mn), params[..., 0:3], params[..., 3:6])
+    g2 = mf.G(mf.GGX, si.wi, wo, mn, alpha_u, alpha_v)
+    g1 = mf.smith_g1(mf.GGX, si.wi, mn, alpha_u, alpha_v)
+    spec = params[..., 8:11]
+    weight = spec * f * m.safe_div(g2, g1)[..., None]
+    weight = jnp.where(active[..., None], weight, 0.0)
+
+    pdf = m.safe_div(pdf_m, 4.0 * jnp.abs(m.dot(wo, mn)))
+    bs = BSDFSample(
+        wo=wo,
+        pdf=jnp.where(active, pdf, 0.0),
+        eta=jnp.ones_like(pdf),
+        sampled_type=jnp.full(pdf.shape, 0x0008, jnp.uint32),
+        sampled_component=jnp.zeros(pdf.shape, jnp.int32))
+    return bs, weight
+
+
+def eval_pdf(scene, bsdf_idx, si, wo):
+    params = scene.bsdf_params[bsdf_idx]
+    cos_theta_i = cos_theta(si.wi)
+    cos_theta_o = cos_theta(wo)
+    active = (cos_theta_i > 0.0) & (cos_theta_o > 0.0)
+    alpha_u = params[..., 6]
+    alpha_v = params[..., 7]
+
+    h = m.normalize(si.wi + wo)
+    d = mf.eval_ndf(mf.GGX, h, alpha_u, alpha_v)
+    g = mf.G(mf.GGX, si.wi, wo, h, alpha_u, alpha_v)
+    f = fresnel_conductor(m.dot(si.wi, h), params[..., 0:3], params[..., 3:6])
+    spec = params[..., 8:11]
+
+    # value includes cos_theta_o: f_r * cos_o = D F G / (4 cos_i)
+    value = spec * f * m.safe_div(d * g, 4.0 * cos_theta_i)[..., None]
+    pdf = m.safe_div(d * mf.smith_g1(mf.GGX, si.wi, h, alpha_u, alpha_v),
+                     4.0 * cos_theta_i)
+    value = jnp.where(active[..., None], value, 0.0)
+    pdf = jnp.where(active, pdf, 0.0)
+    return value, pdf

@@ -6,10 +6,18 @@ lives in the scene's static fields.
 """
 from __future__ import annotations
 
+import types
+
+from . import aov as aov_mod
+from . import direct as direct_mod
 from . import path as path_mod
 from .path import PathConfig
 
-_REGISTRY = {"path": path_mod}
+_depth_mod = types.SimpleNamespace(sample=aov_mod.depth_sample,
+                                   n_channels=aov_mod.depth_n_channels)
+
+_REGISTRY = {"path": path_mod, "direct": direct_mod, "aov": aov_mod,
+             "depth": _depth_mod}
 
 
 def register(name, module):
@@ -44,6 +52,10 @@ def config_from_dict(spec: dict):
             max_depth=int(spec.get("max_depth", 8)),
             rr_depth=int(spec.get("rr_depth", 5)),
             hide_emitters=bool(spec.get("hide_emitters", False)))
+    if itype == "direct":
+        return direct_mod.config_from_dict(spec)
+    if itype in ("depth", "aov"):
+        return aov_mod.config_from_dict(spec)
     _lazy_register(itype)
     if itype in _REGISTRY and hasattr(_REGISTRY[itype], "config_from_dict"):
         return _REGISTRY[itype].config_from_dict(spec)

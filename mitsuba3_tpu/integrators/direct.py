@@ -1,0 +1,102 @@
+"""Direct illumination integrator with MIS — counterpart of
+src/integrators/direct.cpp (emitter_samples + bsdf_samples strategies
+combined with the power heuristic)."""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from .. import bsdfs
+from ..core import math as m
+from ..render import sampler as sampler_mod
+from ..render.records import Ray
+from .path import mis_weight
+
+
+@dataclasses.dataclass(frozen=True)
+class DirectConfig:
+    type: str = "direct"
+    emitter_samples: int = 1
+    bsdf_samples: int = 1
+    hide_emitters: bool = False
+
+
+def config_from_dict(spec):
+    shading = int(spec.get("shading_samples", 1))
+    return DirectConfig(
+        type="direct",
+        emitter_samples=int(spec.get("emitter_samples", shading)),
+        bsdf_samples=int(spec.get("bsdf_samples", shading)),
+        hide_emitters=bool(spec.get("hide_emitters", False)))
+
+
+def sample(scene, rng, ray: Ray, cfg: DirectConfig, active=None):
+    n = ray.o.shape[0]
+    if active is None:
+        active = jnp.ones(n, bool)
+
+    frac_lum = cfg.emitter_samples / (cfg.emitter_samples + cfg.bsdf_samples)
+    frac_bsdf = 1.0 - frac_lum
+
+    pi = scene.ray_intersect_preliminary(ray, active=active)
+    si = scene.compute_surface_interaction(ray, pi)
+    result = jnp.zeros((n, 3), jnp.float32)
+    n_rays = jnp.sum(active.astype(jnp.float32))
+
+    # visible emitters / environment
+    emitted = scene.eval_emitter(si)
+    if scene.env_emitter >= 0:
+        emitted = jnp.where(si.is_valid()[..., None], emitted,
+                            scene.eval_env(ray.d))
+    if not cfg.hide_emitters:
+        result = result + jnp.where(active[..., None], emitted, 0.0)
+
+    active_surf = active & si.is_valid()
+    bsdf_idx = scene.bsdf_index(si)
+
+    # ---- emitter sampling strategies ----
+    for _ in range(cfg.emitter_samples):
+        rng, s1 = sampler_mod.next_1d(rng)
+        rng, s2 = sampler_mod.next_2d(rng)
+        ds, em_weight = scene.sample_emitter_direction(
+            si, s1, s2, active=active_surf, test_visibility=True)
+        ok = active_surf & (ds.pdf > 0.0)
+        wo = si.to_local(ds.d)
+        bsdf_val, bsdf_pdf = bsdfs.eval_pdf(scene, bsdf_idx, si, wo)
+        mis = jnp.where(ds.delta, 1.0,
+                        mis_weight(ds.pdf * frac_lum, bsdf_pdf * frac_bsdf)
+                        ) / cfg.emitter_samples
+        result = result + jnp.where(
+            ok[..., None], bsdf_val * em_weight * mis[..., None], 0.0)
+        n_rays = n_rays + jnp.sum(ok.astype(jnp.float32))
+
+    # ---- bsdf sampling strategies ----
+    for _ in range(cfg.bsdf_samples):
+        rng, s1 = sampler_mod.next_1d(rng)
+        rng, s2 = sampler_mod.next_2d(rng)
+        bs, bsdf_weight = bsdfs.sample(scene, bsdf_idx, si, s1, s2)
+        ok = active_surf & (bs.pdf > 0.0)
+        wo_world = si.to_world(bs.wo)
+        ray2 = si.spawn_ray(wo_world)
+        pi2 = scene.ray_intersect_preliminary(ray2, active=ok)
+        si2 = scene.compute_surface_interaction(ray2, pi2)
+        emitted2 = scene.eval_emitter(si2)
+        ds_pdf = scene.pdf_emitter_direction_hit(si.p, si2)
+        if scene.env_emitter >= 0:
+            miss2 = ~si2.is_valid()
+            emitted2 = jnp.where(miss2[..., None], scene.eval_env(ray2.d),
+                                 emitted2)
+            ds_pdf = jnp.where(miss2, scene.pdf_emitter_direction_miss(ray2.d),
+                               ds_pdf)
+        delta = (bs.sampled_type & bsdfs.DELTA) != 0
+        mis = jnp.where(delta, 1.0,
+                        mis_weight(bs.pdf * frac_bsdf, ds_pdf * frac_lum)
+                        ) / cfg.bsdf_samples
+        result = result + jnp.where(
+            ok[..., None], bsdf_weight * emitted2 * mis[..., None], 0.0)
+        n_rays = n_rays + jnp.sum(ok.astype(jnp.float32))
+
+    valid = si.is_valid() | (jnp.any(emitted > 0, axis=-1))
+    return result, valid, rng, n_rays

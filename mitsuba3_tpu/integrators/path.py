@@ -91,6 +91,13 @@ def sample(scene, rng, ray: Ray, cfg: PathConfig, active=None):
         # ---------------------- Direct emission ----------------------
         emitted = scene.eval_emitter(si)  # zero for non-emissive/back-side
         ds_pdf = scene.pdf_emitter_direction_hit(s.prev_p, si)
+        if scene.env_emitter >= 0:
+            miss = ~si.is_valid()
+            emitted = jnp.where(miss[..., None], scene.eval_env(cur_ray.d),
+                                emitted)
+            ds_pdf = jnp.where(miss,
+                               scene.pdf_emitter_direction_miss(cur_ray.d),
+                               ds_pdf)
         em_pdf = jnp.where(s.prev_bsdf_delta, 0.0, ds_pdf)
         mis_bsdf = mis_weight(s.prev_bsdf_pdf, em_pdf)
         hit_emitter = jnp.any(emitted > 0.0, axis=-1)
@@ -106,7 +113,6 @@ def sample(scene, rng, ray: Ray, cfg: PathConfig, active=None):
             valid_ray = s.valid_ray | (s.active & hit_emitter)
 
         bsdf_idx = scene.bsdf_index(si)
-        params = scene.gather_bsdf_params(bsdf_idx)
         flags = bsdfs.lane_flags(scene.bsdf_types, bsdf_idx)
         smooth = (flags & bsdfs.SMOOTH) != 0
 
@@ -122,10 +128,8 @@ def sample(scene, rng, ray: Ray, cfg: PathConfig, active=None):
         # ------ Evaluate BSDF * cos and sample the next direction -----
         rng, s1_b = sampler_mod.next_1d(rng)
         rng, s2_b = sampler_mod.next_2d(rng)
-        bsdf_val_em, bsdf_pdf_em = bsdfs.eval_pdf(
-            scene.bsdf_types, bsdf_idx, params, si, wo_em)
-        bs, bsdf_weight = bsdfs.sample(
-            scene.bsdf_types, bsdf_idx, params, si, s1_b, s2_b)
+        bsdf_val_em, bsdf_pdf_em = bsdfs.eval_pdf(scene, bsdf_idx, si, wo_em)
+        bs, bsdf_weight = bsdfs.sample(scene, bsdf_idx, si, s1_b, s2_b)
 
         mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, bsdf_pdf_em))
         nee_contrib = s.throughput * bsdf_val_em * em_weight * mis_em[..., None]

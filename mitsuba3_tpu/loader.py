@@ -43,19 +43,55 @@ def _rgb(spec, default=(0.5, 0.5, 0.5)):
     return v
 
 
-def _bsdf_row(spec: dict):
-    """Lower a BSDF spec -> (type_id, params row [8])."""
+def _bsdf_row(spec: dict, textures: list):
+    """Lower a BSDF spec -> (type_id, params row [N_PARAMS]).
+
+    `textures` is the scene-level texture list; bitmap/checkerboard color
+    specs append to it and store index+1 in the row's texture slot.
+    """
     btype = spec["type"]
-    params = np.zeros(8, np.float32)
+    params = np.zeros(bsdfs_pkg.N_PARAMS, np.float32)
+
+    def color_or_texture(cspec, default, rgb_slot, tex_slot):
+        if isinstance(cspec, dict) and cspec.get("type") in ("bitmap", "checkerboard"):
+            from .render.texture_io import load_texture_spec
+            textures.append(load_texture_spec(cspec))
+            params[tex_slot] = len(textures)
+            params[rgb_slot:rgb_slot + 3] = 0.5
+        else:
+            params[rgb_slot:rgb_slot + 3] = _rgb(cspec, default)
+
     if btype == "twosided":
-        # unwrap: nested bsdf, we treat all smooth bsdfs as two-sided later
         inner = spec.get("bsdf") or next(
             v for v in spec.values() if isinstance(v, dict) and "type" in v
             and v["type"] in _BSDF_TYPES)
-        return _bsdf_row(inner)
+        tid, params = _bsdf_row(inner, textures)
+        params[7] = 1.0  # two-sided flag (honored by smooth BSDFs)
+        return tid, params
     if btype == "diffuse":
-        params[0:3] = _rgb(spec.get("reflectance"), (0.5, 0.5, 0.5))
+        color_or_texture(spec.get("reflectance"), (0.5, 0.5, 0.5), 0, 3)
         return bsdfs_pkg.DIFFUSE, params
+    if btype in ("conductor", "roughconductor"):
+        from .render.fresnel import CONDUCTOR_IOR
+        mat = spec.get("material", "none")
+        eta_d, k_d = CONDUCTOR_IOR.get(mat, CONDUCTOR_IOR["none"])
+        params[0:3] = _rgb(spec.get("eta"), eta_d)
+        params[3:6] = _rgb(spec.get("k"), k_d)
+        params[8:11] = _rgb(spec.get("specular_reflectance"), (1, 1, 1))
+        if btype == "conductor":
+            return bsdfs_pkg.CONDUCTOR, params
+        alpha = float(spec.get("alpha", 0.1))
+        params[6] = float(spec.get("alpha_u", alpha))
+        params[7] = float(spec.get("alpha_v", alpha))
+        params[11] = 0.0 if spec.get("distribution", "ggx") == "ggx" else 1.0
+        return bsdfs_pkg.ROUGH_CONDUCTOR, params
+    if btype == "dielectric":
+        int_ior = float(spec.get("int_ior", 1.5046))  # bk7 default (ior.h)
+        ext_ior = float(spec.get("ext_ior", 1.000277))  # air
+        params[0] = int_ior / ext_ior
+        params[1:4] = _rgb(spec.get("specular_reflectance"), (1, 1, 1))
+        params[4:7] = _rgb(spec.get("specular_transmittance"), (1, 1, 1))
+        return bsdfs_pkg.DIELECTRIC, params
     raise ValueError(f"Unsupported BSDF type {btype!r}")
 
 
@@ -68,14 +104,17 @@ def load_dict(d: dict) -> Scene:
     sensor_data = None
     sensor_cfg = SensorConfig()
     spp = 64
+    sampler_type = "independent"
 
     # named BSDFs (referenced via {'type':'ref','id':...})
     named_bsdf: dict[str, int] = {}
     bsdf_types: list[int] = []
     bsdf_params: list[np.ndarray] = []
 
+    textures: list = []
+
     def add_bsdf(spec, name=None):
-        tid, row = _bsdf_row(spec)
+        tid, row = _bsdf_row(spec, textures)
         idx = len(bsdf_types)
         bsdf_types.append(tid)
         bsdf_params.append(row)
@@ -84,6 +123,7 @@ def load_dict(d: dict) -> Scene:
         return idx
 
     shape_items = []  # (name, spec)
+    env_spec = None
 
     for key, val in d.items():
         if key == "type":
@@ -99,15 +139,19 @@ def load_dict(d: dict) -> Scene:
                 width=int(film_spec.get("width", 256)),
                 height=int(film_spec.get("height", 256)),
                 rfilter=(film_spec.get("rfilter", {}) or {}).get("type", "gaussian"))
-            spp = int((val.get("sampler", {}) or {}).get("sample_count", 64))
+            sampler_spec = val.get("sampler", {}) or {}
+            spp = int(sampler_spec.get("sample_count", 64))
+            sampler_type = sampler_spec.get("type", "independent")
             sensor_data, sensor_cfg = sensors_pkg.build_perspective(
                 val, film_cfg.width, film_cfg.height)
         elif vtype in _BSDF_TYPES:
             add_bsdf(val, name=key)
         elif vtype in _SHAPE_TYPES:
             shape_items.append((key, val))
-        elif vtype in ("constant", "envmap", "point"):
-            raise ValueError(f"Emitter type {vtype!r} not yet supported")
+        elif vtype in ("constant", "envmap"):
+            env_spec = val
+        elif vtype == "point":
+            raise ValueError("Emitter type 'point' not yet supported")
 
     if sensor_data is None:
         sensor_data, sensor_cfg = sensors_pkg.build_perspective(
@@ -168,7 +212,33 @@ def load_dict(d: dict) -> Scene:
     face_uv = np.concatenate(face_uv, 0).astype(np.float32)
 
     n_faces = faces.shape[0]
-    n_emitters = len(em_radiance)
+    # environment emitter takes the last emitter slot
+    has_env = env_spec is not None
+    env_index = len(em_radiance) if has_env else -1
+    n_emitters = len(em_radiance) + (1 if has_env else 0)
+
+    if has_env:
+        from .emitters import envmap as env_mod
+        from .render.texture_io import load_texture_spec
+        if env_spec["type"] == "constant":
+            rad = _rgb(env_spec.get("radiance"), (1.0, 1.0, 1.0))
+            env_data = np.broadcast_to(rad, (4, 8, 3)).astype(np.float32)
+        else:
+            if "filename" in env_spec or "data" in env_spec:
+                env_data = load_texture_spec(
+                    {"type": "bitmap", **{k: v for k, v in env_spec.items()
+                                          if k in ("filename", "data", "raw")}})
+            else:
+                env_data = np.ones((4, 8, 3), np.float32)
+        env_scale = float(env_spec.get("scale", 1.0))
+        env_pmf, env_cdf = env_mod.build_tables(env_data)
+        # env occupies a slot in em_radiance too (unused for eval)
+        em_radiance.append(np.zeros(3, np.float32))
+    else:
+        env_data = np.zeros((1, 1, 3), np.float32)
+        env_pmf = np.ones(1, np.float32)
+        env_cdf = np.ones(1, np.float32)
+        env_scale = 1.0
 
     # per-face 1/(emitter total area)
     face_inv_total_area = np.zeros(n_faces, np.float32)
@@ -181,7 +251,9 @@ def load_dict(d: dict) -> Scene:
     ef_face = np.asarray(ef_face_list, np.int32)
     ef_cdf = np.cumsum(np.asarray(ef_pmf_list, np.float64)).astype(np.float32)
     if ef_cdf.size:
-        ef_cdf[-1] = 1.0  # kill accumulation error at the top
+        # total mass of area emitters is n_area/E (env takes the last 1/E)
+        n_area_em = len(em_faces)
+        ef_cdf[-1] = n_area_em / max(n_emitters, 1)
 
     # pad faces to TRI_CHUNK with degenerate triangles (vertex 0 repeated)
     pad = (-n_faces) % TRI_CHUNK
@@ -208,8 +280,14 @@ def load_dict(d: dict) -> Scene:
         em_radiance=jnp.asarray(np.asarray(em_radiance, np.float32).reshape(-1, 3)),
         ef_face=jnp.asarray(ef_face),
         ef_cdf=jnp.asarray(ef_cdf),
+        env_data=jnp.asarray(env_data),
+        env_pmf=jnp.asarray(env_pmf),
+        env_cdf=jnp.asarray(env_cdf),
+        env_scale=jnp.float32(env_scale),
         bsdf_params=jnp.asarray(np.stack(bsdf_params, 0) if bsdf_params
-                                else np.zeros((0, 8), np.float32)),
+                                else np.zeros((0, bsdfs_pkg.N_PARAMS),
+                                              np.float32)),
+        textures=tuple(jnp.asarray(t) for t in textures),
         sensor=sensor_data,
         n_shapes=len(shape_items),
         n_emitters=n_emitters,
@@ -218,4 +296,5 @@ def load_dict(d: dict) -> Scene:
         sensor_config=sensor_cfg,
         integrator=integrator_cfg,
         spp=spp,
-        env_emitter=-1)
+        env_emitter=env_index,
+        sampler_type=sampler_type)

@@ -65,6 +65,11 @@ def intersect_naive(o, d, maxt, p0, e1, e2, active=None, chunk=256):
     if active is not None:
         # inactive lanes get maxt=-inf so they can never hit
         maxt = jnp.where(active, maxt, -jnp.inf)
+    # Materialize ray inputs: without this barrier XLA fuses the (large)
+    # producer graph — shading, RNG, ray gen — into the [N, C] broadcast
+    # below and recomputes it once per triangle column (measured 6-30x
+    # slowdown on the full path loop).
+    o, d, maxt = jax.lax.optimization_barrier((o, d, maxt))
 
     p0c = p0.reshape(n_chunks, chunk, 3)
     e1c = e1.reshape(n_chunks, chunk, 3)
@@ -108,6 +113,7 @@ def occluded_naive(o, d, maxt, p0, e1, e2, active=None, chunk=256):
     mint = jnp.zeros(n, jnp.float32)
     if active is not None:
         maxt = jnp.where(active, maxt, -jnp.inf)
+    o, d, maxt = jax.lax.optimization_barrier((o, d, maxt))  # see intersect_naive
 
     p0c = p0.reshape(n_chunks, chunk, 3)
     e1c = e1.reshape(n_chunks, chunk, 3)

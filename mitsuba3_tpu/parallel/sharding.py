@@ -56,7 +56,8 @@ def render_sharded(scene, mesh: Mesh, seed=0, spp=None, max_wavefront=1 << 19):
             ps = _pass_seed(seed, i) ^ (jnp.uint32(chip) * jnp.uint32(0x85EBCA6B))
             img_i, wgt_i, _ = render_pass(
                 scene, ps, sppc,
-                pixel_offset=chip * pix_per_dev, n_pixels=pix_per_dev)
+                pixel_offset=chip * pix_per_dev, n_pixels=pix_per_dev,
+                pass_idx=i, spp_total=sppc * n_passes)
             return image + img_i, weight + wgt_i
 
         init = (jnp.zeros((h, w, 3), jnp.float32),

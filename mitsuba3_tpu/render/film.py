@@ -120,6 +120,8 @@ def splat_ordered(film: FilmConfig, jitter, values, sppc: int,
     def per_pixel(x):
         return x.reshape(h_local, w, sppc, -1).sum(axis=2)
 
+    nch = values.shape[-1]
+
     if film.rfilter == "box":
         image = per_pixel(values)
         weight = jnp.full((h_local, w), jnp.float32(sppc))
@@ -131,7 +133,7 @@ def splat_ordered(film: FilmConfig, jitter, values, sppc: int,
         r_int = int(np.ceil(radius))
         jx = jitter[..., 0]
         jy = jitter[..., 1]
-        image = jnp.zeros((h_local + 2 * r_int, w, 3), jnp.float32)
+        image = jnp.zeros((h_local + 2 * r_int, w, nch), jnp.float32)
         weight = jnp.zeros((h_local + 2 * r_int, w), jnp.float32)
         for dy in range(-r_int, r_int + 1):
             wy = gaussian_weight(dy + 0.5 - jy, std, radius)

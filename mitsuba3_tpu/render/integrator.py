@@ -22,7 +22,8 @@ from . import film as film_mod
 from . import sampler as sampler_mod
 
 
-def render_pass(scene, pass_seed, sppc: int, pixel_offset=0, n_pixels=None):
+def render_pass(scene, pass_seed, sppc: int, pixel_offset=0, n_pixels=None,
+                pass_idx=0, spp_total=None, base_seed=0):
     """Trace one pass of `sppc` samples for `n_pixels` pixels starting at
     linear pixel index `pixel_offset` (must be row-aligned: both divisible
     by the film width). Returns full-canvas (image, weight, n_rays)
@@ -38,11 +39,15 @@ def render_pass(scene, pass_seed, sppc: int, pixel_offset=0, n_pixels=None):
     assert n_pixels % w == 0, "pixel shard must be row-aligned"
     h_local = n_pixels // w
     n = n_pixels * sppc
-
-    rng = sampler_mod.seed(pass_seed, n)
+    if spp_total is None:
+        spp_total = sppc
 
     idx = jnp.arange(n, dtype=jnp.int32)
     pixel = idx // sppc + pixel_offset
+    sample_idx = (idx % sppc).astype(jnp.uint32) + jnp.uint32(pass_idx) * sppc
+    rng = sampler_mod.seed(pass_seed, n, sample_idx=sample_idx,
+                           pixel_id=pixel, stype=scene.sampler_type,
+                           spp=spp_total, base_seed=base_seed)
     px = (pixel % w).astype(jnp.float32)
     py = (pixel // w).astype(jnp.float32)
 
@@ -58,8 +63,9 @@ def render_pass(scene, pass_seed, sppc: int, pixel_offset=0, n_pixels=None):
     halo = film_mod.halo_rows(scene.film)
     img_local, wgt_local = film_mod.splat_ordered(
         scene.film, jitter, L, sppc, h_local, w)
+    nch = img_local.shape[-1]
     row0 = pixel_offset // w  # may be traced (sharded path)
-    canvas_i = jnp.zeros((h + 2 * halo, w, 3), jnp.float32)
+    canvas_i = jnp.zeros((h + 2 * halo, w, nch), jnp.float32)
     canvas_w = jnp.zeros((h + 2 * halo, w), jnp.float32)
     canvas_i = jax.lax.dynamic_update_slice(canvas_i, img_local,
                                             (row0, 0, 0))
@@ -73,13 +79,19 @@ def render_pass(scene, pass_seed, sppc: int, pixel_offset=0, n_pixels=None):
 def _render_jit(scene, seed, sppc: int, n_passes: int):
     w, h = scene.film.width, scene.film.height
 
+    from ..integrators import get_integrator as _gi
+    nch = getattr(_gi(scene.integrator), "n_channels", lambda cfg: 3)(scene.integrator)
+
     def body(i, acc):
         image, weight, rays = acc
         pass_seed = (jnp.uint32(seed) ^ (jnp.uint32(i) * jnp.uint32(0x9E3779B9)))
-        img_i, wgt_i, rays_i = render_pass(scene, pass_seed, sppc)
+        img_i, wgt_i, rays_i = render_pass(scene, pass_seed, sppc,
+                                           pass_idx=i,
+                                           spp_total=sppc * n_passes,
+                                           base_seed=seed)
         return image + img_i, weight + wgt_i, rays + rays_i
 
-    init = (jnp.zeros((h, w, 3), jnp.float32), jnp.zeros((h, w), jnp.float32),
+    init = (jnp.zeros((h, w, nch), jnp.float32), jnp.zeros((h, w), jnp.float32),
             jnp.float32(0))
     if n_passes == 1:
         image, weight, rays = body(0, init)

@@ -1,33 +1,192 @@
-"""Independent sampler — counterpart of src/samplers/independent.cpp.
+"""Samplers — counterparts of src/samplers/{independent, stratified,
+multijitter, ldsampler}.cpp.
 
-One PCG32 generator per wavefront lane, seeded exactly like the reference
-PCG32Sampler::seed (src/render/sampler.cpp): lane index and seed value mixed
-with TEA, then pcg32_srandom_r. Functional style: every draw returns a new
-sampler state (a pytree), which flows through lax loops and custom_vjp
-replay untouched — the property PRB depends on.
+A Sampler is a pytree: PCG32 state (one generator per lane, seeded exactly
+like the reference PCG32Sampler::seed via TEA on (seed, lane)) plus the
+per-lane sample index / per-pixel hash that structured samplers stratify
+on. The sampler *type* is static — draws dispatch at trace time, so the
+independent path stays a pure PCG32 stream (the PRB replay contract).
+
+Stratification follows the reference semantics: each requested dimension
+gets its own random permutation of the per-pixel stratum index
+(stratified.cpp / multijitter.cpp via Kensler's CMJ permute), with PCG32
+jitter inside the stratum; 'ldsampler' uses the scrambled (0,2)-sequence
+(van der Corput + Sobol') like ldsampler.cpp.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core.random import PCG32, sample_tea_32
+from ..core.struct import pytree_dataclass, static_field
+
+u32 = jnp.uint32
 
 
-def seed(seed_value, wavefront_size: int) -> PCG32:
+def _permute_kensler(i, l, p):
+    """Kensler 2013 cycle-walking permutation of [0, l) (used by the
+    reference's correlated multi-jittered sampling). i, p: uint32 arrays;
+    l: python int power-of-two rounding applied internally."""
+    if l <= 1:
+        return jnp.zeros_like(i)
+    w = l - 1
+    w |= w >> 1
+    w |= w >> 2
+    w |= w >> 4
+    w |= w >> 8
+    w |= w >> 16
+    w = u32(w)
+    i = i.astype(u32)
+    p = p.astype(u32)
+
+    def _scramble(i, p, w):
+        i = i ^ p
+        i = i * u32(0xe170893d)
+        i = i ^ (p >> 16)
+        i = i ^ ((i & w) >> 4)
+        i = i ^ (p >> 8)
+        i = i * u32(0x0929eb3f)
+        i = i ^ (p >> 23)
+        i = i ^ ((i & w) >> 1)
+        i = i * (u32(1) | (p >> 27))
+        i = i * u32(0x6935fa69)
+        i = i ^ ((i & w) >> 11)
+        i = i * u32(0x74dcca23)
+        i = i ^ (p >> 2)
+        i = i * u32(0x9e501cc3)
+        i = i * u32(0xc860a3df)
+        i = i & w
+        i = i ^ (i >> 5)
+        return i
+
+    # cycle-walk: at most a few iterations; bound by 8 (l rounded to pow2)
+    out = _scramble(i, p, w)
+    for _ in range(7):
+        out = jnp.where(out >= l, _scramble(out, p, w), out)
+    return (out + p) % u32(l)
+
+
+def _reverse_bits32(x):
+    x = ((x & u32(0x55555555)) << 1) | ((x & u32(0xAAAAAAAA)) >> 1)
+    x = ((x & u32(0x33333333)) << 2) | ((x & u32(0xCCCCCCCC)) >> 2)
+    x = ((x & u32(0x0F0F0F0F)) << 4) | ((x & u32(0xF0F0F0F0)) >> 4)
+    x = ((x & u32(0x00FF00FF)) << 8) | ((x & u32(0xFF00FF00)) >> 8)
+    return (x << 16) | (x >> 16)
+
+
+def _sobol2(i, scramble):
+    """Second dimension of the (0,2)-sequence."""
+    r = scramble.astype(u32)
+    i = i.astype(u32)
+    v = u32(1) << 31
+    for b in range(32):
+        mask = (i >> b) & u32(1)
+        r = r ^ jnp.where(mask != 0, v, u32(0))
+        v = v ^ (v >> 1)
+    return r
+
+
+def _u32_to_float(bits):
+    f = jax.lax.bitcast_convert_type((bits >> 9) | u32(0x3f800000), jnp.float32)
+    return f - 1.0
+
+
+@pytree_dataclass
+class Sampler:
+    rng: PCG32
+    sample_idx: jnp.ndarray   # [N] uint32 — index of the sample in its pixel
+    pixel_hash: jnp.ndarray   # [N] uint32 — pass-independent per-pixel hash
+    dim: jnp.ndarray          # scalar uint32 dimension counter
+    spp: int = static_field(default=0)
+    stype: str = static_field(default="independent")
+
+
+def seed(seed_value, wavefront_size: int, sample_idx=None, pixel_id=None,
+         stype: str = "independent", spp: int = 0, base_seed=0) -> Sampler:
     """sampler.seed(seed, wavefront) contract (integrator.cpp:312)."""
-    idx = jnp.arange(wavefront_size, dtype=jnp.uint32)
-    seed_value = jnp.asarray(seed_value, jnp.uint32)
+    idx = jnp.arange(wavefront_size, dtype=u32)
+    seed_value = jnp.asarray(seed_value, u32)
     v0, v1 = sample_tea_32(jnp.broadcast_to(seed_value, idx.shape), idx)
-    # 64-bit initstate = v0 (lo), initseq = v1 (lo) — widened as in the ref
     zeros = jnp.zeros_like(v0)
-    return PCG32.seed(zeros, v0, zeros, v1)
+    rng = PCG32.seed(zeros, v0, zeros, v1)
+    if sample_idx is None:
+        sample_idx = jnp.zeros(wavefront_size, u32)
+    if pixel_id is None:
+        pixel_hash = jnp.zeros(wavefront_size, u32)
+    else:
+        # pass-independent (strata agree across spp passes of one render)
+        # but seed-dependent (renders with different base seeds decorrelate)
+        pixel_hash, _ = sample_tea_32(
+            pixel_id.astype(u32) + u32(0x1234567),
+            jnp.broadcast_to(jnp.asarray(base_seed, u32) * u32(0x9e3779b9)
+                             + u32(0x85ebca6b), (wavefront_size,)))
+    return Sampler(rng=rng, sample_idx=sample_idx.astype(u32),
+                   pixel_hash=pixel_hash, dim=u32(0), spp=int(spp),
+                   stype=stype)
 
 
-def next_1d(rng: PCG32):
-    return rng.next_float32()
+def _stratum_size(spp):
+    import math
+    k = int(math.sqrt(spp))
+    return k if k * k == spp else 0
 
 
-def next_2d(rng: PCG32):
-    rng, x = rng.next_float32()
-    rng, y = rng.next_float32()
-    return rng, jnp.stack([x, y], axis=-1)
+def next_1d(s):
+    if isinstance(s, PCG32):  # raw-PCG32 compatibility (tests)
+        return s.next_float32()
+    rng, u = s.rng.next_float32()
+    dim = s.dim + u32(1)
+    if s.stype == "independent" or s.spp <= 1:
+        return s.replace(rng=rng, dim=dim), u
+    if s.stype in ("stratified", "multijitter"):
+        p = s.pixel_hash ^ (s.dim * u32(0x51633e2d))
+        j = _permute_kensler(s.sample_idx, s.spp, p)
+        return s.replace(rng=rng, dim=dim), (j.astype(jnp.float32) + u) / s.spp
+    if s.stype == "ldsampler":
+        scr, _ = sample_tea_32(s.pixel_hash, s.dim)
+        bits = _reverse_bits32(s.sample_idx) ^ scr
+        return s.replace(rng=rng, dim=dim), _u32_to_float(bits)
+    raise ValueError(f"unknown sampler type {s.stype!r}")
+
+
+def next_2d(s):
+    if isinstance(s, PCG32):
+        rng, x = s.next_float32()
+        rng, y = rng.next_float32()
+        return rng, jnp.stack([x, y], axis=-1)
+    rng, ux = s.rng.next_float32()
+    rng, uy = rng.next_float32()
+    dim = s.dim + u32(2)
+    if s.stype == "independent" or s.spp <= 1:
+        return s.replace(rng=rng, dim=dim), jnp.stack([ux, uy], -1)
+    k = _stratum_size(s.spp)
+    if s.stype == "stratified" and k:
+        p = s.pixel_hash ^ (s.dim * u32(0x68bc21eb))
+        j = _permute_kensler(s.sample_idx, s.spp, p)
+        sx = (j % k).astype(jnp.float32)
+        sy = (j // k).astype(jnp.float32)
+        out = jnp.stack([(sx + ux) / k, (sy + uy) / k], -1)
+        return s.replace(rng=rng, dim=dim), out
+    if s.stype == "multijitter" and k:
+        # Kensler CMJ: shuffled x within columns / y within rows
+        p = s.pixel_hash ^ (s.dim * u32(0x02e5be93))
+        sidx = _permute_kensler(s.sample_idx, s.spp, p)
+        sx = sidx % k
+        sy = sidx // k
+        jx = _permute_kensler(sx, k, p * u32(0x68bc21eb) ^ sy)
+        jy = _permute_kensler(sy, k, p * u32(0x51633e2d) ^ sx)
+        x = (sx.astype(jnp.float32) + (jy.astype(jnp.float32) + ux) / k) / k
+        y = (sy.astype(jnp.float32) + (jx.astype(jnp.float32) + uy) / k) / k
+        return s.replace(rng=rng, dim=dim), jnp.stack([x, y], -1)
+    if s.stype == "ldsampler":
+        scr1, scr2 = sample_tea_32(s.pixel_hash, s.dim)
+        x = _u32_to_float(_reverse_bits32(s.sample_idx) ^ scr1)
+        y = _u32_to_float(_sobol2(s.sample_idx, scr2))
+        return s.replace(rng=rng, dim=dim), jnp.stack([x, y], -1)
+    # non-square spp: fall back to 1D-stratified per axis
+    p = s.pixel_hash ^ (s.dim * u32(0x68bc21eb))
+    j = _permute_kensler(s.sample_idx, s.spp, p)
+    jf = j.astype(jnp.float32)
+    return s.replace(rng=rng, dim=dim), jnp.stack(
+        [(jf + ux) / s.spp, (jf + uy) / s.spp], -1)[..., :2]

@@ -74,8 +74,15 @@ class Scene:
     ef_face: jnp.ndarray       # [FE] i32 emissive face ids
     ef_cdf: jnp.ndarray        # [FE] global CDF: pmf = (1/E) * area_f / A_em
 
+    # ---- environment emitter (envmap.cpp / constant.cpp) ----
+    env_data: jnp.ndarray      # [He, We, 3] radiance (differentiable)
+    env_pmf: jnp.ndarray       # [He*We] texel pmf (detached tables)
+    env_cdf: jnp.ndarray       # [He*We]
+    env_scale: jnp.ndarray     # scalar
+
     # ---- BSDF tables ----
-    bsdf_params: jnp.ndarray   # [B, 8]
+    bsdf_params: jnp.ndarray   # [B, N_PARAMS] (bsdfs.N_PARAMS columns)
+    textures: tuple            # tuple of [Hi, Wi, 3] arrays (differentiable)
 
     # ---- sensor ----
     sensor: SensorData
@@ -89,6 +96,7 @@ class Scene:
     integrator: Any = static_field(default=None)       # IntegratorConfig
     spp: int = static_field(default=64)
     env_emitter: int = static_field(default=-1)        # emitter idx of envmap/constant, or -1
+    sampler_type: str = static_field(default="independent")
 
     # ------------------------------------------------------------------
     # Geometry access
@@ -162,7 +170,8 @@ class Scene:
         reference), sample a point, convert pdf to solid angle, trace the
         shadow ray. Returns (DirectionSample, weight [N, 3])."""
         n = si.p.shape[0]
-        if self.ef_face.shape[0] == 0:
+        n_area = self.ef_face.shape[0]
+        if n_area == 0 and self.env_emitter < 0:
             zeros3 = jnp.zeros((n, 3), jnp.float32)
             zeros = jnp.zeros(n, jnp.float32)
             ds = DirectionSample(p=zeros3, n=zeros3, uv=jnp.zeros((n, 2)),
@@ -171,31 +180,60 @@ class Scene:
                                  emitter_index=jnp.full(n, -1, jnp.int32))
             return ds, zeros3
 
-        idx = jnp.searchsorted(self.ef_cdf, sample1, side="right")
-        idx = jnp.clip(idx, 0, self.ef_face.shape[0] - 1).astype(jnp.int32)
-        face = self.ef_face[idx]
+        e_total = max(self.n_emitters, 1)
+        area_prob = self.ef_cdf[-1] if n_area else jnp.float32(0.0)
 
-        p0, e1, e2 = self.triangle_soa()
-        fp0, fe1, fe2 = p0[face], e1[face], e2[face]
-        b = square_to_uniform_triangle(sample2)  # [N, 2]
-        p = fp0 + fe1 * b[..., 0:1] + fe2 * b[..., 1:2]
-        ng = m.normalize(jnp.cross(fe1, fe2))
+        # ---- area-emitter branch (mass = n_area / E of sample1) ----
+        if n_area:
+            idx = jnp.searchsorted(self.ef_cdf, sample1, side="right")
+            idx = jnp.clip(idx, 0, n_area - 1).astype(jnp.int32)
+            face = self.ef_face[idx]
+            p0, e1, e2 = self.triangle_soa()
+            fp0, fe1, fe2 = p0[face], e1[face], e2[face]
+            b = square_to_uniform_triangle(sample2)  # [N, 2]
+            p = fp0 + fe1 * b[..., 0:1] + fe2 * b[..., 1:2]
+            ng = m.normalize(jnp.cross(fe1, fe2))
+            d_un = p - si.p
+            dist2 = m.squared_norm(d_un)
+            dist = m.safe_sqrt(dist2)
+            d = d_un * m.safe_rsqrt(dist2)[..., None]
+            pdf_area = self.face_inv_total_area[face] / e_total
+            cos_emitter = -m.dot(ng, d)
+            pdf_sa = m.safe_div(pdf_area * dist2, cos_emitter)
+            pdf_sa = jnp.where(cos_emitter > 0.0, pdf_sa, 0.0)
+            em_idx = self.face_emitter[face]
+            radiance = self.em_radiance[em_idx]
+        else:
+            p = ng = d = None  # env-only scene
 
-        d_un = p - si.p
-        dist2 = m.squared_norm(d_un)
-        dist = m.safe_sqrt(dist2)
-        d = d_un * m.safe_rsqrt(dist2)[..., None]
+        # ---- environment branch (mass = 1/E of sample1) ----
+        if self.env_emitter >= 0:
+            from ..emitters import envmap as env_mod
+            s1_env = jnp.clip((sample1 - area_prob)
+                              / jnp.maximum(1.0 - area_prob, 1e-8), 0.0, 1.0 - 1e-7)
+            d_env, pdf_env, rad_env = env_mod.sample_env_dir(self, s1_env, sample2)
+            pdf_env = pdf_env / e_total
+            far = jnp.float32(1e7)
+            if n_area:
+                pick_env = sample1 >= area_prob
+                pe = pick_env[..., None]
+                d = jnp.where(pe, d_env, d)
+                p = jnp.where(pe, si.p + d_env * far, p)
+                ng = jnp.where(pe, -d_env, ng)
+                pdf_sa = jnp.where(pick_env, pdf_env, pdf_sa)
+                radiance = jnp.where(pe, rad_env, radiance)
+                em_idx = jnp.where(pick_env, self.env_emitter, em_idx)
+                dist = jnp.where(pick_env, far, dist)
+            else:
+                d = d_env
+                p = si.p + d_env * far
+                ng = -d_env
+                pdf_sa = pdf_env
+                radiance = rad_env
+                em_idx = jnp.full(n, self.env_emitter, jnp.int32)
+                dist = jnp.full(n, far, jnp.float32)
+                b = sample2
 
-        # area pdf of this strategy: (1/E) * inv_total_area(emitter)
-        pdf_area = self.face_inv_total_area[face] / max(self.n_emitters, 1)
-        cos_emitter = -m.dot(ng, d)
-        # solid-angle conversion; front side only (area emitters are one-sided)
-        pdf_sa = m.safe_div(pdf_area * dist2, cos_emitter)
-        front = cos_emitter > 0.0
-        pdf_sa = jnp.where(front, pdf_sa, 0.0)
-
-        em_idx = self.face_emitter[face]
-        radiance = self.em_radiance[em_idx]
         weight = jnp.where((pdf_sa > 0.0)[..., None],
                            radiance / jnp.maximum(pdf_sa, 1e-20)[..., None], 0.0)
 
@@ -213,6 +251,18 @@ class Scene:
             p=p, n=ng, uv=b, pdf=jnp.where(ok, pdf_sa, 0.0),
             delta=jnp.zeros(n, bool), d=d, dist=dist, emitter_index=em_idx)
         return ds, jnp.where(ok[..., None], weight, 0.0)
+
+    def pdf_emitter_direction_miss(self, d):
+        """Solid-angle NEE pdf for a ray that escaped to the environment."""
+        if self.env_emitter < 0:
+            return jnp.zeros(d.shape[:-1], jnp.float32)
+        from ..emitters import envmap as env_mod
+        return env_mod.pdf_env_dir(self, d) / max(self.n_emitters, 1)
+
+    def eval_env(self, d):
+        """Environment radiance for escaped rays."""
+        from ..emitters import envmap as env_mod
+        return env_mod.eval_env(self, d)
 
     def pdf_emitter_direction_hit(self, prev_p, si: SurfaceInteraction):
         """Solid-angle pdf of having NEE-sampled the point `si` from `prev_p`

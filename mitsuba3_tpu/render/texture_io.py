@@ -1,0 +1,43 @@
+"""Host-side texture loading — bitmap files and procedural checkerboards
+(counterparts of src/textures/bitmap.cpp construction and checkerboard.cpp,
+lowered to plain [H, W, 3] float arrays at scene-build time)."""
+from __future__ import annotations
+
+import numpy as np
+
+
+def load_texture_spec(spec: dict) -> np.ndarray:
+    ttype = spec.get("type")
+    if ttype == "checkerboard":
+        c0 = np.asarray(spec.get("color0", 0.4), np.float32).reshape(-1)
+        c1 = np.asarray(spec.get("color1", 0.2), np.float32).reshape(-1)
+        if c0.size == 1:
+            c0 = np.repeat(c0, 3)
+        if c1.size == 1:
+            c1 = np.repeat(c1, 3)
+        res = int(spec.get("resolution", 2))  # 2x2 = one checker period
+        tex = np.zeros((res * 2, res * 2, 3), np.float32)
+        yy, xx = np.meshgrid(np.arange(res * 2), np.arange(res * 2),
+                             indexing="ij")
+        mask = ((xx // res + yy // res) % 2) == 0
+        tex[mask] = c0
+        tex[~mask] = c1
+        return tex
+    if ttype == "bitmap":
+        if "data" in spec:  # raw array passthrough (tests, procedural)
+            arr = np.asarray(spec["data"], np.float32)
+            if arr.ndim == 2:
+                arr = np.repeat(arr[..., None], 3, axis=-1)
+            return arr
+        filename = spec["filename"]
+        from ..utils import image_io
+        arr = image_io.read_image(filename)
+        if not spec.get("raw", False) and arr.dtype == np.uint8:
+            arr = arr.astype(np.float32) / 255.0
+            # sRGB -> linear for LDR inputs (bitmap.cpp behavior)
+            arr = np.where(arr <= 0.04045, arr / 12.92,
+                           ((arr + 0.055) / 1.055) ** 2.4)
+        if arr.ndim == 2:
+            arr = np.repeat(arr[..., None], 3, axis=-1)
+        return arr[..., :3].astype(np.float32)
+    raise ValueError(f"Unsupported texture spec {spec!r}")

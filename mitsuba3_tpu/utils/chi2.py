@@ -97,8 +97,11 @@ def chi2_test(sample_fn, pdf_fn, domain, sample_count=1_000_000,
     expected = (integ.T.ravel() * sample_count)  # match hist's iy-major layout
 
     total_expected = expected.sum()
-    if not (0.9 <= total_expected / sample_count <= 1.1):
-        return False, (f"pdf does not integrate to 1: {total_expected/sample_count:.4f}")
+    # The integral may be < 1 when the technique rejects samples (the
+    # histogram then also contains fewer than sample_count entries and the
+    # cellwise test remains consistent); it must never exceed 1.
+    if not (0.02 <= total_expected / sample_count <= 1.02):
+        return False, (f"pdf integral out of range: {total_expected/sample_count:.4f}")
 
     # pool low-count cells (standard chi² practice)
     mask = expected >= 5.0

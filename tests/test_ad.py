@@ -88,3 +88,25 @@ def test_prb_memory_constant_in_depth():
 
     # equation count may differ slightly, but must not explode ~linearly
     assert n_eqns(8) <= n_eqns(2) + 8
+
+
+def test_prb_texture_gradient_vs_fd():
+    """PRB texture gradients (BASELINE config #2) match finite differences."""
+    d = mi.cornell_box(width=16, height=16, max_depth=3)
+    d["integrator"]["type"] = "prb"
+    d["floor"]["bsdf"] = {"type": "diffuse",
+                          "reflectance": {"type": "checkerboard",
+                                          "color0": [0.8, 0.2, 0.2],
+                                          "color1": [0.2, 0.2, 0.8]}}
+    scene = mi.load_dict(d)
+
+    def loss(textures):
+        return mi.render(scene.replace(textures=textures), spp=8, seed=1).mean()
+
+    g = np.asarray(jax.grad(loss)(scene.textures)[0])
+    assert (g != 0).any() and np.isfinite(g).all()
+    eps = 1e-2
+    t0 = scene.textures[0]
+    fd = (float(loss((t0.at[0, 0, 0].add(eps),)))
+          - float(loss((t0.at[0, 0, 0].add(-eps),)))) / (2 * eps)
+    assert abs(g[0, 0, 0] - fd) / (abs(fd) + 1e-9) < 0.05, (g[0, 0, 0], fd)

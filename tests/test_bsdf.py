@@ -1,0 +1,159 @@
+"""BSDF correctness: sample/eval/pdf consistency, chi² for rough
+conductor, furnace-style white tests — mirrors src/bsdfs/tests/."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mitsuba3_tpu as mi
+from mitsuba3_tpu import bsdfs
+from mitsuba3_tpu.core.frame import Frame
+from mitsuba3_tpu.core.random import PCG32
+from mitsuba3_tpu.render.records import SurfaceInteraction
+from mitsuba3_tpu.render.fresnel import fresnel_dielectric, fresnel_conductor
+from mitsuba3_tpu.utils.chi2 import SphericalDomain, chi2_test
+
+
+def _make_si(wi, n):
+    """Build a synthetic SurfaceInteraction with normal +z."""
+    zero3 = jnp.zeros((n, 3), jnp.float32)
+    frame = Frame.from_normal(jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 1.0], jnp.float32), (n, 3)))
+    return SurfaceInteraction(
+        p=zero3, t=jnp.ones(n), n=frame.n, sh_frame=frame,
+        uv=jnp.full((n, 2), 0.5), wi=jnp.broadcast_to(wi, (n, 3)),
+        shape_index=jnp.zeros(n, jnp.int32),
+        prim_index=jnp.zeros(n, jnp.int32))
+
+
+def _scene_with_bsdf(spec):
+    d = mi.cornell_box(width=8, height=8)
+    d["white"] = spec if spec["type"] != "ref" else d["white"]
+    for k in ("green", "red"):
+        d[k] = {"type": "diffuse"}
+    for shape in ("light", "floor", "ceiling", "back", "green-wall",
+                  "red-wall", "small-box", "large-box"):
+        d[shape]["bsdf"] = {"type": "ref", "id": "white"}
+    return mi.load_dict(d)
+
+
+def _uniform(n, seed, dims=3):
+    rng = PCG32.seed(jnp.zeros(n, jnp.uint32),
+                     jnp.arange(n, dtype=jnp.uint32) + jnp.uint32(seed * 7919),
+                     jnp.zeros(n, jnp.uint32), jnp.full(n, seed, jnp.uint32))
+    out = []
+    for _ in range(dims):
+        rng, x = rng.next_float32()
+        out.append(x)
+    return out
+
+
+@pytest.mark.parametrize("spec,name,ires", [
+    ({"type": "diffuse", "reflectance": {"type": "rgb", "value": [0.5, 0.5, 0.5]}}, "diffuse", 8),
+    # peaked pdf needs a finer per-cell integration rule (the reference's
+    # chi2 harness likewise raises `ires` for glossy lobes)
+    ({"type": "roughconductor", "material": "Au", "alpha": 0.3}, "roughconductor", 48),
+])
+def test_bsdf_sample_chi2(spec, name, ires):
+    """Sampled directions must follow the claimed pdf."""
+    scene = _scene_with_bsdf(spec)
+    wi = jnp.array([0.4, -0.25, np.sqrt(1 - 0.4**2 - 0.25**2)], jnp.float32)
+
+    def sample_fn(n, seed):
+        s1, u, v = _uniform(n, seed)
+        si = _make_si(wi, n)
+        bs, w = bsdfs.sample(scene, jnp.zeros(n, jnp.int32), si, s1,
+                             jnp.stack([u, v], -1))
+        keep = np.asarray(bs.pdf) > 0
+        return np.asarray(bs.wo)[keep]
+
+    def pdf_fn(dirs):
+        n = dirs.shape[0]
+        si = _make_si(wi, n)
+        _, pdf = bsdfs.eval_pdf(scene, jnp.zeros(n, jnp.int32), si,
+                                jnp.asarray(dirs, jnp.float32))
+        return np.asarray(pdf)
+
+    # sample_fn draws exactly n and drops rejected samples; the pdf then
+    # integrates to the acceptance ratio and expected counts stay consistent
+    # (the reference chi2 adapter handles rejection the same way)
+    passed, msg = chi2_test(
+        sample_fn, pdf_fn, SphericalDomain(), sample_count=300_000,
+        res=(32, 16), ires=ires)
+    assert passed, f"{name}: {msg}"
+
+
+def test_diffuse_white_furnace():
+    """Albedo-1 diffuse: integral of weight over samples == 1 exactly
+    (sample weight is the reflectance)."""
+    scene = _scene_with_bsdf({"type": "diffuse",
+                              "reflectance": {"type": "rgb", "value": [1, 1, 1]}})
+    n = 10_000
+    s1, u, v = _uniform(n, 3)
+    wi = jnp.array([0.0, 0.0, 1.0], jnp.float32)
+    si = _make_si(wi, n)
+    bs, w = bsdfs.sample(scene, jnp.zeros(n, jnp.int32), si, s1,
+                         jnp.stack([u, v], -1))
+    assert np.allclose(np.asarray(w), 1.0, atol=1e-5)
+
+
+def test_roughconductor_energy_bounded():
+    """VNDF weight F*G2/G1 must be <= 1 per channel (no energy gain)."""
+    scene = _scene_with_bsdf({"type": "roughconductor", "material": "Ag",
+                              "alpha": 0.4})
+    n = 50_000
+    s1, u, v = _uniform(n, 4)
+    wi = jnp.array([0.6, 0.0, 0.8], jnp.float32)
+    si = _make_si(wi, n)
+    bs, w = bsdfs.sample(scene, jnp.zeros(n, jnp.int32), si, s1,
+                         jnp.stack([u, v], -1))
+    w = np.asarray(w)
+    assert w.max() <= 1.0 + 1e-4, w.max()
+    assert (w >= 0).all()
+
+
+def test_eval_sample_pdf_consistency_roughconductor():
+    """pdf(sampled wo) from eval_pdf must match bs.pdf from sample."""
+    scene = _scene_with_bsdf({"type": "roughconductor", "material": "Au",
+                              "alpha": 0.25})
+    n = 20_000
+    s1, u, v = _uniform(n, 9)
+    wi = jnp.array([0.3, 0.2, np.sqrt(1 - 0.09 - 0.04)], jnp.float32)
+    si = _make_si(wi, n)
+    bs, w = bsdfs.sample(scene, jnp.zeros(n, jnp.int32), si, s1,
+                         jnp.stack([u, v], -1))
+    val, pdf = bsdfs.eval_pdf(scene, jnp.zeros(n, jnp.int32), si, bs.wo)
+    keep = np.asarray(bs.pdf) > 1e-3
+    a, b = np.asarray(bs.pdf)[keep], np.asarray(pdf)[keep]
+    assert np.allclose(a, b, rtol=2e-3), np.abs(a / b - 1).max()
+    # and eval value / pdf ~= sample weight
+    ratio = np.asarray(val)[keep] / b[..., None]
+    assert np.allclose(ratio, np.asarray(w)[keep], rtol=5e-3, atol=1e-4)
+
+
+def test_fresnel_dielectric_reference_values():
+    # normal incidence, eta=1.5: r = ((1.5-1)/(1.5+1))^2 = 0.04
+    r, ct, ei, et = fresnel_dielectric(jnp.asarray([1.0]), jnp.asarray([1.5]))
+    assert np.allclose(np.asarray(r), 0.04, atol=1e-6)
+    # TIR from inside beyond critical angle (sin_c = 1/1.5)
+    cos_c = np.sqrt(1 - (1 / 1.5) ** 2)
+    r, *_ = fresnel_dielectric(jnp.asarray([-cos_c * 0.5]), jnp.asarray([1.5]))
+    assert np.allclose(np.asarray(r), 1.0)
+
+
+def test_fresnel_conductor_normal_incidence():
+    # F0 = ((n-1)^2 + k^2) / ((n+1)^2 + k^2)
+    n_, k_ = 0.2, 3.0
+    f = fresnel_conductor(jnp.asarray([1.0]),
+                          jnp.asarray([n_]), jnp.asarray([k_]))
+    expect = ((n_ - 1) ** 2 + k_ ** 2) / ((n_ + 1) ** 2 + k_ ** 2)
+    assert np.allclose(np.asarray(f), expect, rtol=1e-5)
+
+
+def test_dielectric_render_finite():
+    d = mi.cornell_box(width=16, height=16, max_depth=6)
+    d["small-box"]["bsdf"] = {"type": "dielectric"}
+    s = mi.load_dict(d)
+    img = np.asarray(mi.render(s, spp=16))
+    assert np.isfinite(img).all()
+    assert img.max() > 1.0
