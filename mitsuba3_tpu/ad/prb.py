@@ -13,13 +13,12 @@ TPU-native formulation: ``sample`` is a ``jax.custom_vjp`` whose
 - bwd replays the loop; at each bounce a *local* jax.grad over the
   differentiable scene parameters θ computes ∂(δL·Lo)/∂θ where
   Lo = Le + Lr_dir + L_remaining · bsdf_val/detach(bsdf_val)
-  (the relative-gradient trick, prb.py:294), and the per-bounce gradients
-  are accumulated in the scan carry.
+  (the relative-gradient trick, prb.py:294), accumulated in the scan carry.
 
-Round-1 scope: gradients w.r.t. BSDF parameters and emitter radiance
-(configs 1-2 of BASELINE.md). Geometry motion (solid-angle Jacobians,
-attached si.wi recompute — prb.py:129-146,201-210) is the prb_reparam
-follow-up.
+Round-1 scope: gradients w.r.t. BSDF parameters, textures, emitter and
+environment radiance (configs 1-2 of BASELINE.md). Geometry motion
+(solid-angle Jacobians, attached si.wi recompute — prb.py:129-146,201-210)
+is the prb_reparam follow-up.
 """
 from __future__ import annotations
 
@@ -32,6 +31,7 @@ import jax.numpy as jnp
 from .. import bsdfs
 from ..core import math as m
 from ..core.struct import pytree_dataclass
+from ..core.vec import Vec3
 from ..integrators.path import mis_weight
 from ..render import sampler as sampler_mod
 from ..render.records import Ray
@@ -56,33 +56,33 @@ def substitute_theta(scene, theta):
     return scene.replace(**theta)
 
 
-def _attached_em_weight(scene_t, ds):
+def _attached_em_weight(scene_t, ds) -> Vec3:
     """Recompute the NEE emitter weight attached to θ, with the detached
     pdf (prb.py:207-210 em_val_diff * detach(rcp(pdf)))."""
     ok = ds.pdf > 0.0
     inv_pdf = jnp.where(ok, 1.0 / jnp.maximum(ds.pdf, 1e-20), 0.0)
-    radiance = scene_t.em_radiance[jnp.maximum(ds.emitter_index, 0)]
-    radiance = jnp.where((ds.emitter_index >= 0)[..., None], radiance, 0.0)
+    radiance = scene_t.gather_em_radiance(jnp.maximum(ds.emitter_index, 0))
+    radiance = radiance.mask(ds.emitter_index >= 0)
     if scene_t.env_emitter >= 0:
-        radiance = jnp.where((ds.emitter_index == scene_t.env_emitter)[..., None],
-                             scene_t.eval_env(ds.d), radiance)
-    return radiance * jax.lax.stop_gradient(inv_pdf)[..., None]
+        radiance = Vec3.where(ds.emitter_index == scene_t.env_emitter,
+                              scene_t.eval_env(ds.d), radiance)
+    return radiance * jax.lax.stop_gradient(inv_pdf)
 
 
 @pytree_dataclass
 class PRBState:
-    ray_o: jnp.ndarray
-    ray_d: jnp.ndarray
-    L: jnp.ndarray           # primal: accumulates up; backward: counts down
-    beta: jnp.ndarray        # [N, 3]
+    ray_o: Vec3
+    ray_d: Vec3
+    L: Vec3                  # primal: accumulates up; backward: counts down
+    beta: Vec3
     eta: jnp.ndarray
     depth: jnp.ndarray
     active: jnp.ndarray
-    prev_p: jnp.ndarray
+    prev_p: Vec3
     prev_bsdf_pdf: jnp.ndarray
     prev_bsdf_delta: jnp.ndarray
     rng: object
-    grad: object             # θ-shaped cotangent accumulator (bwd) or None-like zeros
+    grad: object             # θ-shaped cotangent accumulator (bwd) or {}
 
 
 def _loop(scene, rng, ray, cfg: PRBConfig, mode: str, dL=None, L_in=None,
@@ -93,21 +93,22 @@ def _loop(scene, rng, ray, cfg: PRBConfig, mode: str, dL=None, L_in=None,
     Returns (L_or_dL, valid, rng, n_rays, grad_theta).
     """
     primal = mode == "primal"
-    n = ray.o.shape[0]
-    scene_det = jax.tree_util.tree_map(jax.lax.stop_gradient, scene)
+    n = ray.o.x.shape[0]
+    sg = jax.lax.stop_gradient
+    scene_det = jax.tree_util.tree_map(sg, scene)
 
     zero_grad = (jax.tree_util.tree_map(jnp.zeros_like, theta)
                  if theta is not None else {})
 
     state = PRBState(
-        ray_o=jax.lax.stop_gradient(ray.o),
-        ray_d=jax.lax.stop_gradient(ray.d),
-        L=jnp.zeros((n, 3), jnp.float32) if primal else L_in,
-        beta=jnp.ones((n, 3), jnp.float32),
+        ray_o=jax.tree_util.tree_map(sg, ray.o),
+        ray_d=jax.tree_util.tree_map(sg, ray.d),
+        L=Vec3.zeros(n) if primal else L_in,
+        beta=Vec3.ones(n),
         eta=jnp.ones(n, jnp.float32),
         depth=jnp.zeros(n, jnp.int32),
         active=jnp.ones(n, bool),
-        prev_p=jax.lax.stop_gradient(ray.o),
+        prev_p=jax.tree_util.tree_map(sg, ray.o),
         prev_bsdf_pdf=jnp.ones(n, jnp.float32),
         prev_bsdf_delta=jnp.ones(n, bool),
         rng=rng,
@@ -116,26 +117,25 @@ def _loop(scene, rng, ray, cfg: PRBConfig, mode: str, dL=None, L_in=None,
     def bounce(s: PRBState, _):
         cur_ray = Ray.make(s.ray_o, s.ray_d)
         pi = scene_det.ray_intersect_preliminary(cur_ray, active=s.active)
-        si = scene_det.compute_surface_interaction(cur_ray, pi)
-        si = jax.tree_util.tree_map(jax.lax.stop_gradient, si)
+        si, attrs = scene_det.compute_surface_interaction(cur_ray, pi)
+        si = jax.tree_util.tree_map(sg, si)
 
         # ---------------- Direct emission (detached numbers) --------------
         miss = ~si.is_valid()
-        emitted_det = scene_det.eval_emitter(si)
-        ds_pdf = scene_det.pdf_emitter_direction_hit(s.prev_p, si)
+        emitted_det = scene_det.eval_emitter(si, attrs)
+        ds_pdf = scene_det.pdf_emitter_direction_hit(s.prev_p, si, attrs)
         if scene.env_emitter >= 0:
-            emitted_det = jnp.where(miss[..., None],
-                                    scene_det.eval_env(cur_ray.d), emitted_det)
+            emitted_det = Vec3.where(miss, scene_det.eval_env(cur_ray.d),
+                                     emitted_det)
             ds_pdf = jnp.where(
                 miss, scene_det.pdf_emitter_direction_miss(cur_ray.d), ds_pdf)
         em_pdf = jnp.where(s.prev_bsdf_delta, 0.0, ds_pdf)
         mis = mis_weight(s.prev_bsdf_pdf, em_pdf)
-        Le_det = jnp.where(s.active[..., None],
-                           s.beta * emitted_det * mis[..., None], 0.0)
+        Le_det = (s.beta * emitted_det * mis).mask(s.active)
 
         active_next = s.active & ((s.depth + 1) < cfg.max_depth) & si.is_valid()
 
-        bsdf_idx = scene_det.bsdf_index(si)
+        bsdf_idx = attrs["bsdf"]
         flags = bsdfs.lane_flags(scene_det.bsdf_types, bsdf_idx)
         smooth = (flags & bsdfs.SMOOTH) != 0
 
@@ -156,19 +156,18 @@ def _loop(scene, rng, ray, cfg: PRBConfig, mode: str, dL=None, L_in=None,
         bs, bsdf_weight_det = bsdfs.sample(scene_det, bsdf_idx, si, s1_b, s2_b)
 
         mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, bsdf_pdf_em))
-        Lr_dir_det = jnp.where(
-            active_em[..., None],
-            s.beta * bsdf_val_em_det * em_weight_det * mis_em[..., None], 0.0)
+        Lr_dir_det = (s.beta * bsdf_val_em_det * em_weight_det
+                      * mis_em).mask(active_em)
 
         wo_world = si.to_world(bs.wo)
-        new_o = jnp.where(active_next[..., None], si.offset_p(wo_world), s.ray_o)
-        new_d = jnp.where(active_next[..., None], wo_world, s.ray_d)
+        new_o = Vec3.where(active_next, si.offset_p(wo_world), s.ray_o)
+        new_d = Vec3.where(active_next, wo_world, s.ray_d)
 
         # ---------------- Radiance bookkeeping ----------------------------
         if primal:
             L = s.L + Le_det + Lr_dir_det
         else:
-            L = s.L - Le_det - Lr_dir_det  # remaining radiance after this vertex
+            L = s.L - Le_det - Lr_dir_det  # remaining radiance
 
         # sampled next-direction BSDF value (detached), for relative grad
         bsdf_val_next_det, _ = bsdfs.eval_pdf(scene_det, bsdf_idx, si, bs.wo)
@@ -181,47 +180,43 @@ def _loop(scene, rng, ray, cfg: PRBConfig, mode: str, dL=None, L_in=None,
             def local_contrib(th):
                 scene_t = substitute_theta(scene, th)
                 # Le(θ)
-                emitted_a = scene_t.eval_emitter(si)
+                emitted_a = scene_t.eval_emitter(si, attrs)
                 if scene.env_emitter >= 0:
-                    emitted_a = jnp.where(miss[..., None],
-                                          scene_t.eval_env(cur_ray.d),
-                                          emitted_a)
-                Le_a = jnp.where(s.active[..., None],
-                                 beta_det * emitted_a * mis[..., None], 0.0)
-                # Lr_dir(θ)
+                    emitted_a = Vec3.where(miss, scene_t.eval_env(cur_ray.d),
+                                           emitted_a)
+                Le_a = (beta_det * emitted_a * mis).mask(s.active)
+                # Lr_dir(θ) — detached visibility/pdf, attached radiance+bsdf
                 em_weight_a = _attached_em_weight(scene_t, ds)
-                # keep the detached visibility/occlusion decision
-                em_weight_a = jnp.where(
-                    (em_weight_det.sum(-1) > 0.0)[..., None], em_weight_a, 0.0)
+                em_weight_a = Vec3.where(em_weight_det.any_positive(),
+                                         em_weight_a, Vec3.zeros(n))
                 bsdf_val_em_a, _ = bsdfs.eval_pdf(scene_t, bsdf_idx, si, wo_em)
-                Lr_dir_a = jnp.where(
-                    active_em[..., None],
-                    beta_det * bsdf_val_em_a * em_weight_a * mis_em[..., None],
-                    0.0)
+                Lr_dir_a = (beta_det * bsdf_val_em_a * em_weight_a
+                            * mis_em).mask(active_em)
                 # Lr_ind(θ) = L_remaining * bsdf_val(θ)/detach(bsdf_val)
                 bsdf_val_a, _ = bsdfs.eval_pdf(scene_t, bsdf_idx, si, bs.wo)
-                rel = m.safe_div(bsdf_val_a,
-                                 jax.lax.stop_gradient(bsdf_val_next_det))
-                Lr_ind_a = jnp.where(active_next[..., None], L_rem * rel, 0.0)
+                denom = jax.tree_util.tree_map(sg, bsdf_val_next_det)
+                rel = Vec3(m.safe_div(bsdf_val_a.x, denom.x),
+                           m.safe_div(bsdf_val_a.y, denom.y),
+                           m.safe_div(bsdf_val_a.z, denom.z))
+                Lr_ind_a = (L_rem * rel).mask(active_next)
                 Lo = Le_a + Lr_dir_a + Lr_ind_a
-                return jnp.sum(dL * Lo)
+                return (dL * Lo).sum().sum()
 
             g = jax.grad(local_contrib)(theta)
             grad = jax.tree_util.tree_map(jnp.add, grad, g)
 
         # ---------------- Loop var update / RR -----------------------------
-        beta = jnp.where(active_next[..., None],
-                         s.beta * bsdf_weight_det, s.beta)
+        beta = Vec3.where(active_next, s.beta * bsdf_weight_det, s.beta)
         eta = jnp.where(active_next, s.eta * bs.eta, s.eta)
         depth = jnp.where(si.is_valid() & s.active, s.depth + 1, s.depth)
 
-        beta_max = jnp.max(beta, axis=-1)
-        rr_prob = jax.lax.stop_gradient(jnp.minimum(beta_max * m.sqr(eta), 0.95))
+        beta_max = beta.max_component()
+        rr_prob = sg(jnp.minimum(beta_max * m.sqr(eta), 0.95))
         rr_active = depth >= cfg.rr_depth
         rng, rr_sample = sampler_mod.next_1d(rng)
         rr_continue = rr_sample < rr_prob
-        beta = jnp.where((rr_active & active_next)[..., None],
-                         beta * m.safe_div(1.0, rr_prob)[..., None], beta)
+        beta = Vec3.where(rr_active & active_next,
+                          beta * m.safe_div(1.0, rr_prob), beta)
         new_active = (active_next & (~rr_active | rr_continue)
                       & (beta_max != 0.0))
 
@@ -231,7 +226,7 @@ def _loop(scene, rng, ray, cfg: PRBConfig, mode: str, dL=None, L_in=None,
         return PRBState(
             ray_o=new_o, ray_d=new_d, L=L, beta=beta, eta=eta, depth=depth,
             active=new_active,
-            prev_p=jnp.where(active_next[..., None], si.p, s.prev_p),
+            prev_p=Vec3.where(active_next, si.p, s.prev_p),
             prev_bsdf_pdf=jnp.where(active_next, bs.pdf, s.prev_bsdf_pdf),
             prev_bsdf_delta=jnp.where(active_next,
                                       (bs.sampled_type & bsdfs.DELTA) != 0,
@@ -259,7 +254,7 @@ def _make_prb_fn(cfg: PRBConfig):
 
     def prb_bwd(res, cotangents):
         theta, scene, rng, ray, L = res
-        dL, _, _ = cotangents  # δL per sample [N, 3]
+        dL, _, _ = cotangents  # δL per sample (Vec3 cotangent)
         scene_t = substitute_theta(scene, theta)
         _, _, _, _, grad_theta = _loop(
             scene_t, rng, ray, cfg, "backward", dL=dL, L_in=L, theta=theta)
@@ -273,12 +268,11 @@ def _make_prb_fn(cfg: PRBConfig):
 
 
 def sample(scene, rng, ray, cfg: PRBConfig, active=None):
-    """Integrator-registry entry point: (L, valid, rng, n_rays).
+    """Integrator-registry entry point: (L Vec3, valid, rng, n_rays).
 
-    The returned L is differentiable w.r.t. scene.bsdf_params and
-    scene.em_radiance through the PRB custom_vjp (replay-based, O(1) memory
-    in path depth). The sampler state is NOT returned advanced across the
-    custom_vjp boundary (it is re-derived per pass anyway)."""
+    L is differentiable w.r.t. scene.{bsdf_params, em_radiance, textures,
+    env_data} through the PRB custom_vjp (replay-based, O(1) memory in
+    path depth)."""
     fn = _make_prb_fn(cfg)
     theta = extract_theta(scene)
     L, valid, n_rays = fn(theta, scene, rng, ray)

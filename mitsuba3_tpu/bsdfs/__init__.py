@@ -76,11 +76,9 @@ def _dispatch(scene, bsdf_idx, fn_name, *args):
             result = out
         else:
             mask = lane_type == t
+            # all leaves are [N] (component-SoA), so the mask applies directly
             result = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(
-                    mask.reshape(mask.shape + (1,) * (new.ndim - mask.ndim)),
-                    new, old),
-                out, result)
+                lambda new, old: jnp.where(mask, new, old), out, result)
     return result
 
 

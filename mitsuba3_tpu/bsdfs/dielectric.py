@@ -8,30 +8,27 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..core import math as m
-from ..core.frame import cos_theta
+from ..core.vec import Vec3
 from ..render.fresnel import fresnel_dielectric, reflect, refract
 from ..render.records import BSDFSample
 
-FLAGS = 0x0020 | 0x0040 | 0x2000 | 0x4000  # DeltaReflection|DeltaTransmission|Front|Back
+FLAGS = 0x0020 | 0x0040 | 0x2000 | 0x4000  # DeltaR|DeltaT|Front|Back
 
 
 def sample(scene, bsdf_idx, si, s1, s2):
-    params = scene.bsdf_params[bsdf_idx]
-    eta = params[..., 0]
-    cos_theta_i = cos_theta(si.wi)
+    params = scene.gather_bsdf_params(bsdf_idx)
+    eta = params[0]
+    cos_theta_i = si.wi.z
     r, cos_theta_t, eta_it, eta_ti = fresnel_dielectric(cos_theta_i, eta)
 
     pick_reflect = s1 <= r
-    wo = jnp.where(pick_reflect[..., None],
-                   reflect(si.wi),
-                   refract(si.wi, cos_theta_t, eta_ti))
+    wo = Vec3.where(pick_reflect, reflect(si.wi),
+                    refract(si.wi, cos_theta_t, eta_ti))
     pdf = jnp.where(pick_reflect, r, 1.0 - r)
     # radiance scaling for transmission (solid-angle compression): eta_ti^2
-    spec_r = params[..., 1:4]
-    spec_t = params[..., 4:7]
-    weight = jnp.where(pick_reflect[..., None], spec_r,
-                       spec_t * m.sqr(eta_ti)[..., None])
+    spec_r = Vec3(params[1], params[2], params[3])
+    spec_t = Vec3(params[4], params[5], params[6]) * (eta_ti * eta_ti)
+    weight = Vec3.where(pick_reflect, spec_r, spec_t)
     active = pdf > 0.0
     bs = BSDFSample(
         wo=wo,
@@ -41,9 +38,9 @@ def sample(scene, bsdf_idx, si, s1, s2):
                                jnp.uint32(0x0040)),
         sampled_component=jnp.where(pick_reflect, 0, 1).astype(jnp.int32))
     # lobe weight: (F or 1-F) cancels against the selection pdf -> 1
-    return bs, jnp.where(active[..., None], weight, 0.0)
+    return bs, weight.mask(active)
 
 
 def eval_pdf(scene, bsdf_idx, si, wo):
     n = si.t.shape
-    return jnp.zeros(n + (3,), jnp.float32), jnp.zeros(n, jnp.float32)
+    return Vec3.zeros(n), jnp.zeros(n, jnp.float32)

@@ -2,15 +2,14 @@
 
 GGX/Beckmann microfacet reflection with visible-normal sampling and Smith
 shadowing. Param row: [0:3]=eta_re, [3:6]=k, [6]=alpha_u, [7]=alpha_v,
-[8:11]=specular_reflectance, [11]=distribution (0=GGX, 1=Beckmann; static
-per scene — GGX assumed when mixed).
+[8:11]=specular_reflectance, [11]=distribution (0=GGX, 1=Beckmann).
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
 
 from ..core import math as m
-from ..core.frame import cos_theta
+from ..core.vec import Vec3
 from ..render import microfacet as mf
 from ..render.fresnel import fresnel_conductor, reflect_m
 from ..render.records import BSDFSample
@@ -19,26 +18,26 @@ FLAGS = 0x0008 | 0x2000  # GlossyReflection | FrontSide
 
 
 def sample(scene, bsdf_idx, si, s1, s2):
-    params = scene.bsdf_params[bsdf_idx]
-    cos_theta_i = cos_theta(si.wi)
+    params = scene.gather_bsdf_params(bsdf_idx)
+    cos_theta_i = si.wi.z
     active = cos_theta_i > 0.0
-    alpha_u = params[..., 6]
-    alpha_v = params[..., 7]
+    alpha_u = params[6]
+    alpha_v = params[7]
 
     mn, pdf_m = mf.sample_visible(mf.GGX, si.wi, s2, alpha_u, alpha_v)
     wo = reflect_m(si.wi, mn)
-    cos_theta_o = cos_theta(wo)
-    active = active & (cos_theta_o > 0.0) & (pdf_m > 0.0)
+    active = active & (wo.z > 0.0) & (pdf_m > 0.0)
 
     # VNDF weight: F * G2/G1 * spec (roughconductor.cpp sample)
-    f = fresnel_conductor(m.dot(si.wi, mn), params[..., 0:3], params[..., 3:6])
+    f = fresnel_conductor(si.wi.dot(mn),
+                          Vec3(params[0], params[1], params[2]),
+                          Vec3(params[3], params[4], params[5]))
     g2 = mf.G(mf.GGX, si.wi, wo, mn, alpha_u, alpha_v)
     g1 = mf.smith_g1(mf.GGX, si.wi, mn, alpha_u, alpha_v)
-    spec = params[..., 8:11]
-    weight = spec * f * m.safe_div(g2, g1)[..., None]
-    weight = jnp.where(active[..., None], weight, 0.0)
+    spec = Vec3(params[8], params[9], params[10])
+    weight = (spec * f * m.safe_div(g2, g1)).mask(active)
 
-    pdf = m.safe_div(pdf_m, 4.0 * jnp.abs(m.dot(wo, mn)))
+    pdf = m.safe_div(pdf_m, 4.0 * jnp.abs(wo.dot(mn)))
     bs = BSDFSample(
         wo=wo,
         pdf=jnp.where(active, pdf, 0.0),
@@ -49,23 +48,25 @@ def sample(scene, bsdf_idx, si, s1, s2):
 
 
 def eval_pdf(scene, bsdf_idx, si, wo):
-    params = scene.bsdf_params[bsdf_idx]
-    cos_theta_i = cos_theta(si.wi)
-    cos_theta_o = cos_theta(wo)
+    params = scene.gather_bsdf_params(bsdf_idx)
+    cos_theta_i = si.wi.z
+    cos_theta_o = wo.z
     active = (cos_theta_i > 0.0) & (cos_theta_o > 0.0)
-    alpha_u = params[..., 6]
-    alpha_v = params[..., 7]
+    alpha_u = params[6]
+    alpha_v = params[7]
 
-    h = m.normalize(si.wi + wo)
+    h = (si.wi + wo).normalize()
     d = mf.eval_ndf(mf.GGX, h, alpha_u, alpha_v)
     g = mf.G(mf.GGX, si.wi, wo, h, alpha_u, alpha_v)
-    f = fresnel_conductor(m.dot(si.wi, h), params[..., 0:3], params[..., 3:6])
-    spec = params[..., 8:11]
+    f = fresnel_conductor(si.wi.dot(h),
+                          Vec3(params[0], params[1], params[2]),
+                          Vec3(params[3], params[4], params[5]))
+    spec = Vec3(params[8], params[9], params[10])
 
     # value includes cos_theta_o: f_r * cos_o = D F G / (4 cos_i)
-    value = spec * f * m.safe_div(d * g, 4.0 * cos_theta_i)[..., None]
+    scale = m.safe_div(d * g, 4.0 * cos_theta_i)
+    value = (spec * f * scale).mask(active)
     pdf = m.safe_div(d * mf.smith_g1(mf.GGX, si.wi, h, alpha_u, alpha_v),
                      4.0 * cos_theta_i)
-    value = jnp.where(active[..., None], value, 0.0)
     pdf = jnp.where(active, pdf, 0.0)
     return value, pdf

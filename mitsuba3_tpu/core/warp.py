@@ -157,6 +157,45 @@ def square_to_beckmann_pdf(v, alpha):
 
 
 # ---------------------------------------------------------------------------
+# Component-SoA (Vec2/Vec3) variants — the hot-path forms (see core/vec.py)
+# ---------------------------------------------------------------------------
+
+def square_to_uniform_disk_concentric_v(s):
+    from .vec import Vec2
+    x = 2.0 * s.x - 1.0
+    y = 2.0 * s.y - 1.0
+    is_zero = jnp.logical_and(x == 0.0, y == 0.0)
+    q13 = jnp.abs(x) < jnp.abs(y)
+    r = jnp.where(q13, y, x)
+    rp = jnp.where(q13, x, y)
+    phi = 0.25 * Pi * safe_div(rp, r)
+    phi = jnp.where(q13, 0.5 * Pi - phi, phi)
+    phi = jnp.where(is_zero, 0.0, phi)
+    return Vec2(r * jnp.cos(phi), r * jnp.sin(phi))
+
+
+def square_to_cosine_hemisphere_v(s):
+    from .vec import Vec3
+    p = square_to_uniform_disk_concentric_v(s)
+    z = safe_sqrt(1.0 - p.x * p.x - p.y * p.y)
+    return Vec3(p.x, p.y, z)
+
+
+def square_to_uniform_sphere_v(s):
+    from .vec import Vec3
+    z = 1.0 - 2.0 * s.y
+    r = safe_sqrt(1.0 - sqr(z))
+    phi = TwoPi * s.x
+    return Vec3(r * jnp.cos(phi), r * jnp.sin(phi), z)
+
+
+def square_to_uniform_triangle_v(s):
+    from .vec import Vec2
+    t = safe_sqrt(1.0 - s.x)
+    return Vec2(1.0 - t, t * s.y)
+
+
+# ---------------------------------------------------------------------------
 # Interval sampling helper (used by DiscreteDistribution etc.)
 # ---------------------------------------------------------------------------
 

@@ -1,9 +1,9 @@
 """AOV integrators — counterparts of src/integrators/{depth,aov}.cpp.
 
 `depth`: distance to the first hit.
-`aov`: arbitrary output variables (depth / position / normals / shading
-normal / uv / albedo), optionally prepended to a nested integrator's
-radiance channels — the film generalizes to [H, W, C].
+`aov`: arbitrary output variables (depth / position / normals / uv /
+albedo), optionally prepended to a nested integrator's radiance channels —
+the film generalizes to [H, W, C].
 """
 from __future__ import annotations
 
@@ -11,8 +11,7 @@ import dataclasses
 
 import jax.numpy as jnp
 
-from .. import bsdfs
-from ..render import sampler as sampler_mod
+from ..core.vec import Vec3
 from ..render.records import Ray
 
 
@@ -26,12 +25,11 @@ def depth_n_channels(cfg):
 
 
 def depth_sample(scene, rng, ray: Ray, cfg, active=None):
-    n = ray.o.shape[0]
+    n = ray.o.x.shape[0]
     pi = scene.ray_intersect_preliminary(ray, active=active)
     valid = pi.is_valid()
     depth = jnp.where(valid, pi.t, 0.0)
-    L = jnp.repeat(depth[..., None], 3, axis=-1)
-    return L, valid, rng, jnp.float32(n)
+    return Vec3(depth, depth, depth), valid, rng, jnp.float32(n)
 
 
 _AOV_SIZES = {"depth": 1, "position": 3, "uv": 2, "geo_normal": 3,
@@ -69,10 +67,11 @@ def n_channels(cfg: AOVConfig):
 
 
 def sample(scene, rng, ray: Ray, cfg: AOVConfig, active=None):
-    n = ray.o.shape[0]
+    n = ray.o.x.shape[0]
     pi = scene.ray_intersect_preliminary(ray, active=active)
-    si = scene.compute_surface_interaction(ray, pi)
+    si, attrs = scene.compute_surface_interaction(ray, pi)
     valid = si.is_valid()
+    validf = valid.astype(jnp.float32)
     n_rays = jnp.float32(n)
 
     chans = []
@@ -80,19 +79,18 @@ def sample(scene, rng, ray: Ray, cfg: AOVConfig, active=None):
         if a == "depth":
             chans.append(jnp.where(valid, pi.t, 0.0)[..., None])
         elif a == "position":
-            chans.append(jnp.where(valid[..., None], si.p, 0.0))
+            chans.append((si.p * validf).to_array())
         elif a == "uv":
-            chans.append(jnp.where(valid[..., None], si.uv, 0.0))
+            chans.append(jnp.stack([si.uv.x * validf, si.uv.y * validf], -1))
         elif a == "geo_normal":
-            chans.append(jnp.where(valid[..., None], si.n, 0.0))
+            chans.append((si.n * validf).to_array())
         elif a == "sh_normal":
-            chans.append(jnp.where(valid[..., None], si.sh_frame.n, 0.0))
+            chans.append((si.sh_frame.n * validf).to_array())
         elif a == "albedo":
-            bsdf_idx = scene.bsdf_index(si)
             from ..bsdfs import diffuse as diffuse_mod
-            params = scene.bsdf_params[bsdf_idx]
+            params = scene.gather_bsdf_params(attrs["bsdf"])
             alb = diffuse_mod.reflectance(scene, params, si)
-            chans.append(jnp.where(valid[..., None], alb, 0.0))
+            chans.append((alb * validf).to_array())
         elif a == "prim_index":
             chans.append(si.prim_index.astype(jnp.float32)[..., None])
         elif a == "shape_index":
@@ -105,6 +103,8 @@ def sample(scene, rng, ray: Ray, cfg: AOVConfig, active=None):
         inner_mod = get_integrator(cfg.inner)
         L, ivalid, rng, ir = inner_mod.sample(scene, rng, ray, cfg.inner,
                                               active=active)
+        if hasattr(L, "to_array"):
+            L = L.to_array()
         chans.append(L)
         n_rays = n_rays + ir
         valid = valid | ivalid

@@ -10,6 +10,7 @@ import jax.numpy as jnp
 
 from .. import bsdfs
 from ..core import math as m
+from ..core.vec import Vec3
 from ..render import sampler as sampler_mod
 from ..render.records import Ray
 from .path import mis_weight
@@ -33,7 +34,7 @@ def config_from_dict(spec):
 
 
 def sample(scene, rng, ray: Ray, cfg: DirectConfig, active=None):
-    n = ray.o.shape[0]
+    n = ray.o.x.shape[0]
     if active is None:
         active = jnp.ones(n, bool)
 
@@ -41,20 +42,19 @@ def sample(scene, rng, ray: Ray, cfg: DirectConfig, active=None):
     frac_bsdf = 1.0 - frac_lum
 
     pi = scene.ray_intersect_preliminary(ray, active=active)
-    si = scene.compute_surface_interaction(ray, pi)
-    result = jnp.zeros((n, 3), jnp.float32)
+    si, attrs = scene.compute_surface_interaction(ray, pi)
+    result = Vec3.zeros(n)
     n_rays = jnp.sum(active.astype(jnp.float32))
 
     # visible emitters / environment
-    emitted = scene.eval_emitter(si)
+    emitted = scene.eval_emitter(si, attrs)
     if scene.env_emitter >= 0:
-        emitted = jnp.where(si.is_valid()[..., None], emitted,
-                            scene.eval_env(ray.d))
+        emitted = Vec3.where(si.is_valid(), emitted, scene.eval_env(ray.d))
     if not cfg.hide_emitters:
-        result = result + jnp.where(active[..., None], emitted, 0.0)
+        result = result + emitted.mask(active)
 
     active_surf = active & si.is_valid()
-    bsdf_idx = scene.bsdf_index(si)
+    bsdf_idx = attrs["bsdf"]
 
     # ---- emitter sampling strategies ----
     for _ in range(cfg.emitter_samples):
@@ -68,8 +68,7 @@ def sample(scene, rng, ray: Ray, cfg: DirectConfig, active=None):
         mis = jnp.where(ds.delta, 1.0,
                         mis_weight(ds.pdf * frac_lum, bsdf_pdf * frac_bsdf)
                         ) / cfg.emitter_samples
-        result = result + jnp.where(
-            ok[..., None], bsdf_val * em_weight * mis[..., None], 0.0)
+        result = result + (bsdf_val * em_weight * mis).mask(ok)
         n_rays = n_rays + jnp.sum(ok.astype(jnp.float32))
 
     # ---- bsdf sampling strategies ----
@@ -81,22 +80,20 @@ def sample(scene, rng, ray: Ray, cfg: DirectConfig, active=None):
         wo_world = si.to_world(bs.wo)
         ray2 = si.spawn_ray(wo_world)
         pi2 = scene.ray_intersect_preliminary(ray2, active=ok)
-        si2 = scene.compute_surface_interaction(ray2, pi2)
-        emitted2 = scene.eval_emitter(si2)
-        ds_pdf = scene.pdf_emitter_direction_hit(si.p, si2)
+        si2, attrs2 = scene.compute_surface_interaction(ray2, pi2)
+        emitted2 = scene.eval_emitter(si2, attrs2)
+        ds_pdf = scene.pdf_emitter_direction_hit(si.p, si2, attrs2)
         if scene.env_emitter >= 0:
             miss2 = ~si2.is_valid()
-            emitted2 = jnp.where(miss2[..., None], scene.eval_env(ray2.d),
-                                 emitted2)
+            emitted2 = Vec3.where(miss2, scene.eval_env(ray2.d), emitted2)
             ds_pdf = jnp.where(miss2, scene.pdf_emitter_direction_miss(ray2.d),
                                ds_pdf)
         delta = (bs.sampled_type & bsdfs.DELTA) != 0
         mis = jnp.where(delta, 1.0,
                         mis_weight(bs.pdf * frac_bsdf, ds_pdf * frac_lum)
                         ) / cfg.bsdf_samples
-        result = result + jnp.where(
-            ok[..., None], bsdf_weight * emitted2 * mis[..., None], 0.0)
+        result = result + (bsdf_weight * emitted2 * mis).mask(ok)
         n_rays = n_rays + jnp.sum(ok.astype(jnp.float32))
 
-    valid = si.is_valid() | (jnp.any(emitted > 0, axis=-1))
+    valid = si.is_valid() | emitted.any_positive()
     return result, valid, rng, n_rays

@@ -6,8 +6,9 @@ intersect -> direct emission w/ MIS -> NEE -> BSDF sample -> RR) becomes a
 lockstep machine every lane pays for the deepest path anyway, and the scan
 keeps the loop reverse-differentiable for the plain-AD path (PRB provides
 the O(1)-memory alternative). All Monte Carlo decisions are detached
-(stop_gradient) exactly where the reference detaches them:
-sampled directions, pdfs used for RR, and MIS weights.
+(stop_gradient) exactly where the reference detaches them: sampled
+directions, pdfs used for RR, and MIS weights. All state is component-SoA
+(Vec3 of [N] arrays — core/vec.py).
 """
 from __future__ import annotations
 
@@ -19,6 +20,7 @@ import jax.numpy as jnp
 from .. import bsdfs
 from ..core import math as m
 from ..core.struct import pytree_dataclass
+from ..core.vec import Vec3
 from ..render import sampler as sampler_mod
 from ..render.records import Ray
 
@@ -41,37 +43,37 @@ def mis_weight(pdf_a, pdf_b):
 
 @pytree_dataclass
 class PathState:
-    ray_o: jnp.ndarray
-    ray_d: jnp.ndarray
-    throughput: jnp.ndarray   # [N, 3]
-    result: jnp.ndarray       # [N, 3]
+    ray_o: Vec3
+    ray_d: Vec3
+    throughput: Vec3
+    result: Vec3
     eta: jnp.ndarray          # [N]
     depth: jnp.ndarray        # [N] int32
     valid_ray: jnp.ndarray    # [N] bool
-    prev_p: jnp.ndarray       # [N, 3]
+    prev_p: Vec3
     prev_bsdf_pdf: jnp.ndarray
     prev_bsdf_delta: jnp.ndarray  # [N] bool
     active: jnp.ndarray       # [N] bool
-    rng: object               # PCG32
+    rng: object               # Sampler
 
 
 def sample(scene, rng, ray: Ray, cfg: PathConfig, active=None):
     """Trace one wavefront of paths.
 
-    Returns (L [N,3], valid [N], rng, n_ray_queries scalar) — the last is
+    Returns (L Vec3, valid [N], rng, n_ray_queries scalar) — the last is
     the number of closest-hit + shadow-ray queries actually issued (masked
     lanes excluded), for Mrays/s accounting.
     """
-    n = ray.o.shape[0]
+    n = ray.o.x.shape[0]
     if active is None:
         active = jnp.ones(n, bool)
     if cfg.max_depth == 0:
-        return jnp.zeros((n, 3)), jnp.zeros(n, bool), rng, jnp.float32(0)
+        return Vec3.zeros(n), jnp.zeros(n, bool), rng, jnp.float32(0)
 
     state = PathState(
         ray_o=ray.o, ray_d=ray.d,
-        throughput=jnp.ones((n, 3), jnp.float32),
-        result=jnp.zeros((n, 3), jnp.float32),
+        throughput=Vec3.ones(n),
+        result=Vec3.zeros(n),
         eta=jnp.ones(n, jnp.float32),
         depth=jnp.zeros(n, jnp.int32),
         valid_ray=jnp.zeros(n, bool) if scene.env_emitter < 0
@@ -86,24 +88,22 @@ def sample(scene, rng, ray: Ray, cfg: PathConfig, active=None):
         s = state
         cur_ray = Ray.make(s.ray_o, s.ray_d)
         pi = scene.ray_intersect_preliminary(cur_ray, active=s.active)
-        si = scene.compute_surface_interaction(cur_ray, pi)
+        si, attrs = scene.compute_surface_interaction(cur_ray, pi)
 
         # ---------------------- Direct emission ----------------------
-        emitted = scene.eval_emitter(si)  # zero for non-emissive/back-side
-        ds_pdf = scene.pdf_emitter_direction_hit(s.prev_p, si)
+        emitted = scene.eval_emitter(si, attrs)
+        ds_pdf = scene.pdf_emitter_direction_hit(s.prev_p, si, attrs)
         if scene.env_emitter >= 0:
             miss = ~si.is_valid()
-            emitted = jnp.where(miss[..., None], scene.eval_env(cur_ray.d),
-                                emitted)
+            emitted = Vec3.where(miss, scene.eval_env(cur_ray.d), emitted)
             ds_pdf = jnp.where(miss,
                                scene.pdf_emitter_direction_miss(cur_ray.d),
                                ds_pdf)
         em_pdf = jnp.where(s.prev_bsdf_delta, 0.0, ds_pdf)
         mis_bsdf = mis_weight(s.prev_bsdf_pdf, em_pdf)
-        hit_emitter = jnp.any(emitted > 0.0, axis=-1)
-        contrib = s.throughput * emitted * mis_bsdf[..., None]
-        result = jnp.where((s.active & hit_emitter)[..., None],
-                           s.result + contrib, s.result)
+        hit_emitter = emitted.any_positive()
+        result = s.result + (s.throughput * emitted * mis_bsdf).mask(
+            s.active & hit_emitter)
 
         # Continue?
         active_next = s.active & ((s.depth + 1) < cfg.max_depth) & si.is_valid()
@@ -112,7 +112,7 @@ def sample(scene, rng, ray: Ray, cfg: PathConfig, active=None):
         else:
             valid_ray = s.valid_ray | (s.active & hit_emitter)
 
-        bsdf_idx = scene.bsdf_index(si)
+        bsdf_idx = attrs["bsdf"]
         flags = bsdfs.lane_flags(scene.bsdf_types, bsdf_idx)
         smooth = (flags & bsdfs.SMOOTH) != 0
 
@@ -132,16 +132,17 @@ def sample(scene, rng, ray: Ray, cfg: PathConfig, active=None):
         bs, bsdf_weight = bsdfs.sample(scene, bsdf_idx, si, s1_b, s2_b)
 
         mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, bsdf_pdf_em))
-        nee_contrib = s.throughput * bsdf_val_em * em_weight * mis_em[..., None]
-        result = jnp.where(active_em[..., None], result + nee_contrib, result)
+        result = result + (s.throughput * bsdf_val_em * em_weight
+                           * mis_em).mask(active_em)
 
         # ---------------------- BSDF sampling -------------------------
-        wo_world = jax.lax.stop_gradient(si.to_world(bs.wo))
-        new_o = jnp.where(active_next[..., None], si.offset_p(wo_world), s.ray_o)
-        new_d = jnp.where(active_next[..., None], wo_world, s.ray_d)
+        wo_world = jax.tree_util.tree_map(jax.lax.stop_gradient,
+                                          si.to_world(bs.wo))
+        new_o = Vec3.where(active_next, si.offset_p(wo_world), s.ray_o)
+        new_d = Vec3.where(active_next, wo_world, s.ray_d)
 
-        throughput = jnp.where(active_next[..., None],
-                               s.throughput * bsdf_weight, s.throughput)
+        throughput = Vec3.where(active_next, s.throughput * bsdf_weight,
+                                s.throughput)
         eta = jnp.where(active_next, s.eta * bs.eta, s.eta)
         sampled_null = (bs.sampled_type & bsdfs.NULL_FLAG) != 0
         valid_ray = valid_ray | (active_next & si.is_valid() & ~sampled_null)
@@ -149,15 +150,15 @@ def sample(scene, rng, ray: Ray, cfg: PathConfig, active=None):
         depth = jnp.where(si.is_valid() & s.active, s.depth + 1, s.depth)
 
         # ---------------------- Russian roulette -----------------------
-        throughput_max = jnp.max(throughput, axis=-1)
+        throughput_max = throughput.max_component()
         rr_prob = jnp.minimum(throughput_max * m.sqr(eta), 0.95)
         rr_prob = jax.lax.stop_gradient(rr_prob)
         rr_active = depth >= cfg.rr_depth
         rng, rr_sample = sampler_mod.next_1d(rng)
         rr_continue = rr_sample < rr_prob
-        throughput = jnp.where(
-            (rr_active & active_next)[..., None],
-            throughput * m.safe_div(1.0, rr_prob)[..., None], throughput)
+        throughput = Vec3.where(rr_active & active_next,
+                                throughput * m.safe_div(1.0, rr_prob),
+                                throughput)
 
         new_active = (active_next & (~rr_active | rr_continue)
                       & (throughput_max != 0.0) & (bs.pdf > 0.0))
@@ -166,7 +167,7 @@ def sample(scene, rng, ray: Ray, cfg: PathConfig, active=None):
             ray_o=new_o, ray_d=new_d,
             throughput=throughput, result=result, eta=eta, depth=depth,
             valid_ray=valid_ray,
-            prev_p=jnp.where(active_next[..., None], si.p, s.prev_p),
+            prev_p=Vec3.where(active_next, si.p, s.prev_p),
             prev_bsdf_pdf=jnp.where(active_next,
                                     jax.lax.stop_gradient(bs.pdf),
                                     s.prev_bsdf_pdf),
@@ -181,5 +182,5 @@ def sample(scene, rng, ray: Ray, cfg: PathConfig, active=None):
         return new_state, n_rays
 
     state, ray_counts = jax.lax.scan(bounce, state, None, length=cfg.max_depth)
-    L = jnp.where(state.valid_ray[..., None], state.result, 0.0)
+    L = state.result.mask(state.valid_ray)
     return L, state.valid_ray, state.rng, jnp.sum(ray_counts)

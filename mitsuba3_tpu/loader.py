@@ -15,8 +15,8 @@ from . import sensors as sensors_pkg
 from .core.transform import Transform4f
 from .integrators import config_from_dict as integrator_from_dict
 from .integrators.path import PathConfig
-from .render.scene import (TRI_CHUNK, FilmConfig, Scene, SensorConfig,
-                           SensorData)
+from .render.scene import (TRI_CHUNK, TRI_PAD, FilmConfig, Scene,
+                           SensorConfig, SensorData)
 
 _SHAPE_TYPES = ("rectangle", "cube", "sphere", "obj", "ply", "mesh")
 _EMITTER_TYPES = ("area", "constant", "envmap", "point")
@@ -255,8 +255,10 @@ def load_dict(d: dict) -> Scene:
         n_area_em = len(em_faces)
         ef_cdf[-1] = n_area_em / max(n_emitters, 1)
 
-    # pad faces to TRI_CHUNK with degenerate triangles (vertex 0 repeated)
-    pad = (-n_faces) % TRI_CHUNK
+    # pad faces with degenerate triangles (vertex 0 repeated): to a sublane
+    # multiple for small scenes, to a full chunk multiple for large ones
+    grain = TRI_PAD if n_faces <= TRI_CHUNK else TRI_CHUNK
+    pad = (-n_faces) % grain
     if pad:
         faces = np.concatenate([faces, np.zeros((pad, 3), np.int32)], 0)
         face_shape = np.concatenate([face_shape, np.full(pad, -1, np.int32)])

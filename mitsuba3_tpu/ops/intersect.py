@@ -2,61 +2,94 @@
 
 TPU-native replacement for the reference's per-backend intersection stacks
 (Embree / OptiX / kd-tree, see reference src/render/scene_*.inl and
-mesh.h:819-870 Möller-Trumbore). Strategy:
+mesh.h:819-870 Möller-Trumbore). Layout rules learned from profiling:
 
-- ``intersect_naive``: brute-force all-triangles test, vectorized over
-  [N rays] x [T-triangle chunks] with a lax.scan carry holding the running
-  closest hit. For small scenes (Cornell-box class) this maps perfectly onto
-  the VPU: dense, branchless, no divergence — and doubles as the correctness
-  oracle for the BVH path (analog of ``ray_intersect_naive``,
-  reference scene.cpp:240-245).
-- ``intersect_bvh``: flattened-BVH traversal (added with the BVH builder).
+- work tiles are [C, N]: triangle index on the sublane axis (padded to 8),
+  ray index on the 128-lane axis — so a 36-triangle scene costs 40 rows,
+  not a 128-lane pad;
+- winner selection is pure reductions (min + masked extract). NO
+  take_along_axis/gather: per-lane dynamic indexing of the minor dim
+  measured 8 ms per call at N=512k (3x the intersection math itself).
 
-Triangles are pre-packed SoA: p0/e1/e2 [T, 3], padded to a chunk multiple
-with degenerate (zero) triangles that can never be hit.
+``intersect_naive`` doubles as the correctness oracle for the BVH path
+(analog of ``ray_intersect_naive``, scene.cpp:240-245).
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
 
-DET_EPS = 0.0  # Möller-Trumbore det==0 rejection (exact, like the reference)
+from ..core.vec import Vec2, Vec3
+
+BIG = jnp.float32(3.4e38)
 
 
-def _mt_chunk(o, d, p0, e1, e2, mint, maxt):
-    """Möller-Trumbore for [N] rays x [C] triangles.
+def _mt_chunk(o: Vec3, d: Vec3, tri, mint, maxt):
+    """Möller-Trumbore for [C] triangles x [N] rays.
 
-    Returns (t [N,C], u [N,C], v [N,C], hit [N,C]).
+    tri: nine [C] arrays. Returns (t, u, v, hit) each [C, N].
     """
-    # [N, C, 3] broadcasts; C is small (chunked), so this stays in registers/VMEM
-    dN = d[:, None, :]
-    pvec = jnp.cross(dN, e2[None, :, :])
-    det = jnp.sum(e1[None, :, :] * pvec, axis=-1)
-    det_ok = jnp.abs(det) > DET_EPS
+    p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2z = [a[:, None] for a in tri]
+    dx, dy, dz = d.x[None, :], d.y[None, :], d.z[None, :]
+    ox, oy, oz = o.x[None, :], o.y[None, :], o.z[None, :]
+
+    # pvec = d x e2
+    pvx = dy * e2z - dz * e2y
+    pvy = dz * e2x - dx * e2z
+    pvz = dx * e2y - dy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    det_ok = det != 0.0
     inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
-    tvec = o[:, None, :] - p0[None, :, :]
-    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-    qvec = jnp.cross(tvec, e1[None, :, :])
-    v = jnp.sum(dN * qvec, axis=-1) * inv_det
-    t = jnp.sum(e2[None, :, :] * qvec, axis=-1) * inv_det
+    tvx = ox - p0x
+    tvy = oy - p0y
+    tvz = oz - p0z
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+    # qvec = tvec x e1
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
     hit = (det_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-           & (t >= mint[:, None]) & (t <= maxt[:, None]))
+           & (t >= mint[None, :]) & (t <= maxt[None, :]))
     return t, u, v, hit
 
 
-def intersect_naive(o, d, maxt, p0, e1, e2, active=None, chunk=256):
+def _closest_in_chunk(o, d, tri, mint, maxt, base_prim):
+    """One chunk's closest hit, gather-free.
+
+    Returns (tmin [N], prim [N] (-1 = none), u [N], v [N]).
+    """
+    c = tri[0].shape[0]
+    t, u, v, hit = _mt_chunk(o, d, tri, mint, maxt)
+    t_m = jnp.where(hit, t, BIG)
+    tmin = jnp.min(t_m, axis=0)                    # [N]
+    winner = hit & (t_m == tmin[None, :])
+    prim_ids = (base_prim
+                + jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0))  # [C,1]
+    # break ties toward the largest prim id (any deterministic rule works)
+    prim = jnp.max(jnp.where(winner, prim_ids, -1), axis=0)        # [N]
+    final = winner & (prim_ids == prim[None, :])
+    uu = jnp.sum(jnp.where(final, u, 0.0), axis=0)
+    vv = jnp.sum(jnp.where(final, v, 0.0), axis=0)
+    return tmin, prim, uu, vv
+
+
+def _split_tris(p0, e1, e2, n_chunks, chunk):
+    comps = (p0.x, p0.y, p0.z, e1.x, e1.y, e1.z, e2.x, e2.y, e2.z)
+    return tuple(c.reshape(n_chunks, chunk) for c in comps)
+
+
+def intersect_naive(o: Vec3, d: Vec3, maxt, p0: Vec3, e1: Vec3, e2: Vec3,
+                    active=None, chunk=256):
     """Closest-hit over all triangles.
 
-    Args:
-      o, d: [N, 3] ray origins/directions.
-      maxt: [N] max distance.
-      p0, e1, e2: [T, 3] packed triangles (T padded to a multiple of chunk).
-      active: [N] bool or None.
-    Returns:
-      (t [N], prim_index [N] int32, uv [N, 2], valid [N] bool)
+    o, d: Vec3 of [N]; maxt: [N]; p0/e1/e2: Vec3 of [T] (T padded so that
+    either T <= chunk or T % chunk == 0).
+    Returns (t [N], prim_index [N] int32, uv Vec2, valid [N] bool).
     """
-    n = o.shape[0]
-    t_total = p0.shape[0]
+    n = o.x.shape[0]
+    t_total = p0.x.shape[0]
     chunk = min(chunk, t_total)
     assert t_total % chunk == 0, "triangle arrays must be padded to chunk size"
     n_chunks = t_total // chunk
@@ -65,68 +98,54 @@ def intersect_naive(o, d, maxt, p0, e1, e2, active=None, chunk=256):
     if active is not None:
         # inactive lanes get maxt=-inf so they can never hit
         maxt = jnp.where(active, maxt, -jnp.inf)
-    # Materialize ray inputs: without this barrier XLA fuses the (large)
-    # producer graph — shading, RNG, ray gen — into the [N, C] broadcast
-    # below and recomputes it once per triangle column (measured 6-30x
-    # slowdown on the full path loop).
-    o, d, maxt = jax.lax.optimization_barrier((o, d, maxt))
+    tris = _split_tris(p0, e1, e2, n_chunks, chunk)
 
-    p0c = p0.reshape(n_chunks, chunk, 3)
-    e1c = e1.reshape(n_chunks, chunk, 3)
-    e2c = e2.reshape(n_chunks, chunk, 3)
-
-    def body(carry, tris):
-        best_t, best_prim, best_u, best_v, chunk_idx = carry
-        cp0, ce1, ce2 = tris
-        t, u, v, hit = _mt_chunk(o, d, cp0, ce1, ce2, mint, best_t)
-        t = jnp.where(hit, t, jnp.inf)
-        arg = jnp.argmin(t, axis=-1)
-        tmin = jnp.take_along_axis(t, arg[:, None], axis=-1)[:, 0]
-        closer = tmin < best_t
-        prim = chunk_idx * chunk + arg.astype(jnp.int32)
-        best_prim = jnp.where(closer, prim, best_prim)
-        best_u = jnp.where(closer, jnp.take_along_axis(u, arg[:, None], -1)[:, 0], best_u)
-        best_v = jnp.where(closer, jnp.take_along_axis(v, arg[:, None], -1)[:, 0], best_v)
-        best_t = jnp.where(closer, tmin, best_t)
-        return (best_t, best_prim, best_u, best_v, chunk_idx + 1), None
-
-    init = (jnp.minimum(maxt, jnp.inf),
-            jnp.full(n, -1, jnp.int32),
-            jnp.zeros(n, jnp.float32),
-            jnp.zeros(n, jnp.float32),
-            jnp.int32(0))
     if n_chunks == 1:
-        (t_out, prim, uu, vv, _), _ = body(init, (p0c[0], e1c[0], e2c[0]))
+        tmin, prim, uu, vv = _closest_in_chunk(
+            o, d, tuple(c[0] for c in tris), mint,
+            jnp.minimum(maxt, BIG), 0)
+        t_out = tmin
     else:
-        (t_out, prim, uu, vv, _), _ = jax.lax.scan(body, init, (p0c, e1c, e2c))
+        def body(carry, tri_chunk_and_idx):
+            best_t, best_prim, best_u, best_v = carry
+            tri_chunk, cidx = tri_chunk_and_idx
+            tmin, prim, uu, vv = _closest_in_chunk(
+                o, d, tri_chunk, mint, best_t, cidx * chunk)
+            closer = (prim >= 0) & (tmin < best_t)
+            return (jnp.where(closer, tmin, best_t),
+                    jnp.where(closer, prim, best_prim),
+                    jnp.where(closer, uu, best_u),
+                    jnp.where(closer, vv, best_v)), None
+
+        init = (jnp.minimum(maxt, BIG),
+                jnp.full(n, -1, jnp.int32),
+                jnp.zeros(n, jnp.float32),
+                jnp.zeros(n, jnp.float32))
+        idxs = jnp.arange(n_chunks, dtype=jnp.int32)
+        (t_out, prim, uu, vv), _ = jax.lax.scan(body, init, (tris, idxs))
     valid = prim >= 0
-    uv = jnp.stack([uu, vv], axis=-1)
-    return t_out, prim, uv, valid
+    return t_out, prim, Vec2(uu, vv), valid
 
 
-def occluded_naive(o, d, maxt, p0, e1, e2, active=None, chunk=256):
+def occluded_naive(o: Vec3, d: Vec3, maxt, p0: Vec3, e1: Vec3, e2: Vec3,
+                   active=None, chunk=256):
     """Any-hit query (shadow rays) — reference ray_test (scene.cpp:229)."""
-    n = o.shape[0]
-    t_total = p0.shape[0]
+    n = o.x.shape[0]
+    t_total = p0.x.shape[0]
     chunk = min(chunk, t_total)
     n_chunks = t_total // chunk
     mint = jnp.zeros(n, jnp.float32)
     if active is not None:
         maxt = jnp.where(active, maxt, -jnp.inf)
-    o, d, maxt = jax.lax.optimization_barrier((o, d, maxt))  # see intersect_naive
+    tris = _split_tris(p0, e1, e2, n_chunks, chunk)
 
-    p0c = p0.reshape(n_chunks, chunk, 3)
-    e1c = e1.reshape(n_chunks, chunk, 3)
-    e2c = e2.reshape(n_chunks, chunk, 3)
-
-    def body(occ, tris):
-        cp0, ce1, ce2 = tris
-        _, _, _, hit = _mt_chunk(o, d, cp0, ce1, ce2, mint, maxt)
-        return occ | jnp.any(hit, axis=-1), None
+    def body(occ, tri_chunk):
+        _, _, _, hit = _mt_chunk(o, d, tri_chunk, mint, maxt)
+        return occ | jnp.any(hit, axis=0), None
 
     init = jnp.zeros(n, bool)
     if n_chunks == 1:
-        occ, _ = body(init, (p0c[0], e1c[0], e2c[0]))
+        occ, _ = body(init, tuple(c[0] for c in tris))
     else:
-        occ, _ = jax.lax.scan(body, init, (p0c, e1c, e2c))
+        occ, _ = jax.lax.scan(body, init, tris)
     return occ

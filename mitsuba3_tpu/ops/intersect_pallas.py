@@ -140,27 +140,26 @@ def _occluded_kernel(tri_ref, o_ref, d_ref, maxt_ref, occ_ref, *, n_tris):
 
 
 def _pack_tris(p0, e1, e2):
-    """[T,3] x3 -> [16, Tpad] component-major plane (rows 9..15 zero)."""
-    t = p0.shape[0]
+    """Vec3 of [T] x3 -> [16, Tpad] component-major plane (rows 9..15 zero)."""
+    t = p0.x.shape[0]
     tpad = -(-t // LANE) * LANE
     rows = jnp.zeros((16, tpad), jnp.float32)
-    comps = [p0[:, 0], p0[:, 1], p0[:, 2],
-             e1[:, 0], e1[:, 1], e1[:, 2],
-             e2[:, 0], e2[:, 1], e2[:, 2]]
+    comps = [p0.x, p0.y, p0.z, e1.x, e1.y, e1.z, e2.x, e2.y, e2.z]
     for i, c in enumerate(comps):
         rows = rows.at[i, :t].set(c)
     return rows, tpad
 
 
 def _pack_rays(o, d, maxt):
-    n = o.shape[0]
+    """o, d: Vec3 of [N] (component-SoA)."""
+    n = o.x.shape[0]
     npad = -(-n // TILE) * TILE
     o3 = jnp.zeros((3, npad), jnp.float32)
     d3 = jnp.zeros((3, npad), jnp.float32)
     d3 = d3.at[2, :].set(1.0)  # padding rays point +z, never matter
-    for i in range(3):
-        o3 = o3.at[i, :n].set(o[:, i])
-        d3 = d3.at[i, :n].set(d[:, i])
+    for i, (oc, dc) in enumerate([(o.x, d.x), (o.y, d.y), (o.z, d.z)]):
+        o3 = o3.at[i, :n].set(oc)
+        d3 = d3.at[i, :n].set(dc)
     mt = jnp.full((1, npad), -jnp.inf, jnp.float32).at[0, :n].set(maxt)
     return o3, d3, mt, npad
 
@@ -224,38 +223,35 @@ def intersect_pallas(o, d, maxt, p0, e1, e2, active=None):
     Intersection search is non-differentiable by construction (the reference
     also treats the hit search as detached; derivatives flow through the
     differentiable surface-interaction recompute)."""
-    n = o.shape[0]
-    o = jax.lax.stop_gradient(o)
-    d = jax.lax.stop_gradient(d)
-    p0 = jax.lax.stop_gradient(p0)
-    e1 = jax.lax.stop_gradient(e1)
-    e2 = jax.lax.stop_gradient(e2)
+    from ..core.vec import Vec2
+    n = o.x.shape[0]
+    sg = jax.lax.stop_gradient
+    o, d, p0, e1, e2 = [jax.tree_util.tree_map(sg, a)
+                        for a in (o, d, p0, e1, e2)]
     if active is not None:
         maxt = jnp.where(active, maxt, -jnp.inf)
     tris, _ = _pack_tris(p0, e1, e2)
     o3, d3, mt, npad = _pack_rays(o, d, maxt)
     interpret = jax.default_backend() == "cpu"
-    t, prim, u, v = _run_intersect(tris, o3, d3, mt, int(p0.shape[0]),
+    t, prim, u, v = _run_intersect(tris, o3, d3, mt, int(p0.x.shape[0]),
                                    interpret=interpret)
     t = t[0, :n]
     prim = prim[0, :n]
-    uv = jnp.stack([u[0, :n], v[0, :n]], axis=-1)
+    uv = Vec2(u[0, :n], v[0, :n])
     valid = prim >= 0
     return t, prim, uv, valid
 
 
 def occluded_pallas(o, d, maxt, p0, e1, e2, active=None):
-    n = o.shape[0]
-    o = jax.lax.stop_gradient(o)
-    d = jax.lax.stop_gradient(d)
-    p0 = jax.lax.stop_gradient(p0)
-    e1 = jax.lax.stop_gradient(e1)
-    e2 = jax.lax.stop_gradient(e2)
+    n = o.x.shape[0]
+    sg = jax.lax.stop_gradient
+    o, d, p0, e1, e2 = [jax.tree_util.tree_map(sg, a)
+                        for a in (o, d, p0, e1, e2)]
     if active is not None:
         maxt = jnp.where(active, maxt, -jnp.inf)
     tris, _ = _pack_tris(p0, e1, e2)
     o3, d3, mt, npad = _pack_rays(o, d, maxt)
     interpret = jax.default_backend() == "cpu"
-    occ = _run_occluded(tris, o3, d3, mt, int(p0.shape[0]),
+    occ = _run_occluded(tris, o3, d3, mt, int(p0.x.shape[0]),
                         interpret=interpret)
     return occ[0, :n] != 0

@@ -131,8 +131,8 @@ def splat_ordered(film: FilmConfig, jitter, values, sppc: int,
         radius = film.rfilter_radius
         std = film.rfilter_std
         r_int = int(np.ceil(radius))
-        jx = jitter[..., 0]
-        jy = jitter[..., 1]
+        jx = jitter.x if hasattr(jitter, "x") else jitter[..., 0]
+        jy = jitter.y if hasattr(jitter, "y") else jitter[..., 1]
         image = jnp.zeros((h_local + 2 * r_int, w, nch), jnp.float32)
         weight = jnp.zeros((h_local + 2 * r_int, w), jnp.float32)
         for dy in range(-r_int, r_int + 1):

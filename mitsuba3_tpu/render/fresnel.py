@@ -1,19 +1,21 @@
 """Fresnel equations — counterpart of ``include/mitsuba/render/fresnel.h``.
 
 Dielectric Fresnel (with total internal reflection bookkeeping) and complex
-conductor Fresnel, vectorized over lanes / spectrum channels.
+conductor Fresnel, component-SoA: scalar args are [N] arrays; color args
+(conductor eta/k) are Vec3.
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
 
 from ..core import math as m
+from ..core.vec import Vec3
 
 
 def fresnel_dielectric(cos_theta_i, eta):
     """fresnel.h:fresnel() — returns (r, cos_theta_t, eta_it, eta_ti).
 
-    eta = n_transmitted / n_incident (relative IOR, scalar or per-lane).
+    eta = n_transmitted / n_incident (relative IOR, per-lane [N]).
     Handles rays hitting from either side (negative cos_theta_i).
     """
     outside = cos_theta_i >= 0.0
@@ -21,7 +23,6 @@ def fresnel_dielectric(cos_theta_i, eta):
     eta_it = jnp.where(outside, eta, rcp_eta)
     eta_ti = jnp.where(outside, rcp_eta, eta)
 
-    # Snell: sin^2(theta_t) = sin^2(theta_i) * eta_ti^2
     cos_theta_t_sqr = 1.0 - (1.0 - cos_theta_i * cos_theta_i) * (eta_ti * eta_ti)
     abs_cos_i = jnp.abs(cos_theta_i)
     cos_theta_t = m.safe_sqrt(cos_theta_t_sqr)
@@ -38,34 +39,20 @@ def fresnel_dielectric(cos_theta_i, eta):
     return r, cos_theta_t, eta_it, eta_ti
 
 
-def fresnel_conductor(cos_theta_i, eta_re, eta_im):
-    """fresnel.h:fresnel_conductor() — unpolarized reflectance of a
-    conductor with complex IOR eta_re + i*eta_im. Broadcasts over the
-    trailing spectrum axis of eta_re/eta_im."""
-    cos_theta_i = jnp.asarray(cos_theta_i)
-    if eta_re.ndim > cos_theta_i.ndim:
-        cos_theta_i = cos_theta_i[..., None]
+def _fresnel_conductor_1(cos_theta_i, eta_re, eta_im):
     ct2 = cos_theta_i * cos_theta_i
     st2 = 1.0 - ct2
-
-    # complex arithmetic written out in re/im parts
     e2_re = eta_re * eta_re - eta_im * eta_im
     e2_im = 2.0 * eta_re * eta_im
-
     t0_re = e2_re - st2
     t0_im = e2_im
-    # sqrt of complex t0
     mag = jnp.sqrt(t0_re * t0_re + t0_im * t0_im)
     a2_re = jnp.sqrt(jnp.maximum(0.5 * (mag + t0_re), 0.0))
     a2_im = jnp.sqrt(jnp.maximum(0.5 * (mag - t0_re), 0.0))
     a2_im = jnp.where(t0_im < 0.0, -a2_im, a2_im)
-
-    # rs = (t0s - ct) / (t0s + ct) with t0s = sqrt(eta^2 - st2)
     num_re = a2_re - cos_theta_i
     den_re = a2_re + cos_theta_i
     rs = (num_re * num_re + a2_im * a2_im) / (den_re * den_re + a2_im * a2_im)
-
-    # rp = (eta^2 ct - t0s) / (eta^2 ct + t0s)
     b_re = e2_re * cos_theta_i
     b_im = e2_im * cos_theta_i
     nr = b_re - a2_re
@@ -76,32 +63,37 @@ def fresnel_conductor(cos_theta_i, eta_re, eta_im):
     return 0.5 * (rs + rp)
 
 
-def reflect(wi):
+def fresnel_conductor(cos_theta_i, eta: Vec3, k: Vec3) -> Vec3:
+    """fresnel.h:fresnel_conductor() — unpolarized reflectance of a
+    conductor with complex IOR eta + i*k, per RGB channel."""
+    return Vec3(_fresnel_conductor_1(cos_theta_i, eta.x, k.x),
+                _fresnel_conductor_1(cos_theta_i, eta.y, k.y),
+                _fresnel_conductor_1(cos_theta_i, eta.z, k.z))
+
+
+def reflect(wi: Vec3) -> Vec3:
     """Local-frame mirror reflection about +z (fresnel.h:reflect)."""
-    return jnp.stack([-wi[..., 0], -wi[..., 1], wi[..., 2]], axis=-1)
+    return Vec3(-wi.x, -wi.y, wi.z)
 
 
-def reflect_m(wi, mn):
+def reflect_m(wi: Vec3, mn: Vec3) -> Vec3:
     """Reflection about an arbitrary micro-normal m."""
-    return 2.0 * m.dot(wi, mn, keepdims=True) * mn - wi
+    return mn * (2.0 * wi.dot(mn)) - wi
 
 
-def refract(wi, cos_theta_t, eta_ti):
+def refract(wi: Vec3, cos_theta_t, eta_ti) -> Vec3:
     """Local-frame refraction (fresnel.h:refract) about +z."""
-    return jnp.stack([-eta_ti * wi[..., 0], -eta_ti * wi[..., 1],
-                      cos_theta_t], axis=-1)
+    return Vec3(-eta_ti * wi.x, -eta_ti * wi.y, cos_theta_t)
 
 
-def refract_m(wi, mn, cos_theta_t, eta_ti):
+def refract_m(wi: Vec3, mn: Vec3, cos_theta_t, eta_ti) -> Vec3:
     """Refraction about micro-normal m."""
-    dp = m.dot(wi, mn, keepdims=True)
-    return mn * (dp * eta_ti[..., None] + cos_theta_t[..., None]) - wi * eta_ti[..., None]
+    dp = wi.dot(mn)
+    return mn * (dp * eta_ti + cos_theta_t) - wi * eta_ti
 
 
 # Named IOR presets (ior.h data) — real + imaginary parts at RGB primaries
 CONDUCTOR_IOR = {
-    # material: (eta_rgb, k_rgb) — values from the reference's conductor
-    # spectra sampled at sRGB primaries
     "Au": ((0.143119, 0.374957, 1.44248), (3.98316, 2.38572, 1.60322)),
     "Ag": ((0.155184, 0.116677, 0.138372), (4.82807, 3.12227, 2.14606)),
     "Al": ((1.6547, 0.880369, 0.521229), (9.22377, 6.26937, 4.83701)),

@@ -52,13 +52,15 @@ def render_pass(scene, pass_seed, sppc: int, pixel_offset=0, n_pixels=None,
     py = (pixel // w).astype(jnp.float32)
 
     rng, jitter = sampler_mod.next_2d(rng)
-    pos = jnp.stack([px, py], axis=-1) + jitter        # film coords in pixels
-    pos01 = pos / jnp.array([w, h], jnp.float32)
+    from ..core.vec import Vec2
+    pos01 = Vec2((px + jitter.x) / w, (py + jitter.y) / h)
 
     ray = sensors.sample_ray(scene.sensor, pos01)
 
     integrator = get_integrator(scene.integrator)
     L, valid, rng, n_rays = integrator.sample(scene, rng, ray, scene.integrator)
+    if hasattr(L, "to_array"):
+        L = L.to_array()
 
     halo = film_mod.halo_rows(scene.film)
     img_local, wgt_local = film_mod.splat_ordered(

@@ -1,10 +1,11 @@
 """Interaction/sample records — counterparts of
 ``include/mitsuba/render/interaction.h`` and ``records.h``.
 
-All records are SoA pytrees: every field is an array with a shared leading
-wavefront dimension [N]. This is the direct analog of DRJIT_STRUCT loop
-state (reference path.cpp:129-144), and flows through lax loops, vmap,
-shard_map, and Pallas kernels unchanged.
+All records are SoA pytrees: vector quantities are ``Vec3`` (three [N]
+component arrays — see core/vec.py for the TPU layout rationale), scalars
+are [N] arrays. This is the direct analog of DRJIT_STRUCT loop state
+(reference path.cpp:129-144), and flows through lax loops, vmap, shard_map,
+and Pallas kernels unchanged.
 """
 from __future__ import annotations
 
@@ -13,85 +14,77 @@ import jax.numpy as jnp
 from ..core import math as m
 from ..core.frame import Frame
 from ..core.struct import pytree_dataclass
+from ..core.vec import Vec2, Vec3
 
 
 @pytree_dataclass
 class Ray:
-    """Ray with origin/direction/maxt (ray.h). `o`, `d`: [..., 3]."""
-    o: jnp.ndarray
-    d: jnp.ndarray
+    """Ray with origin/direction/maxt (ray.h)."""
+    o: Vec3
+    d: Vec3
     maxt: jnp.ndarray
 
     @staticmethod
-    def make(o, d, maxt=None):
+    def make(o: Vec3, d: Vec3, maxt=None):
         if maxt is None:
-            maxt = jnp.full(o.shape[:-1], jnp.inf, dtype=jnp.float32)
+            maxt = jnp.full(o.x.shape, jnp.inf, dtype=jnp.float32)
         return Ray(o=o, d=d, maxt=maxt)
 
     def at(self, t):
-        return self.o + self.d * t[..., None]
+        return self.o + self.d * t
 
 
 @pytree_dataclass
 class PreliminaryIntersection:
     """Uncommitted hit info (interaction.h:717): distance + primitive id +
-    barycentrics. shape_idx == -1 encodes a miss."""
+    barycentrics. shape_index == -1 encodes a miss."""
     t: jnp.ndarray           # [N]
-    prim_uv: jnp.ndarray     # [N, 2] barycentric (b1, b2)
+    prim_uv: Vec2            # [N] barycentric (b1, b2)
     prim_index: jnp.ndarray  # [N] int32 triangle/primitive index
     shape_index: jnp.ndarray # [N] int32 shape index, -1 = miss
 
     def is_valid(self):
         return self.shape_index >= 0
 
-    @staticmethod
-    def invalid(shape):
-        n = shape
-        return PreliminaryIntersection(
-            t=jnp.full(n, jnp.inf, jnp.float32),
-            prim_uv=jnp.zeros(n + (2,), jnp.float32),
-            prim_index=jnp.zeros(n, jnp.int32),
-            shape_index=jnp.full(n, -1, jnp.int32))
-
 
 @pytree_dataclass
 class SurfaceInteraction:
     """Full shading-point record (interaction.h:200)."""
-    p: jnp.ndarray          # [N, 3] hit position
+    p: Vec3                 # hit position
     t: jnp.ndarray          # [N] distance along ray
-    n: jnp.ndarray          # [N, 3] geometric normal
+    n: Vec3                 # geometric normal
     sh_frame: Frame         # shading frame (n = shading normal)
-    uv: jnp.ndarray         # [N, 2]
-    wi: jnp.ndarray         # [N, 3] incident dir, LOCAL shading frame
+    uv: Vec2
+    wi: Vec3                # incident dir, LOCAL shading frame
     shape_index: jnp.ndarray  # [N] int32, -1 = invalid/environment
     prim_index: jnp.ndarray   # [N] int32
 
     def is_valid(self):
         return self.shape_index >= 0
 
-    def to_world(self, v):
+    def to_world(self, v: Vec3) -> Vec3:
         return self.sh_frame.to_world(v)
 
-    def to_local(self, v):
+    def to_local(self, v: Vec3) -> Vec3:
         return self.sh_frame.to_local(v)
 
-    def offset_p(self, d):
+    def offset_p(self, d: Vec3) -> Vec3:
         """Origin for spawned rays: offset along the geometric normal with a
         scale-aware epsilon (mirrors si.spawn_ray / offset_ray)."""
-        mag = 1.0 + jnp.max(jnp.abs(self.p), axis=-1)
+        mag = 1.0 + self.p.abs().max_component()
         eps = m.RayEpsilon * mag
-        sgn = jnp.where(m.dot(self.n, d) >= 0.0, 1.0, -1.0)
-        return self.p + (sgn * eps)[..., None] * self.n
+        sgn = jnp.where(self.n.dot(d) >= 0.0, eps, -eps)
+        return self.p + self.n * sgn
 
-    def spawn_ray(self, d):
+    def spawn_ray(self, d: Vec3) -> Ray:
         return Ray.make(self.offset_p(d), d)
 
-    def spawn_ray_to(self, p):
+    def spawn_ray_to(self, p: Vec3) -> Ray:
         """Shadow ray toward p with maxt short of the endpoint."""
         o = self.offset_p(p - self.p)
         d = p - o
-        dist = m.norm(d)
-        d = d / jnp.maximum(dist, 1e-20)[..., None]
+        dist = d.norm()
+        d = d * (1.0 / jnp.maximum(dist, 1e-20))
         maxt = dist * (1.0 - m.ShadowEpsilon)
         return Ray(o=o, d=d, maxt=maxt)
 
@@ -99,9 +92,9 @@ class SurfaceInteraction:
 @pytree_dataclass
 class PositionSample:
     """records.h:20 — sampled position on a shape."""
-    p: jnp.ndarray       # [N, 3]
-    n: jnp.ndarray       # [N, 3]
-    uv: jnp.ndarray      # [N, 2]
+    p: Vec3
+    n: Vec3
+    uv: Vec2
     pdf: jnp.ndarray     # [N] area-measure pdf
     delta: jnp.ndarray   # [N] bool
 
@@ -110,12 +103,12 @@ class PositionSample:
 class DirectionSample:
     """records.h:110 — position + direction from a reference point, pdf in
     solid-angle measure. `emitter_index` replaces the EmitterPtr."""
-    p: jnp.ndarray
-    n: jnp.ndarray
-    uv: jnp.ndarray
+    p: Vec3
+    n: Vec3
+    uv: Vec2
     pdf: jnp.ndarray
     delta: jnp.ndarray
-    d: jnp.ndarray       # [N, 3] direction ref -> sample (world)
+    d: Vec3              # direction ref -> sample (world)
     dist: jnp.ndarray    # [N]
     emitter_index: jnp.ndarray  # [N] int32
 
@@ -123,7 +116,7 @@ class DirectionSample:
 @pytree_dataclass
 class BSDFSample:
     """bsdf.h:187 — result of BSDF importance sampling."""
-    wo: jnp.ndarray            # [N, 3] local frame
+    wo: Vec3                   # local frame
     pdf: jnp.ndarray           # [N]
     eta: jnp.ndarray           # [N] relative index of refraction
     sampled_type: jnp.ndarray  # [N] uint32 BSDFFlags of sampled lobe

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from ..core.random import PCG32, sample_tea_32
 from ..core.struct import pytree_dataclass, static_field
+from ..core.vec import Vec2
 
 u32 = jnp.uint32
 
@@ -154,20 +155,19 @@ def next_2d(s):
     if isinstance(s, PCG32):
         rng, x = s.next_float32()
         rng, y = rng.next_float32()
-        return rng, jnp.stack([x, y], axis=-1)
+        return rng, Vec2(x, y)
     rng, ux = s.rng.next_float32()
     rng, uy = rng.next_float32()
     dim = s.dim + u32(2)
     if s.stype == "independent" or s.spp <= 1:
-        return s.replace(rng=rng, dim=dim), jnp.stack([ux, uy], -1)
+        return s.replace(rng=rng, dim=dim), Vec2(ux, uy)
     k = _stratum_size(s.spp)
     if s.stype == "stratified" and k:
         p = s.pixel_hash ^ (s.dim * u32(0x68bc21eb))
         j = _permute_kensler(s.sample_idx, s.spp, p)
         sx = (j % k).astype(jnp.float32)
         sy = (j // k).astype(jnp.float32)
-        out = jnp.stack([(sx + ux) / k, (sy + uy) / k], -1)
-        return s.replace(rng=rng, dim=dim), out
+        return s.replace(rng=rng, dim=dim), Vec2((sx + ux) / k, (sy + uy) / k)
     if s.stype == "multijitter" and k:
         # Kensler CMJ: shuffled x within columns / y within rows
         p = s.pixel_hash ^ (s.dim * u32(0x02e5be93))
@@ -178,15 +178,15 @@ def next_2d(s):
         jy = _permute_kensler(sy, k, p * u32(0x51633e2d) ^ sx)
         x = (sx.astype(jnp.float32) + (jy.astype(jnp.float32) + ux) / k) / k
         y = (sy.astype(jnp.float32) + (jx.astype(jnp.float32) + uy) / k) / k
-        return s.replace(rng=rng, dim=dim), jnp.stack([x, y], -1)
+        return s.replace(rng=rng, dim=dim), Vec2(x, y)
     if s.stype == "ldsampler":
         scr1, scr2 = sample_tea_32(s.pixel_hash, s.dim)
         x = _u32_to_float(_reverse_bits32(s.sample_idx) ^ scr1)
         y = _u32_to_float(_sobol2(s.sample_idx, scr2))
-        return s.replace(rng=rng, dim=dim), jnp.stack([x, y], -1)
+        return s.replace(rng=rng, dim=dim), Vec2(x, y)
     # non-square spp: fall back to 1D-stratified per axis
     p = s.pixel_hash ^ (s.dim * u32(0x68bc21eb))
     j = _permute_kensler(s.sample_idx, s.spp, p)
     jf = j.astype(jnp.float32)
-    return s.replace(rng=rng, dim=dim), jnp.stack(
-        [(jf + ux) / s.spp, (jf + uy) / s.spp], -1)[..., :2]
+    return s.replace(rng=rng, dim=dim), Vec2((jf + ux) / s.spp,
+                                             (jf + uy) / s.spp)

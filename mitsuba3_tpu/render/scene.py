@@ -4,31 +4,37 @@
 Where the reference stores plugin pointer arrays (``m_shapes_dr``,
 ``m_emitters_dr``) and dispatches virtual calls through the Dr.Jit registry,
 the TPU build stores *index* arrays into flat parameter tables and dispatches
-with static per-type masking — the switch-based dispatch described in
-SURVEY.md §2.1.
+with static per-type masking — the switch-based dispatch of SURVEY.md §2.1.
 
-The Scene itself is one pytree: array leaves are traced (differentiable
-where meaningful — vertices, radiance, BSDF params), static fields describe
-topology (counts, type tuples) and trigger recompilation only when the
-scene's *structure* changes.
+Per-lane attribute fetches (triangle vertices, uvs, per-face indices) go
+through ONE one-hot matmul per bundle: a [K, F] attribute table times an
+[F, N] one-hot matrix runs on the MXU and yields component-SoA [K, N] rows
+directly — replacing K strided gathers whose [N, small] results would be
+lane-padded 42x (see core/vec.py).
+
+The Scene is one pytree: array leaves are traced (differentiable where
+meaningful — vertices, radiance, BSDF params, textures), static fields
+describe topology and trigger recompilation only when structure changes.
 """
 from __future__ import annotations
 
 import dataclasses
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..core import math as m
 from ..core.frame import Frame
 from ..core.struct import pytree_dataclass, static_field
-from ..core.warp import square_to_uniform_triangle
+from ..core.vec import Vec2, Vec3
 from ..ops import intersect as ops_intersect
 from .records import (DirectionSample, PreliminaryIntersection, Ray,
                       SurfaceInteraction)
 
-TRI_CHUNK = 128  # triangle padding granularity for the naive intersector
+TRI_CHUNK = 256  # max triangle-chunk rows per intersection tile
+TRI_PAD = 8      # small-scene padding granularity (sublane multiple)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -66,7 +72,7 @@ class Scene:
     face_shape: jnp.ndarray    # [F] i32, -1 on padding
     face_bsdf: jnp.ndarray     # [F] i32 index into bsdf tables
     face_emitter: jnp.ndarray  # [F] i32 emitter index or -1
-    face_inv_total_area: jnp.ndarray  # [F] 1/(total area of face's emitter), 0 otherwise
+    face_inv_total_area: jnp.ndarray  # [F] 1/(total emitter area), 0 otherwise
     face_uv: jnp.ndarray       # [F, 3, 2] per-corner uv
 
     # ---- emitters ----
@@ -81,7 +87,7 @@ class Scene:
     env_scale: jnp.ndarray     # scalar
 
     # ---- BSDF tables ----
-    bsdf_params: jnp.ndarray   # [B, N_PARAMS] (bsdfs.N_PARAMS columns)
+    bsdf_params: jnp.ndarray   # [B, N_PARAMS]
     textures: tuple            # tuple of [Hi, Wi, 3] arrays (differentiable)
 
     # ---- sensor ----
@@ -95,7 +101,7 @@ class Scene:
     sensor_config: SensorConfig = static_field(default_factory=SensorConfig)
     integrator: Any = static_field(default=None)       # IntegratorConfig
     spp: int = static_field(default=64)
-    env_emitter: int = static_field(default=-1)        # emitter idx of envmap/constant, or -1
+    env_emitter: int = static_field(default=-1)
     sampler_type: str = static_field(default="independent")
 
     # ------------------------------------------------------------------
@@ -103,14 +109,38 @@ class Scene:
     # ------------------------------------------------------------------
 
     def triangle_soa(self):
-        """(p0, e1, e2) [F, 3] packed for the intersector. Padding faces
+        """(p0, e1, e2) as Vec3 of [F] for the intersector. Padding faces
         index vertex 0 three times → degenerate, never hit."""
         v = self.vertices
-        p = v[self.faces]  # [F, 3, 3]
-        p0 = p[:, 0]
-        e1 = p[:, 1] - p[:, 0]
-        e2 = p[:, 2] - p[:, 0]
-        return p0, e1, e2
+        p = v[self.faces]  # [F, 3, 3] — tiny (F ~ hundreds), padding is fine
+        p0 = Vec3(p[:, 0, 0], p[:, 0, 1], p[:, 0, 2])
+        p1 = Vec3(p[:, 1, 0], p[:, 1, 1], p[:, 1, 2])
+        p2 = Vec3(p[:, 2, 0], p[:, 2, 1], p[:, 2, 2])
+        return p0, p1 - p0, p2 - p0
+
+    def _face_table(self):
+        """[K, F] attribute rows for the one-hot gather bundle.
+
+        Rows: 0-8 p0/e1/e2 xyz, 9-14 uv0/uv1/uv2, 15 inv_total_area,
+        16 face_emitter, 17 face_bsdf, 18 face_shape (int rows as exact f32).
+        """
+        p0, e1, e2 = self.triangle_soa()
+        uv = self.face_uv  # [F, 3, 2]
+        rows = [p0.x, p0.y, p0.z, e1.x, e1.y, e1.z, e2.x, e2.y, e2.z,
+                uv[:, 0, 0], uv[:, 0, 1], uv[:, 1, 0], uv[:, 1, 1],
+                uv[:, 2, 0], uv[:, 2, 1],
+                self.face_inv_total_area,
+                self.face_emitter.astype(jnp.float32),
+                self.face_bsdf.astype(jnp.float32),
+                self.face_shape.astype(jnp.float32)]
+        return jnp.stack(rows, axis=0)
+
+    def gather_face_attrs(self, prim):
+        """One MXU one-hot matmul: per-lane face attributes as SoA rows."""
+        f = self.faces.shape[0]
+        oh = jax.nn.one_hot(prim, f, axis=0, dtype=jnp.float32)  # [F, N]
+        out = self._face_table() @ oh                            # [K, N]
+        return out
 
     # ------------------------------------------------------------------
     # Intersection — reference scene.cpp:197-245
@@ -120,7 +150,8 @@ class Scene:
         p0, e1, e2 = self.triangle_soa()
         t, prim, uv, valid = ops_intersect.intersect_naive(
             ray.o, ray.d, ray.maxt, p0, e1, e2, active=active, chunk=TRI_CHUNK)
-        shape_idx = jnp.where(valid, self.face_shape[prim], -1)
+        # shape id resolved later from the attribute bundle; store hit mask
+        shape_idx = jnp.where(valid, prim, -1)
         return PreliminaryIntersection(
             t=t, prim_uv=uv, prim_index=prim, shape_index=shape_idx)
 
@@ -130,32 +161,41 @@ class Scene:
             ray.o, ray.d, ray.maxt, p0, e1, e2, active=active, chunk=TRI_CHUNK)
 
     def compute_surface_interaction(self, ray: Ray,
-                                    pi: PreliminaryIntersection) -> SurfaceInteraction:
-        """Differentiable hit-point recomputation from barycentrics
-        (analog of Mesh::compute_surface_interaction, mesh.h — the position
-        is rebuilt from vertex data so gradients flow to `vertices`)."""
+                                    pi: PreliminaryIntersection):
+        """Differentiable hit recomputation from barycentrics (analog of
+        Mesh::compute_surface_interaction) + per-face attribute fetch.
+
+        Returns (si, attrs) where attrs is a dict with 'bsdf' (int32 [N]),
+        'emitter' (int32 [N]), 'inv_total_area' (f32 [N]).
+        """
         prim = jnp.clip(pi.prim_index, 0, self.faces.shape[0] - 1)
-        p0, e1, e2 = self.triangle_soa()
-        tp0 = p0[prim]
-        te1 = e1[prim]
-        te2 = e2[prim]
-        b1 = pi.prim_uv[..., 0:1]
-        b2 = pi.prim_uv[..., 1:2]
+        a = self.gather_face_attrs(prim)
+        tp0 = Vec3(a[0], a[1], a[2])
+        te1 = Vec3(a[3], a[4], a[5])
+        te2 = Vec3(a[6], a[7], a[8])
+        b1 = pi.prim_uv.x
+        b2 = pi.prim_uv.y
         p = tp0 + te1 * b1 + te2 * b2
-        ng = m.normalize(jnp.cross(te1, te2))
+        ng = te1.cross(te2).normalize()
         # Flat shading for now; vertex-normal interpolation is a follow-up.
         sh_frame = Frame.from_normal(ng)
-        wi_world = -ray.d
-        wi = sh_frame.to_local(wi_world)
-        uvs = self.face_uv[prim]  # [N, 3, 2]
-        uv = (uvs[:, 0] * (1.0 - b1 - b2) + uvs[:, 1] * b1 + uvs[:, 2] * b2)
+        wi = sh_frame.to_local(-ray.d)
+        w0 = 1.0 - b1 - b2
+        uv = Vec2(a[9] * w0 + a[11] * b1 + a[13] * b2,
+                  a[10] * w0 + a[12] * b1 + a[14] * b2)
         valid = pi.is_valid()
-        return SurfaceInteraction(
+        shape_idx = jnp.where(valid, jnp.round(a[18]).astype(jnp.int32), -1)
+        si = SurfaceInteraction(
             p=p, t=pi.t, n=ng, sh_frame=sh_frame, uv=uv, wi=wi,
-            shape_index=jnp.where(valid, pi.shape_index, -1),
-            prim_index=pi.prim_index)
+            shape_index=shape_idx, prim_index=pi.prim_index)
+        attrs = {
+            "bsdf": jnp.round(a[17]).astype(jnp.int32),
+            "emitter": jnp.where(valid, jnp.round(a[16]).astype(jnp.int32), -1),
+            "inv_total_area": a[15],
+        }
+        return si, attrs
 
-    def ray_intersect(self, ray: Ray, active=None) -> SurfaceInteraction:
+    def ray_intersect(self, ray: Ray, active=None):
         return self.compute_surface_interaction(
             ray, self.ray_intersect_preliminary(ray, active=active))
 
@@ -163,65 +203,77 @@ class Scene:
     # Emitter sampling — reference scene.cpp:248-395
     # ------------------------------------------------------------------
 
+    def gather_em_radiance(self, em_idx):
+        """[N] emitter indices -> radiance Vec3 (one-hot over E emitters)."""
+        e = max(self.em_radiance.shape[0], 1)
+        oh = jax.nn.one_hot(em_idx, e, axis=0, dtype=jnp.float32)  # [E, N]
+        out = self.em_radiance.T @ oh  # [3, N]
+        return Vec3(out[0], out[1], out[2])
+
     def sample_emitter_direction(self, si: SurfaceInteraction, sample1,
-                                 sample2, active=None, test_visibility=True):
+                                 sample2: Vec2, active=None,
+                                 test_visibility=True):
         """NEE: pick an emissive triangle from the global area-weighted CDF
         (equivalent to uniform-emitter + per-emitter area sampling in the
-        reference), sample a point, convert pdf to solid angle, trace the
-        shadow ray. Returns (DirectionSample, weight [N, 3])."""
-        n = si.p.shape[0]
+        reference) or the environment, sample a point/direction, convert the
+        pdf to solid angle, trace the shadow ray.
+        Returns (DirectionSample, weight Vec3)."""
+        n = si.t.shape[0]
         n_area = self.ef_face.shape[0]
         if n_area == 0 and self.env_emitter < 0:
-            zeros3 = jnp.zeros((n, 3), jnp.float32)
             zeros = jnp.zeros(n, jnp.float32)
-            ds = DirectionSample(p=zeros3, n=zeros3, uv=jnp.zeros((n, 2)),
+            z3 = Vec3.zeros(n)
+            ds = DirectionSample(p=z3, n=z3, uv=Vec2(zeros, zeros),
                                  pdf=zeros, delta=jnp.zeros(n, bool),
-                                 d=zeros3, dist=zeros,
+                                 d=z3, dist=zeros,
                                  emitter_index=jnp.full(n, -1, jnp.int32))
-            return ds, zeros3
+            return ds, z3
 
         e_total = max(self.n_emitters, 1)
         area_prob = self.ef_cdf[-1] if n_area else jnp.float32(0.0)
 
-        # ---- area-emitter branch (mass = n_area / E of sample1) ----
         if n_area:
             idx = jnp.searchsorted(self.ef_cdf, sample1, side="right")
             idx = jnp.clip(idx, 0, n_area - 1).astype(jnp.int32)
             face = self.ef_face[idx]
-            p0, e1, e2 = self.triangle_soa()
-            fp0, fe1, fe2 = p0[face], e1[face], e2[face]
-            b = square_to_uniform_triangle(sample2)  # [N, 2]
-            p = fp0 + fe1 * b[..., 0:1] + fe2 * b[..., 1:2]
-            ng = m.normalize(jnp.cross(fe1, fe2))
+            a = self.gather_face_attrs(face)
+            fp0 = Vec3(a[0], a[1], a[2])
+            fe1 = Vec3(a[3], a[4], a[5])
+            fe2 = Vec3(a[6], a[7], a[8])
+            # square_to_uniform_triangle (warp.h), componentwise
+            tsq = m.safe_sqrt(1.0 - sample2.x)
+            b1 = 1.0 - tsq
+            b2 = tsq * sample2.y
+            p = fp0 + fe1 * b1 + fe2 * b2
+            ng = fe1.cross(fe2).normalize()
             d_un = p - si.p
-            dist2 = m.squared_norm(d_un)
+            dist2 = d_un.squared_norm()
             dist = m.safe_sqrt(dist2)
-            d = d_un * m.safe_rsqrt(dist2)[..., None]
-            pdf_area = self.face_inv_total_area[face] / e_total
-            cos_emitter = -m.dot(ng, d)
+            d = d_un * jax.lax.rsqrt(jnp.maximum(dist2, 1e-30))
+            pdf_area = a[15] / e_total
+            cos_emitter = -ng.dot(d)
             pdf_sa = m.safe_div(pdf_area * dist2, cos_emitter)
             pdf_sa = jnp.where(cos_emitter > 0.0, pdf_sa, 0.0)
-            em_idx = self.face_emitter[face]
-            radiance = self.em_radiance[em_idx]
-        else:
-            p = ng = d = None  # env-only scene
+            em_idx = jnp.round(a[16]).astype(jnp.int32)
+            radiance = self.gather_em_radiance(em_idx)
+            uv = Vec2(b1, b2)
 
-        # ---- environment branch (mass = 1/E of sample1) ----
         if self.env_emitter >= 0:
             from ..emitters import envmap as env_mod
             s1_env = jnp.clip((sample1 - area_prob)
-                              / jnp.maximum(1.0 - area_prob, 1e-8), 0.0, 1.0 - 1e-7)
-            d_env, pdf_env, rad_env = env_mod.sample_env_dir(self, s1_env, sample2)
+                              / jnp.maximum(1.0 - area_prob, 1e-8),
+                              0.0, 1.0 - 1e-7)
+            d_env, pdf_env, rad_env = env_mod.sample_env_dir(
+                self, s1_env, sample2)
             pdf_env = pdf_env / e_total
             far = jnp.float32(1e7)
             if n_area:
                 pick_env = sample1 >= area_prob
-                pe = pick_env[..., None]
-                d = jnp.where(pe, d_env, d)
-                p = jnp.where(pe, si.p + d_env * far, p)
-                ng = jnp.where(pe, -d_env, ng)
+                d = Vec3.where(pick_env, d_env, d)
+                p = Vec3.where(pick_env, si.p + d_env * far, p)
+                ng = Vec3.where(pick_env, -d_env, ng)
                 pdf_sa = jnp.where(pick_env, pdf_env, pdf_sa)
-                radiance = jnp.where(pe, rad_env, radiance)
+                radiance = Vec3.where(pick_env, rad_env, radiance)
                 em_idx = jnp.where(pick_env, self.env_emitter, em_idx)
                 dist = jnp.where(pick_env, far, dist)
             else:
@@ -232,75 +284,71 @@ class Scene:
                 radiance = rad_env
                 em_idx = jnp.full(n, self.env_emitter, jnp.int32)
                 dist = jnp.full(n, far, jnp.float32)
-                b = sample2
-
-        weight = jnp.where((pdf_sa > 0.0)[..., None],
-                           radiance / jnp.maximum(pdf_sa, 1e-20)[..., None], 0.0)
+                uv = sample2
 
         ok = pdf_sa > 0.0
+        inv_pdf = jnp.where(ok, 1.0 / jnp.maximum(pdf_sa, 1e-20), 0.0)
+        weight = radiance * inv_pdf
         if active is not None:
             ok = ok & active
         if test_visibility:
             shadow_ray = si.spawn_ray_to(p)
             occluded = self.ray_test(shadow_ray, active=ok)
-            weight = jnp.where(occluded[..., None], 0.0, weight)
             pdf_sa = jnp.where(occluded, 0.0, pdf_sa)
             ok = ok & ~occluded
 
         ds = DirectionSample(
-            p=p, n=ng, uv=b, pdf=jnp.where(ok, pdf_sa, 0.0),
+            p=p, n=ng, uv=uv, pdf=jnp.where(ok, pdf_sa, 0.0),
             delta=jnp.zeros(n, bool), d=d, dist=dist, emitter_index=em_idx)
-        return ds, jnp.where(ok[..., None], weight, 0.0)
+        return ds, weight.mask(ok)
 
-    def pdf_emitter_direction_miss(self, d):
-        """Solid-angle NEE pdf for a ray that escaped to the environment."""
-        if self.env_emitter < 0:
-            return jnp.zeros(d.shape[:-1], jnp.float32)
-        from ..emitters import envmap as env_mod
-        return env_mod.pdf_env_dir(self, d) / max(self.n_emitters, 1)
-
-    def eval_env(self, d):
-        """Environment radiance for escaped rays."""
-        from ..emitters import envmap as env_mod
-        return env_mod.eval_env(self, d)
-
-    def pdf_emitter_direction_hit(self, prev_p, si: SurfaceInteraction):
+    def pdf_emitter_direction_hit(self, prev_p: Vec3, si: SurfaceInteraction,
+                                  attrs):
         """Solid-angle pdf of having NEE-sampled the point `si` from `prev_p`
-        — used for the MIS weight of BSDF-sampled emitter hits
+        — MIS weight for BSDF-sampled emitter hits
         (scene.cpp:pdf_emitter_direction)."""
         if self.n_emitters == 0:
             return jnp.zeros(si.t.shape, jnp.float32)
-        face = jnp.clip(si.prim_index, 0, self.faces.shape[0] - 1)
-        inv_area = self.face_inv_total_area[face]
-        emissive = self.face_emitter[face] >= 0
+        inv_area = attrs["inv_total_area"]
+        emissive = attrs["emitter"] >= 0
         d_un = si.p - prev_p
-        dist2 = m.squared_norm(d_un)
-        d = d_un * m.safe_rsqrt(dist2)[..., None]
-        cos_emitter = -m.dot(si.n, d)
+        dist2 = d_un.squared_norm()
+        d = d_un * jax.lax.rsqrt(jnp.maximum(dist2, 1e-30))
+        cos_emitter = -si.n.dot(d)
         pdf_area = inv_area / max(self.n_emitters, 1)
         pdf_sa = m.safe_div(pdf_area * dist2, cos_emitter)
         return jnp.where(emissive & (cos_emitter > 0.0) & si.is_valid(),
                          pdf_sa, 0.0)
 
-    def eval_emitter(self, si: SurfaceInteraction):
+    def pdf_emitter_direction_miss(self, d: Vec3):
+        """Solid-angle NEE pdf for a ray that escaped to the environment."""
+        if self.env_emitter < 0:
+            return jnp.zeros(d.x.shape, jnp.float32)
+        from ..emitters import envmap as env_mod
+        return env_mod.pdf_env_dir(self, d) / max(self.n_emitters, 1)
+
+    def eval_emitter(self, si: SurfaceInteraction, attrs) -> Vec3:
         """Radiance of the emitter at a surface hit (area.cpp:eval —
-        one-sided: only the +n face emits). Returns [N, 3]."""
+        one-sided: only the +n face emits)."""
         if self.n_emitters == 0:
-            return jnp.zeros(si.p.shape, jnp.float32)
-        face = jnp.clip(si.prim_index, 0, self.faces.shape[0] - 1)
-        em_idx = self.face_emitter[face]
+            return Vec3.zeros(si.t.shape)
+        em_idx = attrs["emitter"]
         emissive = (em_idx >= 0) & si.is_valid()
-        front = si.wi[..., 2] > 0.0  # local frame: cos_theta(wi) > 0
-        radiance = self.em_radiance[jnp.maximum(em_idx, 0)]
-        return jnp.where((emissive & front)[..., None], radiance, 0.0)
+        front = si.wi.z > 0.0  # local frame: cos_theta(wi) > 0
+        radiance = self.gather_em_radiance(jnp.maximum(em_idx, 0))
+        return radiance.mask(emissive & front)
+
+    def eval_env(self, d: Vec3) -> Vec3:
+        """Environment radiance for escaped rays."""
+        from ..emitters import envmap as env_mod
+        return env_mod.eval_env(self, d)
 
     # ------------------------------------------------------------------
     # BSDF param access
     # ------------------------------------------------------------------
 
-    def bsdf_index(self, si: SurfaceInteraction):
-        face = jnp.clip(si.prim_index, 0, self.faces.shape[0] - 1)
-        return self.face_bsdf[face]
-
     def gather_bsdf_params(self, bsdf_idx):
-        return self.bsdf_params[bsdf_idx]
+        """[N] bsdf slots -> SoA param rows [N_PARAMS, N] via one-hot."""
+        b = max(self.bsdf_params.shape[0], 1)
+        oh = jax.nn.one_hot(bsdf_idx, b, axis=0, dtype=jnp.float32)  # [B, N]
+        return self.bsdf_params.T @ oh  # [P, N]

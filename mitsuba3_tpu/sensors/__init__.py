@@ -61,15 +61,17 @@ def build_perspective(spec: dict, width: int, height: int) -> tuple[SensorData, 
 
 
 def sample_ray(sensor: SensorData, pos01) -> Ray:
-    """pos01: [N, 2] film position in [0,1]^2 (x right, y down)."""
+    """pos01: Vec2 film position in [0,1]^2 (x right, y down)."""
+    from ..core.vec import Vec2, Vec3
     # camera-space direction on the z=1 plane; X=left so image-right = -X,
     # Y=up so image-down = -Y  (matches perspective.cpp sample_to_camera)
-    dx = (0.5 - pos01[..., 0]) * (2.0 * sensor.tan_half_x)
-    dy = (0.5 - pos01[..., 1]) * (2.0 * sensor.tan_half_y)
-    d_cam = jnp.stack([dx, dy, jnp.ones_like(dx)], axis=-1)
-    d_world = (sensor.axis_x * d_cam[..., 0:1]
-               + sensor.axis_y * d_cam[..., 1:2]
-               + sensor.axis_z * d_cam[..., 2:3])
-    d_world = m.normalize(d_world)
-    o = jnp.broadcast_to(sensor.origin, d_world.shape)
+    dx = (0.5 - pos01.x) * (2.0 * sensor.tan_half_x)
+    dy = (0.5 - pos01.y) * (2.0 * sensor.tan_half_y)
+    ax, ay, az = sensor.axis_x, sensor.axis_y, sensor.axis_z
+    d_world = Vec3(ax[0] * dx + ay[0] * dy + az[0],
+                   ax[1] * dx + ay[1] * dy + az[1],
+                   ax[2] * dx + ay[2] * dy + az[2]).normalize()
+    o = Vec3(jnp.broadcast_to(sensor.origin[0], dx.shape),
+             jnp.broadcast_to(sensor.origin[1], dx.shape),
+             jnp.broadcast_to(sensor.origin[2], dx.shape))
     return Ray.make(o, d_world)

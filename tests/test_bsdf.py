@@ -9,6 +9,7 @@ import mitsuba3_tpu as mi
 from mitsuba3_tpu import bsdfs
 from mitsuba3_tpu.core.frame import Frame
 from mitsuba3_tpu.core.random import PCG32
+from mitsuba3_tpu.core.vec import Vec2, Vec3
 from mitsuba3_tpu.render.records import SurfaceInteraction
 from mitsuba3_tpu.render.fresnel import fresnel_dielectric, fresnel_conductor
 from mitsuba3_tpu.utils.chi2 import SphericalDomain, chi2_test
@@ -16,12 +17,14 @@ from mitsuba3_tpu.utils.chi2 import SphericalDomain, chi2_test
 
 def _make_si(wi, n):
     """Build a synthetic SurfaceInteraction with normal +z."""
-    zero3 = jnp.zeros((n, 3), jnp.float32)
-    frame = Frame.from_normal(jnp.broadcast_to(
-        jnp.array([0.0, 0.0, 1.0], jnp.float32), (n, 3)))
+    zero3 = Vec3.zeros(n)
+    frame = Frame.from_normal(Vec3.from_scalar(0.0, 0.0, 1.0,
+                                               like=jnp.zeros(n)))
+    wi = np.broadcast_to(np.asarray(wi), (n, 3))
     return SurfaceInteraction(
         p=zero3, t=jnp.ones(n), n=frame.n, sh_frame=frame,
-        uv=jnp.full((n, 2), 0.5), wi=jnp.broadcast_to(wi, (n, 3)),
+        uv=Vec2(jnp.full(n, 0.5), jnp.full(n, 0.5)),
+        wi=Vec3.from_array(jnp.asarray(wi, jnp.float32)),
         shape_index=jnp.zeros(n, jnp.int32),
         prim_index=jnp.zeros(n, jnp.int32))
 
@@ -63,15 +66,15 @@ def test_bsdf_sample_chi2(spec, name, ires):
         s1, u, v = _uniform(n, seed)
         si = _make_si(wi, n)
         bs, w = bsdfs.sample(scene, jnp.zeros(n, jnp.int32), si, s1,
-                             jnp.stack([u, v], -1))
+                             Vec2(u, v))
         keep = np.asarray(bs.pdf) > 0
-        return np.asarray(bs.wo)[keep]
+        return np.asarray(bs.wo.to_array())[keep]
 
     def pdf_fn(dirs):
         n = dirs.shape[0]
         si = _make_si(wi, n)
         _, pdf = bsdfs.eval_pdf(scene, jnp.zeros(n, jnp.int32), si,
-                                jnp.asarray(dirs, jnp.float32))
+                                Vec3.from_array(jnp.asarray(dirs, jnp.float32)))
         return np.asarray(pdf)
 
     # sample_fn draws exactly n and drops rejected samples; the pdf then
@@ -92,9 +95,8 @@ def test_diffuse_white_furnace():
     s1, u, v = _uniform(n, 3)
     wi = jnp.array([0.0, 0.0, 1.0], jnp.float32)
     si = _make_si(wi, n)
-    bs, w = bsdfs.sample(scene, jnp.zeros(n, jnp.int32), si, s1,
-                         jnp.stack([u, v], -1))
-    assert np.allclose(np.asarray(w), 1.0, atol=1e-5)
+    bs, w = bsdfs.sample(scene, jnp.zeros(n, jnp.int32), si, s1, Vec2(u, v))
+    assert np.allclose(np.asarray(w.to_array()), 1.0, atol=1e-5)
 
 
 def test_roughconductor_energy_bounded():
@@ -105,9 +107,8 @@ def test_roughconductor_energy_bounded():
     s1, u, v = _uniform(n, 4)
     wi = jnp.array([0.6, 0.0, 0.8], jnp.float32)
     si = _make_si(wi, n)
-    bs, w = bsdfs.sample(scene, jnp.zeros(n, jnp.int32), si, s1,
-                         jnp.stack([u, v], -1))
-    w = np.asarray(w)
+    bs, w = bsdfs.sample(scene, jnp.zeros(n, jnp.int32), si, s1, Vec2(u, v))
+    w = np.asarray(w.to_array())
     assert w.max() <= 1.0 + 1e-4, w.max()
     assert (w >= 0).all()
 
@@ -120,15 +121,15 @@ def test_eval_sample_pdf_consistency_roughconductor():
     s1, u, v = _uniform(n, 9)
     wi = jnp.array([0.3, 0.2, np.sqrt(1 - 0.09 - 0.04)], jnp.float32)
     si = _make_si(wi, n)
-    bs, w = bsdfs.sample(scene, jnp.zeros(n, jnp.int32), si, s1,
-                         jnp.stack([u, v], -1))
+    bs, w = bsdfs.sample(scene, jnp.zeros(n, jnp.int32), si, s1, Vec2(u, v))
     val, pdf = bsdfs.eval_pdf(scene, jnp.zeros(n, jnp.int32), si, bs.wo)
     keep = np.asarray(bs.pdf) > 1e-3
     a, b = np.asarray(bs.pdf)[keep], np.asarray(pdf)[keep]
     assert np.allclose(a, b, rtol=2e-3), np.abs(a / b - 1).max()
     # and eval value / pdf ~= sample weight
-    ratio = np.asarray(val)[keep] / b[..., None]
-    assert np.allclose(ratio, np.asarray(w)[keep], rtol=5e-3, atol=1e-4)
+    ratio = np.asarray(val.to_array())[keep] / b[..., None]
+    assert np.allclose(ratio, np.asarray(w.to_array())[keep], rtol=5e-3,
+                       atol=1e-4)
 
 
 def test_fresnel_dielectric_reference_values():
@@ -144,10 +145,11 @@ def test_fresnel_dielectric_reference_values():
 def test_fresnel_conductor_normal_incidence():
     # F0 = ((n-1)^2 + k^2) / ((n+1)^2 + k^2)
     n_, k_ = 0.2, 3.0
-    f = fresnel_conductor(jnp.asarray([1.0]),
-                          jnp.asarray([n_]), jnp.asarray([k_]))
+    ones = jnp.asarray([1.0])
+    f = fresnel_conductor(ones, Vec3.from_scalar(n_, n_, n_, like=ones),
+                          Vec3.from_scalar(k_, k_, k_, like=ones))
     expect = ((n_ - 1) ** 2 + k_ ** 2) / ((n_ + 1) ** 2 + k_ ** 2)
-    assert np.allclose(np.asarray(f), expect, rtol=1e-5)
+    assert np.allclose(np.asarray(f.x), expect, rtol=1e-5)
 
 
 def test_dielectric_render_finite():

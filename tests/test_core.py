@@ -5,28 +5,29 @@ import numpy as np
 from mitsuba3_tpu.core import math as m
 from mitsuba3_tpu.core.distr import ContinuousDistribution, DiscreteDistribution
 from mitsuba3_tpu.core.frame import Frame, coordinate_system
+from mitsuba3_tpu.core.vec import Vec3
 from mitsuba3_tpu.core.transform import Transform4f
 
 
 def test_coordinate_system_orthonormal(np_rng):
     n = np_rng.normal(size=(1000, 3))
     n /= np.linalg.norm(n, axis=-1, keepdims=True)
-    n = jnp.asarray(n, jnp.float32)
-    s, t = coordinate_system(n)
-    for a, b in [(s, t), (s, n), (t, n)]:
-        assert np.abs(np.asarray(m.dot(a, b))).max() < 1e-5
-    assert np.abs(np.asarray(m.norm(s)) - 1).max() < 1e-5
+    nv = Vec3.from_array(jnp.asarray(n, jnp.float32))
+    s, t = coordinate_system(nv)
+    for a, b in [(s, t), (s, nv), (t, nv)]:
+        assert np.abs(np.asarray(a.dot(b))).max() < 1e-5
+    assert np.abs(np.asarray(s.norm()) - 1).max() < 1e-5
     # right-handed: cross(s, t) == n
-    assert np.abs(np.asarray(jnp.cross(s, t)) - np.asarray(n)).max() < 1e-5
+    assert np.abs(np.asarray(s.cross(t).to_array()) - n).max() < 1e-5
 
 
 def test_frame_roundtrip(np_rng):
     n = np_rng.normal(size=(100, 3))
     n /= np.linalg.norm(n, axis=-1, keepdims=True)
-    f = Frame.from_normal(jnp.asarray(n, jnp.float32))
+    f = Frame.from_normal(Vec3.from_array(jnp.asarray(n, jnp.float32)))
     v = np_rng.normal(size=(100, 3)).astype(np.float32)
-    local = f.to_local(jnp.asarray(v))
-    back = f.to_world(local)
+    local = f.to_local(Vec3.from_array(jnp.asarray(v)))
+    back = f.to_world(local).to_array()
     assert np.abs(np.asarray(back) - v).max() < 1e-4
 
 

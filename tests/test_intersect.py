@@ -2,7 +2,12 @@
 import jax.numpy as jnp
 import numpy as np
 
+from mitsuba3_tpu.core.vec import Vec3
 from mitsuba3_tpu.ops.intersect import intersect_naive, occluded_naive
+
+
+def _v(a):
+    return Vec3.from_array(jnp.asarray(a, jnp.float32))
 
 
 def np_moeller_trumbore(o, d, p0, p1, p2):
@@ -30,7 +35,7 @@ def _pack(tris):
     p0 = tris[:, 0]
     e1 = tris[:, 1] - tris[:, 0]
     e2 = tris[:, 2] - tris[:, 0]
-    return jnp.asarray(p0), jnp.asarray(e1), jnp.asarray(e2)
+    return _v(p0), _v(e1), _v(e2)
 
 
 def test_intersect_vs_oracle(np_rng):
@@ -42,7 +47,7 @@ def test_intersect_vs_oracle(np_rng):
 
     p0, e1, e2 = _pack(tris)
     t, prim, uv, valid = intersect_naive(
-        jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32),
+        _v(o), _v(d),
         jnp.full(n_ray, np.inf, jnp.float32), p0, e1, e2, chunk=8)
     t, prim, valid = np.asarray(t), np.asarray(prim), np.asarray(valid)
 
@@ -63,8 +68,8 @@ def test_intersect_vs_oracle(np_rng):
 def test_occluded(np_rng):
     tri = np.array([[[-1, -1, 0], [1, -1, 0], [0, 1, 0]]], np.float32)
     p0, e1, e2 = _pack(tri)
-    o = jnp.asarray([[0, 0, -1], [0, 0, -1], [5, 5, -1]], jnp.float32)
-    d = jnp.asarray([[0, 0, 1], [0, 0, 1], [0, 0, 1]], jnp.float32)
+    o = _v([[0, 0, -1], [0, 0, -1], [5, 5, -1]])
+    d = _v([[0, 0, 1], [0, 0, 1], [0, 0, 1]])
     maxt = jnp.asarray([10.0, 0.5, 10.0], jnp.float32)
     occ = np.asarray(occluded_naive(o, d, maxt, p0, e1, e2, chunk=8))
     assert list(occ) == [True, False, False]
@@ -73,8 +78,8 @@ def test_occluded(np_rng):
 def test_active_mask(np_rng):
     tri = np.array([[[-1, -1, 0], [1, -1, 0], [0, 1, 0]]], np.float32)
     p0, e1, e2 = _pack(tri)
-    o = jnp.asarray([[0, 0, -1], [0, 0, -1]], jnp.float32)
-    d = jnp.asarray([[0, 0, 1], [0, 0, 1]], jnp.float32)
+    o = _v([[0, 0, -1], [0, 0, -1]])
+    d = _v([[0, 0, 1], [0, 0, 1]])
     maxt = jnp.full(2, jnp.inf)
     active = jnp.asarray([True, False])
     t, prim, uv, valid = intersect_naive(o, d, maxt, p0, e1, e2,
