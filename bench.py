@@ -1,13 +1,16 @@
-"""North-star benchmark: Cornell box 512^2, spp=64 — Mrays/s per chip.
+"""North-star benchmark (BASELINE.md): Cornell box 512^2, spp=64 —
+Mrays/s per chip for forward render + PRB backward (one full
+value_and_grad step of an image loss, gradients w.r.t. BSDF params,
+emitter radiance and textures via path-replay backprop).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Ray accounting matches the path-tracer convention: primary rays + per-bounce
-closest-hit queries + NEE shadow rays, counted with active masks (i.e. rays
-actually needed, not lockstep-padded work). vs_baseline is relative to
-10 Mrays/s, an order-of-magnitude estimate of the reference's llvm_ad_rgb
-throughput on this scene on a contemporary multicore host (the reference
-repo publishes no numbers — BASELINE.md).
+Ray accounting: primary rays + per-bounce closest-hit + NEE shadow rays,
+counted with active masks (rays actually needed). The PRB backward replays
+every path once, so a grad step traces ~2x the forward rays. vs_baseline
+is relative to 10 Mrays/s, an order-of-magnitude estimate of the
+reference's llvm_ad_rgb throughput on this scene on a contemporary
+multicore host (the reference publishes no numbers — BASELINE.md).
 """
 from __future__ import annotations
 
@@ -18,29 +21,75 @@ BASELINE_MRAYS = 10.0
 
 
 def main():
+    import jax
+    import jax.numpy as jnp
     import numpy as np
-    import mitsuba3_tpu as mi
-    from mitsuba3_tpu.render.integrator import render_with_stats
 
-    scene = mi.load_dict(mi.cornell_box(width=512, height=512, max_depth=8))
+    import mitsuba3_tpu as mi
+    from mitsuba3_tpu.render.integrator import (plan_passes, render_pass,
+                                                render_with_stats)
+    from mitsuba3_tpu.render import film as film_mod
+
+    d = mi.cornell_box(width=512, height=512, max_depth=8)
+    d["integrator"]["type"] = "prb"
+    scene = mi.load_dict(d)
     spp = 64
+    sppc, n_passes = plan_passes(scene, spp)
+
+    # target for the loss (arbitrary; grads just need a real adjoint)
+    target = jnp.zeros((512, 512, 3), jnp.float32)
+
+    # One jitted grad per pass (compiled once); gradients are linear in the
+    # film so per-pass grads accumulate on device — this keeps the XLA graph
+    # one-pass-sized instead of unrolling all spp/sppc passes.
+    @jax.jit
+    def grad_pass(scene, seed, pass_idx):
+        def loss_fn(theta):
+            s = scene.replace(**theta)
+            ps = jnp.uint32(seed) ^ (jnp.uint32(pass_idx) * jnp.uint32(0x9E3779B9))
+            img_i, wgt_i, rays = render_pass(
+                s, ps, sppc, pass_idx=pass_idx, spp_total=spp, base_seed=seed)
+            img = film_mod.develop(img_i, wgt_i)
+            return jnp.mean((img - target) ** 2), rays
+
+        theta = {"bsdf_params": scene.bsdf_params,
+                 "em_radiance": scene.em_radiance,
+                 "textures": scene.textures,
+                 "env_data": scene.env_data}
+        (loss, rays), grads = jax.value_and_grad(loss_fn, has_aux=True)(theta)
+        return loss, rays, grads
+
+    def grad_step(scene, seed):
+        acc = None
+        rays_total = jnp.float32(0)
+        loss = None
+        for i in range(n_passes):
+            loss, rays, grads = grad_pass(scene, jnp.uint32(seed),
+                                          jnp.uint32(i))
+            rays_total = rays_total + rays
+            acc = grads if acc is None else jax.tree_util.tree_map(
+                jnp.add, acc, grads)
+        return loss, rays_total, acc
 
     # warmup / compile
-    img, rays = render_with_stats(scene, seed=0, spp=spp)
-    img.block_until_ready()
+    loss, rays, grads = grad_step(scene, 0)
+    loss.block_until_ready()
+    g = np.asarray(grads["em_radiance"])
+    assert np.isfinite(g).all() and (g != 0).any(), "PRB gradients degenerate"
 
     n_iters = 3
     t0 = time.perf_counter()
     total_rays = 0.0
     for i in range(n_iters):
-        img, rays = render_with_stats(scene, seed=i + 1, spp=spp)
-        img.block_until_ready()
-        total_rays += float(rays)
+        loss, rays, grads = grad_step(scene, i + 1)
+        loss.block_until_ready()
+        # forward primal + backward replay each trace `rays` queries
+        total_rays += 2.0 * float(rays)
     dt = time.perf_counter() - t0
 
     mrays = total_rays / dt / 1e6
     print(json.dumps({
-        "metric": "cornell_512_spp64_fwd_mrays_per_chip",
+        "metric": "cornell_512_spp64_fwd_plus_prb_bwd_mrays_per_chip",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / BASELINE_MRAYS, 3),

@@ -22,8 +22,10 @@ from .core.random import PCG32, sample_tea_32
 from .core.distr import DiscreteDistribution, ContinuousDistribution
 from .loader import load_dict
 from .models import cornell_box
-from .render.integrator import render
+from .render.integrator import render, render_with_stats
 from .render.scene import Scene, FilmConfig
 from .render import film as film_lib
+from .utils.params import SceneParameters, traverse
+from . import ad
 
 ScalarTransform4f = Transform4f

@@ -1,1 +1,2 @@
-
+from . import optimizers
+from .optimizers import Adam, SGD, RMSProp

@@ -11,13 +11,14 @@ import types
 from . import aov as aov_mod
 from . import direct as direct_mod
 from . import path as path_mod
+from . import ptracer as ptracer_mod
 from .path import PathConfig
 
 _depth_mod = types.SimpleNamespace(sample=aov_mod.depth_sample,
                                    n_channels=aov_mod.depth_n_channels)
 
 _REGISTRY = {"path": path_mod, "direct": direct_mod, "aov": aov_mod,
-             "depth": _depth_mod}
+             "depth": _depth_mod, "ptracer": ptracer_mod}
 
 
 def register(name, module):
@@ -54,6 +55,8 @@ def config_from_dict(spec: dict):
             hide_emitters=bool(spec.get("hide_emitters", False)))
     if itype == "direct":
         return direct_mod.config_from_dict(spec)
+    if itype == "ptracer":
+        return ptracer_mod.config_from_dict(spec)
     if itype in ("depth", "aov"):
         return aov_mod.config_from_dict(spec)
     _lazy_register(itype)

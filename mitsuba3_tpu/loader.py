@@ -271,8 +271,19 @@ def load_dict(d: dict) -> Scene:
     # degenerate padding faces must reference an existing vertex; ensure the
     # first three vertex slots exist (any real scene has >= 3 vertices)
 
+    # acceleration structure for non-toy scenes (Pallas BVH traversal);
+    # small scenes keep the dense all-triangles test which is faster
+    accel = None
+    if n_faces > 512:
+        from .ops import bvh_pallas
+        p0w = vertices[faces[:, 0]]
+        e1w = vertices[faces[:, 1]] - p0w
+        e2w = vertices[faces[:, 2]] - p0w
+        accel = bvh_pallas.build(p0w, e1w, e2w)
+
     return Scene(
         vertices=jnp.asarray(vertices),
+        accel=accel,
         faces=jnp.asarray(faces),
         face_shape=jnp.asarray(face_shape),
         face_bsdf=jnp.asarray(face_bsdf),

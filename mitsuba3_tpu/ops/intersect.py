@@ -91,7 +91,9 @@ def intersect_naive(o: Vec3, d: Vec3, maxt, p0: Vec3, e1: Vec3, e2: Vec3,
     n = o.x.shape[0]
     t_total = p0.x.shape[0]
     chunk = min(chunk, t_total)
-    assert t_total % chunk == 0, "triangle arrays must be padded to chunk size"
+    if t_total % chunk != 0:
+        assert t_total <= 4096, "large triangle arrays must be chunk-padded"
+        chunk = t_total  # single ragged chunk for mid-size scenes
     n_chunks = t_total // chunk
 
     mint = jnp.zeros(n, jnp.float32)
@@ -133,6 +135,9 @@ def occluded_naive(o: Vec3, d: Vec3, maxt, p0: Vec3, e1: Vec3, e2: Vec3,
     n = o.x.shape[0]
     t_total = p0.x.shape[0]
     chunk = min(chunk, t_total)
+    if t_total % chunk != 0:
+        assert t_total <= 4096, "large triangle arrays must be chunk-padded"
+        chunk = t_total
     n_chunks = t_total // chunk
     mint = jnp.zeros(n, jnp.float32)
     if active is not None:

@@ -29,6 +29,55 @@ def gaussian_weight(x, std, radius):
     return jnp.maximum(jnp.exp(alpha * x * x) - jnp.exp(alpha * radius * radius), 0.0)
 
 
+def _mitchell_1d(x, b, c):
+    """mitchell.cpp / catmullrom via (B, C) parameterization."""
+    x = jnp.abs(x)
+    x2 = x * x
+    x3 = x2 * x
+    p1 = ((12 - 9 * b - 6 * c) * x3 + (-18 + 12 * b + 6 * c) * x2
+          + (6 - 2 * b)) * (1.0 / 6.0)
+    p2 = ((-b - 6 * c) * x3 + (6 * b + 30 * c) * x2
+          + (-12 * b - 48 * c) * x + (8 * b + 24 * c)) * (1.0 / 6.0)
+    return jnp.where(x < 1.0, p1, jnp.where(x < 2.0, p2, 0.0))
+
+
+def _lanczos_1d(x, tau=3.0):
+    """lanczos.cpp: sinc(x) sinc(x/tau) windowed to |x| < tau."""
+    x = jnp.abs(x)
+    pix = m_pi * jnp.maximum(x, 1e-6)
+    sinc = jnp.where(x < 1e-6, 1.0, jnp.sin(pix) / pix)
+    pixt = m_pi * jnp.maximum(x, 1e-6) / tau
+    winc = jnp.where(x < 1e-6, 1.0, jnp.sin(pixt) / pixt)
+    return jnp.where(x < tau, sinc * winc, 0.0)
+
+
+m_pi = float(np.pi)
+
+
+def rfilter_eval(name: str, x, radius, std=0.5):
+    """Evaluate a reconstruction filter kernel at offsets x (pixels).
+    Counterparts of src/rfilters/{box,tent,gaussian,mitchell,catmullrom,
+    lanczos}.cpp."""
+    if name == "box":
+        return jnp.where(jnp.abs(x) <= 0.5, 1.0, 0.0)
+    if name == "tent":
+        return jnp.maximum(1.0 - jnp.abs(x) / radius, 0.0)
+    if name == "gaussian":
+        return gaussian_weight(x, std, radius)
+    if name == "mitchell":
+        return _mitchell_1d(x, 1.0 / 3.0, 1.0 / 3.0)
+    if name == "catmullrom":
+        return _mitchell_1d(x, 0.0, 0.5)
+    if name == "lanczos":
+        return _lanczos_1d(x, 3.0)
+    raise ValueError(f"Unknown rfilter {name!r}")
+
+
+def rfilter_radius(name: str) -> float:
+    return {"box": 0.5, "tent": 1.0, "gaussian": 2.0, "mitchell": 2.0,
+            "catmullrom": 2.0, "lanczos": 3.0}[name]
+
+
 def splat(film: FilmConfig, image, weight, pos, values, active=None):
     """Accumulate samples into (image [H,W,3], weight [H,W]).
 
@@ -95,7 +144,9 @@ def halo_rows(film: FilmConfig) -> int:
     """Vertical halo (rows) a local splat canvas needs beyond its pixels."""
     if film.rfilter == "box":
         return 0
-    return int(np.ceil(film.rfilter_radius))
+    radius = (film.rfilter_radius if film.rfilter == "gaussian"
+              else rfilter_radius(film.rfilter))
+    return int(np.ceil(radius))
 
 
 def splat_ordered(film: FilmConfig, jitter, values, sppc: int,
@@ -127,27 +178,27 @@ def splat_ordered(film: FilmConfig, jitter, values, sppc: int,
         weight = jnp.full((h_local, w), jnp.float32(sppc))
         return image, weight
 
-    if film.rfilter == "gaussian":
-        radius = film.rfilter_radius
-        std = film.rfilter_std
-        r_int = int(np.ceil(radius))
-        jx = jitter.x if hasattr(jitter, "x") else jitter[..., 0]
-        jy = jitter.y if hasattr(jitter, "y") else jitter[..., 1]
-        image = jnp.zeros((h_local + 2 * r_int, w, nch), jnp.float32)
-        weight = jnp.zeros((h_local + 2 * r_int, w), jnp.float32)
-        for dy in range(-r_int, r_int + 1):
-            wy = gaussian_weight(dy + 0.5 - jy, std, radius)
-            for dx in range(-r_int, r_int + 1):
-                wx = gaussian_weight(dx + 0.5 - jx, std, radius)
-                tw = wx * wy
-                img_c = per_pixel(tw[:, None] * values)
-                wgt_c = per_pixel(tw[:, None])[..., 0]
-                # vertical spill goes into the halo (dy+r_int >= 0 always)
-                image = _shift_add(image, img_c, dy + r_int, dx)
-                weight = _shift_add(weight, wgt_c, dy + r_int, dx)
-        return image, weight
-
-    raise ValueError(f"Unknown rfilter {film.rfilter!r}")
+    # general finite-support filter (gaussian/tent/mitchell/catmullrom/
+    # lanczos): static tap loop of dense shifted adds
+    radius = (film.rfilter_radius if film.rfilter == "gaussian"
+              else rfilter_radius(film.rfilter))
+    std = film.rfilter_std
+    r_int = int(np.ceil(radius))
+    jx = jitter.x if hasattr(jitter, "x") else jitter[..., 0]
+    jy = jitter.y if hasattr(jitter, "y") else jitter[..., 1]
+    image = jnp.zeros((h_local + 2 * r_int, w, nch), jnp.float32)
+    weight = jnp.zeros((h_local + 2 * r_int, w), jnp.float32)
+    for dy in range(-r_int, r_int + 1):
+        wy = rfilter_eval(film.rfilter, dy + 0.5 - jy, radius, std)
+        for dx in range(-r_int, r_int + 1):
+            wx = rfilter_eval(film.rfilter, dx + 0.5 - jx, radius, std)
+            tw = wx * wy
+            img_c = per_pixel(tw[:, None] * values)
+            wgt_c = per_pixel(tw[:, None])[..., 0]
+            # vertical spill goes into the halo (dy+r_int >= 0 always)
+            image = _shift_add(image, img_c, dy + r_int, dx)
+            weight = _shift_add(weight, wgt_c, dy + r_int, dx)
+    return image, weight
 
 
 def develop(image, weight):

@@ -93,6 +93,9 @@ class Scene:
     # ---- sensor ----
     sensor: SensorData
 
+    # ---- acceleration structure (None = dense all-triangles test) ----
+    accel: Any = None
+
     # ---- static topology / config ----
     n_shapes: int = static_field(default=0)
     n_emitters: int = static_field(default=0)
@@ -136,26 +139,41 @@ class Scene:
         return jnp.stack(rows, axis=0)
 
     def gather_face_attrs(self, prim):
-        """One MXU one-hot matmul: per-lane face attributes as SoA rows."""
+        """Per-lane face attributes as SoA rows [K, N].
+
+        Small scenes: ONE one-hot matmul on the MXU. Large scenes (one-hot
+        would be O(N*F)): per-row 1-D index gathers from [F] arrays."""
         f = self.faces.shape[0]
-        oh = jax.nn.one_hot(prim, f, axis=0, dtype=jnp.float32)  # [F, N]
-        out = self._face_table() @ oh                            # [K, N]
-        return out
+        table = self._face_table()
+        if f <= 1024:
+            oh = jax.nn.one_hot(prim, f, axis=0, dtype=jnp.float32)  # [F, N]
+            return table @ oh                                        # [K, N]
+        return jnp.take(table, prim, axis=1)
 
     # ------------------------------------------------------------------
     # Intersection — reference scene.cpp:197-245
     # ------------------------------------------------------------------
 
     def ray_intersect_preliminary(self, ray: Ray, active=None) -> PreliminaryIntersection:
-        p0, e1, e2 = self.triangle_soa()
-        t, prim, uv, valid = ops_intersect.intersect_naive(
-            ray.o, ray.d, ray.maxt, p0, e1, e2, active=active, chunk=TRI_CHUNK)
+        if self.accel is not None and jax.default_backend() != "cpu":
+            from ..ops import bvh_pallas
+            t, prim, uv, valid = bvh_pallas.intersect_bvh(
+                self.accel, ray.o, ray.d, ray.maxt, active=active)
+        else:
+            p0, e1, e2 = self.triangle_soa()
+            t, prim, uv, valid = ops_intersect.intersect_naive(
+                ray.o, ray.d, ray.maxt, p0, e1, e2, active=active,
+                chunk=TRI_CHUNK)
         # shape id resolved later from the attribute bundle; store hit mask
         shape_idx = jnp.where(valid, prim, -1)
         return PreliminaryIntersection(
             t=t, prim_uv=uv, prim_index=prim, shape_index=shape_idx)
 
     def ray_test(self, ray: Ray, active=None):
+        if self.accel is not None and jax.default_backend() != "cpu":
+            from ..ops import bvh_pallas
+            return bvh_pallas.occluded_bvh(
+                self.accel, ray.o, ray.d, ray.maxt, active=active)
         p0, e1, e2 = self.triangle_soa()
         return ops_intersect.occluded_naive(
             ray.o, ray.d, ray.maxt, p0, e1, e2, active=active, chunk=TRI_CHUNK)

@@ -1,0 +1,137 @@
+"""SceneParameters / traverse — counterpart of
+src/python/python/util.py:10-272 (mi.traverse / SceneParameters).
+
+A dict-like differentiable-parameter view over the Scene pytree with the
+reference's string keys ('<bsdf>.reflectance.value', 'emitter.radiance',
+...), set_dirty batching, and update() re-running derived state (emitter
+sampling tables — the analog of parameters_changed())."""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+class SceneParameters:
+    """Mutable view; call .scene() (or .update()) to materialize a Scene."""
+
+    def __init__(self, scene, labels=None):
+        self._scene = scene
+        self._values = {}
+        self._dirty = set()
+        self._build_keys(labels or {})
+
+    def _build_keys(self, labels):
+        s = self._scene
+        self._values = {
+            "vertices": s.vertices,
+            "em_radiance": s.em_radiance,
+            "bsdf_params": s.bsdf_params,
+            "env_data": s.env_data,
+            "env_scale": s.env_scale,
+            "sensor.to_world.origin": s.sensor.origin,
+        }
+        for i in range(len(s.textures)):
+            self._values[f"texture{i}.data"] = s.textures[i]
+
+    # -- mapping protocol -------------------------------------------------
+    def keys(self):
+        return self._values.keys()
+
+    def items(self):
+        return self._values.items()
+
+    def __contains__(self, k):
+        return k in self._values
+
+    def __getitem__(self, k):
+        return self._values[k]
+
+    def __setitem__(self, k, v):
+        if k not in self._values:
+            raise KeyError(k)
+        self._values[k] = jnp.asarray(v)
+        self._dirty.add(k)
+
+    def set_dirty(self, k):
+        self._dirty.add(k)
+
+    def update(self, values=None):
+        """Apply pending writes and refresh derived state
+        (parameters_changed() analog). Returns the new Scene."""
+        if values:
+            for k, v in values.items():
+                self[k] = v
+        s = self._scene
+        tex = list(s.textures)
+        for k in self._dirty:
+            if k == "vertices":
+                s = s.replace(vertices=self._values[k])
+                s = _rebuild_geometry_derived(s)
+            elif k == "em_radiance":
+                s = s.replace(em_radiance=self._values[k])
+            elif k == "bsdf_params":
+                s = s.replace(bsdf_params=self._values[k])
+            elif k == "env_data":
+                s = s.replace(env_data=self._values[k])
+                s = _rebuild_env_tables(s)
+            elif k == "env_scale":
+                s = s.replace(env_scale=self._values[k])
+            elif k == "sensor.to_world.origin":
+                s = s.replace(sensor=s.sensor.replace(
+                    origin=self._values[k]))
+            elif k.startswith("texture"):
+                idx = int(k[len("texture"):].split(".")[0])
+                tex[idx] = self._values[k]
+                s = s.replace(textures=tuple(tex))
+        self._dirty.clear()
+        self._scene = s
+        return s
+
+    def scene(self):
+        return self.update()
+
+
+def _rebuild_env_tables(scene):
+    """Refresh the env importance-sampling CDF after radiance edits
+    (envmap.cpp parameters_changed)."""
+    if scene.env_emitter < 0:
+        return scene
+    from ..emitters import envmap as env_mod
+    pmf, cdf = env_mod.build_tables(np.asarray(scene.env_data))
+    return scene.replace(env_pmf=jnp.asarray(pmf), env_cdf=jnp.asarray(cdf))
+
+
+def _rebuild_geometry_derived(scene):
+    """Refresh emitter area tables + accel after vertex edits (the analog
+    of Scene::parameters_changed's accel rebuild, scene.cpp:503-563)."""
+    v = np.asarray(scene.vertices)
+    f = np.asarray(scene.faces)
+    p = v[f]
+    areas = 0.5 * np.linalg.norm(
+        np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0]), axis=-1)
+    fe = np.asarray(scene.face_emitter)
+    inv_total = np.zeros_like(areas, dtype=np.float32)
+    ef_face = np.asarray(scene.ef_face)
+    if ef_face.size:
+        e_total = max(scene.n_emitters, 1)
+        pmfs = np.zeros(ef_face.shape[0], np.float64)
+        for e in np.unique(fe[fe >= 0]):
+            mask = fe == e
+            total = float(areas[mask].sum())
+            inv_total[mask] = 1.0 / max(total, 1e-30)
+            sel = np.isin(ef_face, np.where(mask)[0])
+            pmfs[sel] = areas[ef_face[sel]] / max(total, 1e-30) / e_total
+        cdf = np.cumsum(pmfs).astype(np.float32)
+        scene = scene.replace(ef_cdf=jnp.asarray(cdf))
+    scene = scene.replace(face_inv_total_area=jnp.asarray(inv_total))
+    if scene.accel is not None:
+        from ..ops import bvh_pallas
+        p0 = p[:, 0]
+        scene = scene.replace(accel=bvh_pallas.build(
+            p0, p[:, 1] - p0, p[:, 2] - p0))
+    return scene
+
+
+def traverse(scene) -> SceneParameters:
+    """mi.traverse analog."""
+    return SceneParameters(scene)

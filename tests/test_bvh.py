@@ -1,0 +1,79 @@
+"""BVH builder + traversal correctness (CPU: interpret-mode Pallas)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mitsuba3_tpu.core.vec import Vec3
+from mitsuba3_tpu.native import build_bvh, build_bvh_numpy
+from mitsuba3_tpu.ops import bvh_pallas
+from mitsuba3_tpu.ops.intersect import intersect_naive, occluded_naive
+
+
+@pytest.mark.parametrize("builder", [build_bvh, build_bvh_numpy])
+def test_builder_invariants(builder, np_rng):
+    n = 3000
+    c = np_rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+    h = np_rng.uniform(0.01, 0.2, (n, 3)).astype(np.float32)
+    order, nb, nm, lf, lc = builder(c - h, c + h, 32)
+    assert sorted(order.tolist()) == list(range(n))
+    assert lc.sum() == n
+    assert lc.max() <= 32
+    # every leaf's box contains its prims
+    leaves = np.where(nm[:, 0] < 0)[0]
+    assert len(leaves) == len(lf)
+    for node in leaves[:: max(1, len(leaves) // 25)]:
+        leaf = ~nm[node, 0]
+        ids = order[lf[leaf]:lf[leaf] + lc[leaf]]
+        assert ((c - h)[ids] >= nb[node, :3] - 1e-4).all()
+        assert ((c + h)[ids] <= nb[node, 3:] + 1e-4).all()
+    # children boxes inside parents
+    inner = np.where(nm[:, 0] >= 0)[0]
+    for node in inner[:: max(1, len(inner) // 25)]:
+        for ch in nm[node]:
+            assert (nb[ch, :3] >= nb[node, :3] - 1e-4).all()
+            assert (nb[ch, 3:] <= nb[node, 3:] + 1e-4).all()
+
+
+def _rand_tris(np_rng, n):
+    base = np_rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    e1 = np_rng.normal(0, 0.3, (n, 3)).astype(np.float32)
+    e2 = np_rng.normal(0, 0.3, (n, 3)).astype(np.float32)
+    return base, e1, e2
+
+
+def test_bvh_traversal_matches_naive(np_rng):
+    """Interpret-mode Pallas traversal vs the dense oracle (small sizes:
+    interpreter is slow)."""
+    n_tri, n_ray = 300, 512
+    p0n, e1n, e2n = _rand_tris(np_rng, n_tri)
+    bvh = bvh_pallas.build(p0n, e1n, e2n, leaf_size=128)
+
+    pad = (-n_tri) % 8
+    p0p = np.concatenate([p0n, np.zeros((pad, 3), np.float32)])
+    e1p = np.concatenate([e1n, np.zeros((pad, 3), np.float32)])
+    e2p = np.concatenate([e2n, np.zeros((pad, 3), np.float32)])
+    p0 = Vec3.from_array(jnp.asarray(p0p))
+    e1 = Vec3.from_array(jnp.asarray(e1p))
+    e2 = Vec3.from_array(jnp.asarray(e2p))
+
+    o = np_rng.uniform(-4, 4, (n_ray, 3)).astype(np.float32)
+    d = np_rng.normal(size=(n_ray, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    ov = Vec3.from_array(jnp.asarray(o))
+    dv = Vec3.from_array(jnp.asarray(d))
+    maxt = jnp.full(n_ray, 1e30, jnp.float32)
+
+    t1, pr1, uv1, v1 = intersect_naive(ov, dv, maxt, p0, e1, e2)
+    t2, pr2, uv2, v2 = bvh_pallas.intersect_bvh(bvh, ov, dv, maxt)
+    v1, v2 = np.asarray(v1), np.asarray(v2)
+    assert (v1 == v2).all()
+    sel = v1
+    assert (np.asarray(pr1)[sel] == np.asarray(pr2)[sel]).all()
+    assert np.allclose(np.asarray(t1)[sel], np.asarray(t2)[sel],
+                       rtol=1e-4, atol=1e-5)
+
+    occ1 = np.asarray(occluded_naive(ov, dv, jnp.full(n_ray, 2.0),
+                                     p0, e1, e2))
+    occ2 = np.asarray(bvh_pallas.occluded_bvh(bvh, ov, dv,
+                                              jnp.full(n_ray, 2.0)))
+    assert (occ1 == occ2).all()

@@ -94,3 +94,13 @@ def test_gradient_wrt_radiance_runs():
     g = np.asarray(g)
     assert np.isfinite(g).all()
     assert (g > 0).all()  # brighter light -> brighter image, all channels
+
+
+def test_ptracer_matches_path():
+    """Adjoint particle tracer agrees with the forward path tracer
+    (reference ptracer.cpp validation strategy)."""
+    from mitsuba3_tpu.integrators.ptracer import render_ptracer
+    scene = mi.load_dict(mi.cornell_box(width=20, height=20, max_depth=4))
+    fwd = np.asarray(mi.render(scene, spp=48, seed=0)).mean(axis=(0, 1))
+    pt = np.asarray(render_ptracer(scene, seed=0, spp=48)).mean(axis=(0, 1))
+    assert np.allclose(pt, fwd, rtol=0.08), (pt, fwd)
