@@ -40,6 +40,14 @@ CONDUCTOR = 1
 ROUGH_CONDUCTOR = 2
 DIELECTRIC = 3
 PLASTIC = 4
+NULL = 5
+THIN_DIELECTRIC = 6
+ROUGH_DIELECTRIC = 7
+ROUGH_PLASTIC = 8
+MASK = 9
+BLEND = 10
+NORMALMAP = 11
+PRINCIPLED = 12
 N_PARAMS = 16  # bsdf_params row width
 
 _REGISTRY = {}
@@ -92,9 +100,57 @@ def eval_pdf(scene, bsdf_idx, si, wo):
     return _dispatch(scene, bsdf_idx, "eval_pdf", si, wo)
 
 
-from . import conductor, dielectric, diffuse, roughconductor  # noqa: E402
+# Adapter BSDFs (mask/blendbsdf/normalmap) wrap a nested BSDF slot. Their
+# nested calls dispatch over the *non-adapter* types only, which bounds the
+# recursion at one level (the reference nests arbitrarily via vcalls;
+# adapters-of-adapters are rejected at load time).
+_ADAPTER_TYPES = frozenset((9, 10, 11))  # MASK, BLEND, NORMALMAP
+
+
+def dispatch_nested(scene, bsdf_idx, fn_name, *args):
+    unique = tuple(t for t in sorted(set(scene.bsdf_types))
+                   if t not in _ADAPTER_TYPES)
+    type_per_slot = jnp.array(scene.bsdf_types, jnp.int32)
+    lane_type = type_per_slot[bsdf_idx]
+    result = None
+    for t in unique:
+        out = getattr(_REGISTRY[t], fn_name)(scene, bsdf_idx, *args)
+        if result is None:
+            result = out
+        else:
+            mask_l = lane_type == t
+            result = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(mask_l, new, old), out, result)
+    return result
+
+
+def eval_null_transmission(scene, bsdf_idx, si):
+    """Per-lane transmittance of straight-through shadow rays
+    (bsdf.h:480): 1 for null-type lanes, 0 otherwise."""
+    unique = tuple(sorted(set(scene.bsdf_types)))
+    from ..core.vec import Vec3
+    out = Vec3.zeros(si.t.shape)
+    if NULL not in unique:
+        return out
+    type_per_slot = jnp.array(scene.bsdf_types, jnp.int32)
+    lane_type = type_per_slot[bsdf_idx]
+    val = _REGISTRY[NULL].eval_null_transmission(scene, bsdf_idx, si)
+    return Vec3.where(lane_type == NULL, val, out)
+
+
+from . import (blendbsdf, conductor, dielectric, diffuse, mask,  # noqa: E402
+               normalmap, null, plastic, roughconductor, roughdielectric,
+               roughplastic, thindielectric)
 
 register(DIFFUSE, diffuse)
 register(CONDUCTOR, conductor)
 register(ROUGH_CONDUCTOR, roughconductor)
 register(DIELECTRIC, dielectric)
+register(NULL, null)
+register(PLASTIC, plastic)
+register(THIN_DIELECTRIC, thindielectric)
+register(ROUGH_DIELECTRIC, roughdielectric)
+register(ROUGH_PLASTIC, roughplastic)
+register(MASK, mask)
+register(BLEND, blendbsdf)
+register(NORMALMAP, normalmap)

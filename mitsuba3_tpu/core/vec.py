@@ -153,6 +153,9 @@ class Vec3:
         return Vec3(jnp.clip(self.x, lo, hi), jnp.clip(self.y, lo, hi),
                     jnp.clip(self.z, lo, hi))
 
+    def exp(self):
+        return Vec3(jnp.exp(self.x), jnp.exp(self.y), jnp.exp(self.z))
+
     def isfinite(self):
         return (jnp.isfinite(self.x) & jnp.isfinite(self.y)
                 & jnp.isfinite(self.z))

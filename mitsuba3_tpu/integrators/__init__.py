@@ -12,13 +12,15 @@ from . import aov as aov_mod
 from . import direct as direct_mod
 from . import path as path_mod
 from . import ptracer as ptracer_mod
+from . import volpath as volpath_mod
 from .path import PathConfig
 
 _depth_mod = types.SimpleNamespace(sample=aov_mod.depth_sample,
                                    n_channels=aov_mod.depth_n_channels)
 
 _REGISTRY = {"path": path_mod, "direct": direct_mod, "aov": aov_mod,
-             "depth": _depth_mod, "ptracer": ptracer_mod}
+             "depth": _depth_mod, "ptracer": ptracer_mod,
+             "volpath": volpath_mod}
 
 
 def register(name, module):
@@ -31,6 +33,9 @@ def _lazy_register(name):
     if name == "prb" and "prb" not in _REGISTRY:
         from ..ad import prb as prb_mod
         _REGISTRY["prb"] = prb_mod
+    if name == "prbvolpath" and "prbvolpath" not in _REGISTRY:
+        from ..ad import prbvolpath as prbvol_mod
+        _REGISTRY["prbvolpath"] = prbvol_mod
 
 
 def get_integrator(cfg):
@@ -53,6 +58,11 @@ def config_from_dict(spec: dict):
             max_depth=int(spec.get("max_depth", 8)),
             rr_depth=int(spec.get("rr_depth", 5)),
             hide_emitters=bool(spec.get("hide_emitters", False)))
+    if itype in ("volpath", "volpathmis"):
+        return volpath_mod.config_from_dict(spec)
+    if itype == "prbvolpath":
+        from ..ad import prbvolpath as prbvol_mod
+        return prbvol_mod.config_from_dict(spec)
     if itype == "direct":
         return direct_mod.config_from_dict(spec)
     if itype == "ptracer":

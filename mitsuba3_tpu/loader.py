@@ -21,7 +21,11 @@ from .render.scene import (TRI_CHUNK, TRI_PAD, FilmConfig, Scene,
 _SHAPE_TYPES = ("rectangle", "cube", "sphere", "obj", "ply", "mesh")
 _EMITTER_TYPES = ("area", "constant", "envmap", "point")
 _BSDF_TYPES = ("diffuse", "conductor", "roughconductor", "dielectric",
-               "plastic", "twosided")
+               "thindielectric", "roughdielectric", "plastic",
+               "roughplastic", "twosided", "null", "mask", "blendbsdf",
+               "normalmap", "bumpmap")
+_MEDIUM_TYPES = ("homogeneous", "heterogeneous")
+_PHASE_IDS = {"isotropic": 0, "hg": 1, "rayleigh": 2}
 
 
 def _rgb(spec, default=(0.5, 0.5, 0.5)):
@@ -43,14 +47,66 @@ def _rgb(spec, default=(0.5, 0.5, 0.5)):
     return v
 
 
-def _bsdf_row(spec: dict, textures: list):
+def _bsdf_row(spec: dict, textures: list, add_bsdf=None):
     """Lower a BSDF spec -> (type_id, params row [N_PARAMS]).
 
     `textures` is the scene-level texture list; bitmap/checkerboard color
     specs append to it and store index+1 in the row's texture slot.
+    `add_bsdf` registers nested BSDFs (mask/blendbsdf/normalmap adapters)
+    and returns their slot index.
     """
     btype = spec["type"]
     params = np.zeros(bsdfs_pkg.N_PARAMS, np.float32)
+
+    def nested_specs():
+        return [v for v in spec.values()
+                if isinstance(v, dict) and v.get("type") in _BSDF_TYPES]
+
+    if btype in ("mask", "blendbsdf", "normalmap", "bumpmap"):
+        if add_bsdf is None:
+            raise ValueError(f"{btype!r} requires nested BSDF registration")
+        nests = nested_specs()
+        for ns in nests:
+            if ns["type"] in ("mask", "blendbsdf", "normalmap", "bumpmap"):
+                raise ValueError("adapter-of-adapter BSDFs are unsupported")
+        if btype == "mask":
+            op = spec.get("opacity", 0.5)
+            if isinstance(op, dict) and op.get("type") in ("bitmap",
+                                                           "checkerboard"):
+                from .render.texture_io import load_texture_spec
+                textures.append(load_texture_spec(op))
+                params[1] = len(textures)
+                params[0] = 0.5
+            else:
+                params[0] = float(op["value"]) if isinstance(op, dict) \
+                    else float(op)
+            params[15] = add_bsdf(nests[0])
+            return bsdfs_pkg.MASK, params
+        if btype == "blendbsdf":
+            w = spec.get("weight", 0.5)
+            if isinstance(w, dict) and w.get("type") in ("bitmap",
+                                                         "checkerboard"):
+                from .render.texture_io import load_texture_spec
+                textures.append(load_texture_spec(w))
+                params[1] = len(textures)
+                params[0] = 0.5
+            else:
+                params[0] = float(w["value"]) if isinstance(w, dict) \
+                    else float(w)
+            if len(nests) != 2:
+                raise ValueError("blendbsdf needs exactly two nested BSDFs")
+            params[14] = add_bsdf(nests[0])
+            params[15] = add_bsdf(nests[1])
+            return bsdfs_pkg.BLEND, params
+        # normalmap / bumpmap (bumpmap lowered to a flat normal map)
+        nm = spec.get("normalmap") or spec.get("bumpmap")
+        if isinstance(nm, dict):
+            from .render.texture_io import load_texture_spec
+            textures.append(load_texture_spec({**nm, "raw": True}))
+            params[1] = len(textures)
+        params[15] = add_bsdf(nests[0]) if nests else add_bsdf(
+            {"type": "diffuse"})
+        return bsdfs_pkg.NORMALMAP, params
 
     def color_or_texture(cspec, default, rgb_slot, tex_slot):
         if isinstance(cspec, dict) and cspec.get("type") in ("bitmap", "checkerboard"):
@@ -65,7 +121,7 @@ def _bsdf_row(spec: dict, textures: list):
         inner = spec.get("bsdf") or next(
             v for v in spec.values() if isinstance(v, dict) and "type" in v
             and v["type"] in _BSDF_TYPES)
-        tid, params = _bsdf_row(inner, textures)
+        tid, params = _bsdf_row(inner, textures, add_bsdf)
         params[7] = 1.0  # two-sided flag (honored by smooth BSDFs)
         return tid, params
     if btype == "diffuse":
@@ -85,14 +141,99 @@ def _bsdf_row(spec: dict, textures: list):
         params[7] = float(spec.get("alpha_v", alpha))
         params[11] = 0.0 if spec.get("distribution", "ggx") == "ggx" else 1.0
         return bsdfs_pkg.ROUGH_CONDUCTOR, params
-    if btype == "dielectric":
+    if btype == "null":
+        params[0:3] = _rgb(spec.get("transmittance"), (1.0, 1.0, 1.0))
+        return bsdfs_pkg.NULL, params
+    if btype in ("dielectric", "thindielectric"):
         int_ior = float(spec.get("int_ior", 1.5046))  # bk7 default (ior.h)
         ext_ior = float(spec.get("ext_ior", 1.000277))  # air
         params[0] = int_ior / ext_ior
         params[1:4] = _rgb(spec.get("specular_reflectance"), (1, 1, 1))
         params[4:7] = _rgb(spec.get("specular_transmittance"), (1, 1, 1))
-        return bsdfs_pkg.DIELECTRIC, params
+        return (bsdfs_pkg.DIELECTRIC if btype == "dielectric"
+                else bsdfs_pkg.THIN_DIELECTRIC), params
+    if btype == "roughdielectric":
+        int_ior = float(spec.get("int_ior", 1.5046))
+        ext_ior = float(spec.get("ext_ior", 1.000277))
+        params[0] = int_ior / ext_ior
+        alpha = float(spec.get("alpha", 0.1))
+        params[1] = float(spec.get("alpha_u", alpha))
+        params[2] = float(spec.get("alpha_v", alpha))
+        params[3] = 0.0 if spec.get("distribution", "beckmann") == "ggx" else 1.0
+        params[4:7] = _rgb(spec.get("specular_reflectance"), (1, 1, 1))
+        params[7:10] = _rgb(spec.get("specular_transmittance"), (1, 1, 1))
+        return bsdfs_pkg.ROUGH_DIELECTRIC, params
+    if btype in ("plastic", "roughplastic"):
+        int_ior = float(spec.get("int_ior", 1.49))  # polypropylene (ior.h)
+        ext_ior = float(spec.get("ext_ior", 1.000277))
+        color_or_texture(spec.get("diffuse_reflectance"), (0.5, 0.5, 0.5),
+                         0, 3)
+        params[4] = int_ior / ext_ior
+        params[5] = 1.0 if spec.get("nonlinear", False) else 0.0
+        params[8:11] = _rgb(spec.get("specular_reflectance"), (1, 1, 1))
+        # specular sampling weight = s_mean / (d_mean + s_mean)
+        d_mean = float(params[0:3].mean()) if params[3] == 0 else 0.5
+        s_mean = float(params[8:11].mean())
+        params[6] = s_mean / max(d_mean + s_mean, 1e-6)
+        if btype == "plastic":
+            return bsdfs_pkg.PLASTIC, params
+        params[11] = float(spec.get("alpha", 0.1))
+        params[12] = 0.0 if spec.get("distribution", "beckmann") == "ggx" else 1.0
+        return bsdfs_pkg.ROUGH_PLASTIC, params
     raise ValueError(f"Unsupported BSDF type {btype!r}")
+
+
+def _medium_row(spec: dict, grids: list):
+    """Lower a medium spec -> (medium_type, phase_type, row [N_MPARAMS],
+    to_grid [3,4]). Grid volumes append to `grids`.
+
+    Mirrors src/media/homogeneous.cpp (sigma_t/albedo/scale) and
+    src/media/heterogeneous.cpp (gridvolume density with majorant = scale *
+    max density, heterogeneous.cpp:178).
+    """
+    from . import media as media_pkg
+    mtype = spec["type"]
+    row = np.zeros(media_pkg.N_MPARAMS, np.float32)
+    row[10] = 1.0 if spec.get("sample_emitters", True) else 0.0
+    row[6] = float(spec.get("scale", 1.0))
+
+    phase_spec = spec.get("phase", {"type": "isotropic"})
+    ptype = _PHASE_IDS[phase_spec.get("type", "isotropic")]
+    row[7] = float(phase_spec.get("g", 0.0))
+    row[3:6] = _rgb(spec.get("albedo"), (0.75, 0.75, 0.75))
+
+    to_grid = np.concatenate([np.eye(3, dtype=np.float32),
+                              np.zeros((3, 1), np.float32)], axis=1)
+    if mtype == "homogeneous":
+        row[0:3] = _rgb(spec.get("sigma_t"), (1.0, 1.0, 1.0))
+        return media_pkg.HOMOGENEOUS, ptype, row, to_grid
+    if mtype == "heterogeneous":
+        # density grid: {'type':'gridvolume','data':[D,H,W],'to_world':...}
+        # or a raw [D,H,W] array; sigma_t is the RGB extinction color that
+        # the scalar density modulates.
+        vol = spec.get("density", spec.get("sigma_t"))
+        grid = None
+        if isinstance(vol, dict) and vol.get("type") == "gridvolume":
+            grid = np.asarray(vol.get("data"), np.float32)
+            tw = vol.get("to_world")
+            if tw is not None:
+                inv = tw.inverse().matrix if hasattr(tw, "inverse") else \
+                    np.linalg.inv(np.asarray(tw, np.float64))
+                to_grid = np.asarray(inv, np.float32)[:3, :4]
+        elif vol is not None and not isinstance(vol, dict):
+            grid = np.asarray(vol, np.float32)
+        color = _rgb(spec.get("color"), (1.0, 1.0, 1.0))
+        row[0:3] = color
+        if grid is not None:
+            if grid.ndim != 3:
+                raise ValueError("density grid must be [D, H, W]")
+            grids.append(grid)
+            row[9] = len(grids)
+            row[8] = row[6] * float(grid.max()) * float(color.max())
+        else:
+            row[8] = row[6] * float(color.max())
+        return media_pkg.HETEROGENEOUS, ptype, row, to_grid
+    raise ValueError(f"Unsupported medium type {mtype!r}")
 
 
 def load_dict(d: dict) -> Scene:
@@ -114,7 +255,9 @@ def load_dict(d: dict) -> Scene:
     textures: list = []
 
     def add_bsdf(spec, name=None):
-        tid, row = _bsdf_row(spec, textures)
+        if spec.get("type") == "ref":
+            return named_bsdf[spec["id"]]
+        tid, row = _bsdf_row(spec, textures, add_bsdf)
         idx = len(bsdf_types)
         bsdf_types.append(tid)
         bsdf_params.append(row)
@@ -122,8 +265,31 @@ def load_dict(d: dict) -> Scene:
             named_bsdf[name] = idx
         return idx
 
+    # media (interior/exterior of shapes; optionally a camera medium)
+    named_medium: dict[str, int] = {}
+    medium_types: list[int] = []
+    phase_types: list[int] = []
+    medium_rows: list[np.ndarray] = []
+    medium_to_grids: list[np.ndarray] = []
+    medium_grids: list[np.ndarray] = []
+    sensor_medium = -1
+
+    def add_medium(spec, name=None):
+        if spec.get("type") == "ref":
+            return named_medium[spec["id"]]
+        mtype, ptype, row, to_grid = _medium_row(spec, medium_grids)
+        idx = len(medium_types)
+        medium_types.append(mtype)
+        phase_types.append(ptype)
+        medium_rows.append(row)
+        medium_to_grids.append(to_grid)
+        if name is not None:
+            named_medium[name] = idx
+        return idx
+
     shape_items = []  # (name, spec)
     env_spec = None
+    delta_specs: list[dict] = []  # point/spot/directional emitters
 
     for key, val in d.items():
         if key == "type":
@@ -131,7 +297,9 @@ def load_dict(d: dict) -> Scene:
         if not isinstance(val, dict):
             continue
         vtype = val.get("type")
-        if vtype == "integrator" or key == "integrator" or vtype in ("path", "direct", "depth", "aov"):
+        if vtype == "integrator" or key == "integrator" or vtype in (
+                "path", "direct", "depth", "aov", "volpath", "volpathmis",
+                "prb", "prb_basic", "prbvolpath", "ptracer", "moment"):
             integrator_cfg = integrator_from_dict(val)
         elif vtype in ("perspective", "thinlens", "orthographic"):
             film_spec = val.get("film", {})
@@ -144,14 +312,19 @@ def load_dict(d: dict) -> Scene:
             sampler_type = sampler_spec.get("type", "independent")
             sensor_data, sensor_cfg = sensors_pkg.build_perspective(
                 val, film_cfg.width, film_cfg.height)
+            med_spec = val.get("medium")
+            if med_spec is not None:
+                sensor_medium = add_medium(med_spec)
         elif vtype in _BSDF_TYPES:
             add_bsdf(val, name=key)
+        elif vtype in _MEDIUM_TYPES:
+            add_medium(val, name=key)
         elif vtype in _SHAPE_TYPES:
             shape_items.append((key, val))
         elif vtype in ("constant", "envmap"):
             env_spec = val
-        elif vtype == "point":
-            raise ValueError("Emitter type 'point' not yet supported")
+        elif vtype in ("point", "spot", "directional"):
+            delta_specs.append(val)
 
     if sensor_data is None:
         sensor_data, sensor_cfg = sensors_pkg.build_perspective(
@@ -160,6 +333,7 @@ def load_dict(d: dict) -> Scene:
     # ---- lower shapes ----
     all_verts, all_faces = [], []
     face_shape, face_bsdf, face_emitter = [], [], []
+    face_medium_rows = []  # (interior, exterior); -2 = not a transition
     face_uv = []
     em_radiance = []
     em_faces: list[list[int]] = []   # per-emitter list of global face ids
@@ -189,6 +363,15 @@ def load_dict(d: dict) -> Scene:
             em_faces.append(list(range(f_off, f_off + nf)))
             em_areas.append(mesh.face_areas())
 
+        int_spec = spec.get("interior") or spec.get("interior_medium")
+        ext_spec = spec.get("exterior") or spec.get("exterior_medium")
+        if int_spec is not None or ext_spec is not None:
+            m_in = add_medium(int_spec) if int_spec is not None else -1
+            m_ex = add_medium(ext_spec) if ext_spec is not None else -1
+        else:
+            m_in = m_ex = -2  # NO_TRANSITION
+        face_medium_rows.extend([(m_in, m_ex)] * nf)
+
         all_verts.append(mesh.vertices)
         all_faces.append(mesh.faces + v_off)
         face_shape.extend([s_idx] * nf)
@@ -209,13 +392,67 @@ def load_dict(d: dict) -> Scene:
     face_shape = np.asarray(face_shape, np.int32)
     face_bsdf = np.asarray(face_bsdf, np.int32)
     face_emitter = np.asarray(face_emitter, np.int32)
+    face_medium = np.asarray(face_medium_rows, np.int32).reshape(-1, 2)
     face_uv = np.concatenate(face_uv, 0).astype(np.float32)
 
     n_faces = faces.shape[0]
-    # environment emitter takes the last emitter slot
+    # emitter slots: [area emitters][delta emitters][environment]
+    n_area_emitters = len(em_radiance)
+
+    de_types: list[int] = []
+    de_rows: list[np.ndarray] = []
+    from . import emitters as em_pkg
+    for espec in delta_specs:
+        row = np.zeros(14, np.float32)
+        etype = espec["type"]
+        tw = espec.get("to_world")
+        if etype == "point":
+            pos = np.asarray(espec.get("position", (0, 0, 0)), np.float32)
+            if tw is not None:
+                pos = np.asarray(tw.transform_point(
+                    np.zeros(3, np.float32)), np.float32)
+            row[0:3] = pos
+            row[3:6] = _rgb(espec.get("intensity"), (1, 1, 1))
+            de_types.append(em_pkg.POINT)
+        elif etype == "spot":
+            if tw is not None:
+                row[0:3] = np.asarray(
+                    tw.transform_point(np.zeros(3, np.float32)), np.float32)
+                axis = np.asarray(
+                    tw.transform_vector(np.array([0, 0, 1], np.float32)),
+                    np.float32)
+            else:
+                row[0:3] = np.asarray(espec.get("position", (0, 0, 0)),
+                                      np.float32)
+                axis = np.asarray(espec.get("direction", (0, 0, 1)),
+                                  np.float32)
+            row[6:9] = axis / max(np.linalg.norm(axis), 1e-12)
+            row[3:6] = _rgb(espec.get("intensity"), (1, 1, 1))
+            cutoff = float(espec.get("cutoff_angle", 20.0)) * np.pi / 180.0
+            beam = float(espec.get("beam_width",
+                                   float(espec.get("cutoff_angle", 20.0))
+                                   * 0.75)) * np.pi / 180.0
+            row[9] = np.cos(cutoff)
+            row[10] = cutoff
+            row[11] = 1.0 / max(cutoff - beam, 1e-6)
+            de_types.append(em_pkg.SPOT)
+        else:  # directional
+            if tw is not None:
+                axis = np.asarray(
+                    tw.transform_vector(np.array([0, 0, 1], np.float32)),
+                    np.float32)
+            else:
+                axis = np.asarray(espec.get("direction", (0, 0, 1)),
+                                  np.float32)
+            row[6:9] = axis / max(np.linalg.norm(axis), 1e-12)
+            row[3:6] = _rgb(espec.get("irradiance"), (1, 1, 1))
+            de_types.append(em_pkg.DIRECTIONAL)
+        de_rows.append(row)
+    n_delta = len(de_rows)
+
     has_env = env_spec is not None
-    env_index = len(em_radiance) if has_env else -1
-    n_emitters = len(em_radiance) + (1 if has_env else 0)
+    env_index = n_area_emitters + n_delta if has_env else -1
+    n_emitters = n_area_emitters + n_delta + (1 if has_env else 0)
 
     if has_env:
         from .emitters import envmap as env_mod
@@ -264,6 +501,8 @@ def load_dict(d: dict) -> Scene:
         face_shape = np.concatenate([face_shape, np.full(pad, -1, np.int32)])
         face_bsdf = np.concatenate([face_bsdf, np.zeros(pad, np.int32)])
         face_emitter = np.concatenate([face_emitter, np.full(pad, -1, np.int32)])
+        face_medium = np.concatenate(
+            [face_medium, np.full((pad, 2), -2, np.int32)], 0)
         face_inv_total_area = np.concatenate(
             [face_inv_total_area, np.zeros(pad, np.float32)])
         face_uv = np.concatenate([face_uv, np.zeros((pad, 3, 2), np.float32)], 0)
@@ -290,7 +529,9 @@ def load_dict(d: dict) -> Scene:
         face_emitter=jnp.asarray(face_emitter),
         face_inv_total_area=jnp.asarray(face_inv_total_area),
         face_uv=jnp.asarray(face_uv),
-        em_radiance=jnp.asarray(np.asarray(em_radiance, np.float32).reshape(-1, 3)),
+        em_radiance=jnp.asarray(
+            np.asarray(em_radiance, np.float32).reshape(-1, 3)
+            if em_radiance else np.zeros((1, 3), np.float32)),
         ef_face=jnp.asarray(ef_face),
         ef_cdf=jnp.asarray(ef_cdf),
         env_data=jnp.asarray(env_data),
@@ -302,6 +543,15 @@ def load_dict(d: dict) -> Scene:
                                               np.float32)),
         textures=tuple(jnp.asarray(t) for t in textures),
         sensor=sensor_data,
+        medium_params=jnp.asarray(
+            np.stack(medium_rows, 0) if medium_rows
+            else np.zeros((0, 12), np.float32)),
+        medium_grids=tuple(jnp.asarray(g) for g in medium_grids),
+        medium_to_grid=jnp.asarray(
+            np.stack(medium_to_grids, 0) if medium_to_grids
+            else np.zeros((0, 3, 4), np.float32)),
+        face_medium=jnp.asarray(face_medium),
+        de_params=(jnp.asarray(np.stack(de_rows, 0)) if de_rows else None),
         n_shapes=len(shape_items),
         n_emitters=n_emitters,
         bsdf_types=tuple(bsdf_types),
@@ -310,4 +560,9 @@ def load_dict(d: dict) -> Scene:
         integrator=integrator_cfg,
         spp=spp,
         env_emitter=env_index,
-        sampler_type=sampler_type)
+        sampler_type=sampler_type,
+        medium_types=tuple(medium_types),
+        phase_types=tuple(phase_types),
+        sensor_medium=sensor_medium,
+        delta_emitter_types=tuple(de_types),
+        n_area_emitters=n_area_emitters)

@@ -100,3 +100,14 @@ CONDUCTOR_IOR = {
     "Cu": ((0.200438, 0.924033, 1.10221), (3.91295, 2.44763, 2.14219)),
     "none": ((0.0, 0.0, 0.0), (1.0, 1.0, 1.0)),  # perfect mirror
 }
+
+
+def fresnel_diffuse_reflectance(eta):
+    """Average Fresnel reflectance for diffuse illumination
+    (fresnel.h:328-354: Egan-Hilgeman fit for eta<1, d'Eon-Irving above)."""
+    inv_eta = 1.0 / eta
+    approx_1 = 0.0636 * inv_eta + eta * (eta * -1.4399 + 0.7099) + 0.6681
+    approx_2 = (0.919317 + inv_eta * (-3.4793 + inv_eta * (
+        6.75335 + inv_eta * (-7.80989 + inv_eta * (4.98554
+                                                   + inv_eta * -1.36881)))))
+    return jnp.where(eta < 1.0, approx_1, approx_2)

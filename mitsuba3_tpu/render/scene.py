@@ -37,6 +37,13 @@ TRI_CHUNK = 256  # max triangle-chunk rows per intersection tile
 TRI_PAD = 8      # small-scene padding granularity (sublane multiple)
 
 
+@pytree_dataclass
+class _RefPoint:
+    """Minimal reference-point record for NEE from medium vertices."""
+    p: Vec3
+    t: jnp.ndarray  # only used for lane-count shaping
+
+
 @dataclasses.dataclass(frozen=True)
 class FilmConfig:
     width: int = 256
@@ -96,6 +103,15 @@ class Scene:
     # ---- acceleration structure (None = dense all-triangles test) ----
     accel: Any = None
 
+    # ---- participating media (media/__init__.py; medium.h) ----
+    medium_params: jnp.ndarray = None   # [M, N_MPARAMS] (loader fills)
+    medium_grids: tuple = ()            # tuple of [D, H, W] density grids
+    medium_to_grid: jnp.ndarray = None  # [M, 3, 4] world->grid affine
+    face_medium: jnp.ndarray = None     # [F, 2] i32 (interior, exterior), -1 = vacuum
+
+    # ---- delta emitters (point/spot/directional; src/emitters) ----
+    de_params: jnp.ndarray = None       # [D, 14] rows (see _eval_delta_emitter)
+
     # ---- static topology / config ----
     n_shapes: int = static_field(default=0)
     n_emitters: int = static_field(default=0)
@@ -106,6 +122,11 @@ class Scene:
     spp: int = static_field(default=64)
     env_emitter: int = static_field(default=-1)
     sampler_type: str = static_field(default="independent")
+    medium_types: tuple = static_field(default=())   # media/__init__ type ids
+    phase_types: tuple = static_field(default=())    # phase/__init__ type ids
+    sensor_medium: int = static_field(default=-1)    # camera-ray medium
+    delta_emitter_types: tuple = static_field(default=())  # emitters pkg ids
+    n_area_emitters: int = static_field(default=0)
 
     # ------------------------------------------------------------------
     # Geometry access
@@ -125,17 +146,25 @@ class Scene:
         """[K, F] attribute rows for the one-hot gather bundle.
 
         Rows: 0-8 p0/e1/e2 xyz, 9-14 uv0/uv1/uv2, 15 inv_total_area,
-        16 face_emitter, 17 face_bsdf, 18 face_shape (int rows as exact f32).
+        16 face_emitter, 17 face_bsdf, 18 face_shape, 19-20 interior/exterior
+        medium (int rows as exact f32).
         """
         p0, e1, e2 = self.triangle_soa()
         uv = self.face_uv  # [F, 3, 2]
+        f = self.faces.shape[0]
+        if self.face_medium is not None:
+            med_in = self.face_medium[:, 0].astype(jnp.float32)
+            med_ex = self.face_medium[:, 1].astype(jnp.float32)
+        else:
+            med_in = med_ex = jnp.full(f, -1.0, jnp.float32)
         rows = [p0.x, p0.y, p0.z, e1.x, e1.y, e1.z, e2.x, e2.y, e2.z,
                 uv[:, 0, 0], uv[:, 0, 1], uv[:, 1, 0], uv[:, 1, 1],
                 uv[:, 2, 0], uv[:, 2, 1],
                 self.face_inv_total_area,
                 self.face_emitter.astype(jnp.float32),
                 self.face_bsdf.astype(jnp.float32),
-                self.face_shape.astype(jnp.float32)]
+                self.face_shape.astype(jnp.float32),
+                med_in, med_ex]
         return jnp.stack(rows, axis=0)
 
     def gather_face_attrs(self, prim):
@@ -210,8 +239,19 @@ class Scene:
             "bsdf": jnp.round(a[17]).astype(jnp.int32),
             "emitter": jnp.where(valid, jnp.round(a[16]).astype(jnp.int32), -1),
             "inv_total_area": a[15],
+            "medium_interior": jnp.round(a[19]).astype(jnp.int32),
+            "medium_exterior": jnp.round(a[20]).astype(jnp.int32),
         }
         return si, attrs
+
+    @staticmethod
+    def target_medium(si, attrs, d: Vec3):
+        """Medium on the far side when leaving a surface along world
+        direction d (interaction.h target_medium: entering the shape when
+        d points against the geometric normal)."""
+        entering = si.n.dot(d) < 0.0
+        return jnp.where(entering, attrs["medium_interior"],
+                         attrs["medium_exterior"])
 
     def ray_intersect(self, ray: Ray, active=None):
         return self.compute_surface_interaction(
@@ -228,17 +268,47 @@ class Scene:
         out = self.em_radiance.T @ oh  # [3, N]
         return Vec3(out[0], out[1], out[2])
 
+    def sample_emitter_direction_from(self, ref_p: Vec3, sample1,
+                                      sample2: Vec2):
+        """NEE direction sampling from an arbitrary reference point (surface
+        or medium vertex), WITHOUT a visibility test: pick an emissive
+        triangle from the global area-weighted CDF or the environment,
+        sample a point/direction, convert the pdf to solid angle.
+        Returns (DirectionSample, unshadowed weight Vec3)."""
+        si = _RefPoint(p=ref_p, t=ref_p.x)
+        return self._sample_emitter_core(si, sample1, sample2)
+
     def sample_emitter_direction(self, si: SurfaceInteraction, sample1,
                                  sample2: Vec2, active=None,
                                  test_visibility=True):
-        """NEE: pick an emissive triangle from the global area-weighted CDF
-        (equivalent to uniform-emitter + per-emitter area sampling in the
-        reference) or the environment, sample a point/direction, convert the
-        pdf to solid angle, trace the shadow ray.
+        """NEE: direction sampling (see sample_emitter_direction_from) plus
+        the opaque shadow-ray visibility test (scene.cpp:316-367).
         Returns (DirectionSample, weight Vec3)."""
+        ds, weight = self._sample_emitter_core(si, sample1, sample2)
+        n = si.t.shape[0]
+        ok = ds.pdf > 0.0
+        if active is not None:
+            ok = ok & active
+        if test_visibility and (self.ef_face.shape[0] or self.env_emitter >= 0):
+            shadow_ray = si.spawn_ray_to(ds.p)
+            occluded = self.ray_test(shadow_ray, active=ok)
+            ok = ok & ~occluded
+        ds = ds.replace(pdf=jnp.where(ok, ds.pdf, 0.0))
+        return ds, weight.mask(ok)
+
+    def _sample_emitter_core(self, si, sample1, sample2: Vec2):
+        """Shared NEE core; `si` only needs `.p` (and `.t` for shaping).
+
+        The unit interval of `sample1` is split into: area-emitter mass
+        (the global area-weighted CDF, n_area/E), one 1/E slot per delta
+        emitter (point/spot/directional), and a final 1/E env slot —
+        equivalent to the reference's uniform emitter selection
+        (scene.cpp:248-279)."""
         n = si.t.shape[0]
         n_area = self.ef_face.shape[0]
-        if n_area == 0 and self.env_emitter < 0:
+        n_delta = (self.de_params.shape[0]
+                   if self.de_params is not None else 0)
+        if n_area == 0 and n_delta == 0 and self.env_emitter < 0:
             zeros = jnp.zeros(n, jnp.float32)
             z3 = Vec3.zeros(n)
             ds = DirectionSample(p=z3, n=z3, uv=Vec2(zeros, zeros),
@@ -249,6 +319,8 @@ class Scene:
 
         e_total = max(self.n_emitters, 1)
         area_prob = self.ef_cdf[-1] if n_area else jnp.float32(0.0)
+        delta_mass = n_delta / e_total
+        is_delta_lane = jnp.zeros(n, bool)
 
         if n_area:
             idx = jnp.searchsorted(self.ef_cdf, sample1, side="right")
@@ -276,17 +348,45 @@ class Scene:
             radiance = self.gather_em_radiance(em_idx)
             uv = Vec2(b1, b2)
 
+        if n_delta:
+            far = jnp.float32(1e7)
+            pick_delta = (sample1 >= area_prob) & (
+                sample1 < area_prob + delta_mass)
+            k = jnp.clip(((sample1 - area_prob) * e_total).astype(jnp.int32),
+                         0, n_delta - 1)
+            (d_d, p_d, n_d, rad_d, dist_d) = self._eval_delta_emitter(si, k)
+            pdf_d = jnp.full(n, 1.0 / e_total, jnp.float32)
+            pdf_d = jnp.where(rad_d.any_positive(), pdf_d, 0.0)
+            em_d = self.n_area_emitters + k
+            if n_area:
+                d = Vec3.where(pick_delta, d_d, d)
+                p = Vec3.where(pick_delta, p_d, p)
+                ng = Vec3.where(pick_delta, n_d, ng)
+                pdf_sa = jnp.where(pick_delta, pdf_d, pdf_sa)
+                radiance = Vec3.where(pick_delta, rad_d, radiance)
+                em_idx = jnp.where(pick_delta, em_d, em_idx)
+                dist = jnp.where(pick_delta, dist_d, dist)
+            else:
+                d, p, ng = d_d, p_d, n_d
+                pdf_sa = pdf_d
+                radiance = rad_d
+                em_idx = jnp.where(pick_delta, em_d, -1)
+                dist = dist_d
+                uv = sample2
+            is_delta_lane = pick_delta
+
         if self.env_emitter >= 0:
             from ..emitters import envmap as env_mod
-            s1_env = jnp.clip((sample1 - area_prob)
-                              / jnp.maximum(1.0 - area_prob, 1e-8),
+            nonenv_mass = area_prob + delta_mass
+            s1_env = jnp.clip((sample1 - nonenv_mass)
+                              / jnp.maximum(1.0 - nonenv_mass, 1e-8),
                               0.0, 1.0 - 1e-7)
             d_env, pdf_env, rad_env = env_mod.sample_env_dir(
                 self, s1_env, sample2)
             pdf_env = pdf_env / e_total
             far = jnp.float32(1e7)
-            if n_area:
-                pick_env = sample1 >= area_prob
+            if n_area or n_delta:
+                pick_env = sample1 >= nonenv_mass
                 d = Vec3.where(pick_env, d_env, d)
                 p = Vec3.where(pick_env, si.p + d_env * far, p)
                 ng = Vec3.where(pick_env, -d_env, ng)
@@ -294,6 +394,7 @@ class Scene:
                 radiance = Vec3.where(pick_env, rad_env, radiance)
                 em_idx = jnp.where(pick_env, self.env_emitter, em_idx)
                 dist = jnp.where(pick_env, far, dist)
+                is_delta_lane = is_delta_lane & ~pick_env
             else:
                 d = d_env
                 p = si.p + d_env * far
@@ -307,18 +408,50 @@ class Scene:
         ok = pdf_sa > 0.0
         inv_pdf = jnp.where(ok, 1.0 / jnp.maximum(pdf_sa, 1e-20), 0.0)
         weight = radiance * inv_pdf
-        if active is not None:
-            ok = ok & active
-        if test_visibility:
-            shadow_ray = si.spawn_ray_to(p)
-            occluded = self.ray_test(shadow_ray, active=ok)
-            pdf_sa = jnp.where(occluded, 0.0, pdf_sa)
-            ok = ok & ~occluded
 
         ds = DirectionSample(
             p=p, n=ng, uv=uv, pdf=jnp.where(ok, pdf_sa, 0.0),
-            delta=jnp.zeros(n, bool), d=d, dist=dist, emitter_index=em_idx)
+            delta=is_delta_lane, d=d, dist=dist, emitter_index=em_idx)
         return ds, weight.mask(ok)
+
+    def _eval_delta_emitter(self, si, k):
+        """Sample direction toward delta emitter slot k (point/spot/
+        directional — src/emitters/{point,spot,directional}.cpp).
+        Returns (d, p, n, radiance-equivalent, dist); the 'radiance'
+        already folds in the 1/r^2 falloff so weight = rad / pick_pmf."""
+        from .. import emitters as em_pkg
+        de = max(self.de_params.shape[0], 1)
+        oh = jax.nn.one_hot(k, de, axis=0, dtype=jnp.float32)
+        r = self.de_params.T @ oh  # [K, N] param rows
+        pos = Vec3(r[0], r[1], r[2])
+        intensity = Vec3(r[3], r[4], r[5])
+        axis = Vec3(r[6], r[7], r[8])
+        far = jnp.float32(1e7)
+
+        types = jnp.array(self.delta_emitter_types, jnp.int32)
+        t = types[jnp.clip(k, 0, len(self.delta_emitter_types) - 1)]
+        is_dir = t == em_pkg.DIRECTIONAL
+
+        d_un = pos - si.p
+        dist2 = jnp.maximum(d_un.squared_norm(), 1e-12)
+        inv_dist = jax.lax.rsqrt(dist2)
+        d_pt = d_un * inv_dist
+        d = Vec3.where(is_dir, -axis, d_pt)
+        dist = jnp.where(is_dir, far, jnp.sqrt(dist2))
+        p = Vec3.where(is_dir, si.p + d * far, pos)
+
+        rad = Vec3.where(is_dir, intensity, intensity * (1.0 / dist2))
+        # spot falloff (spot.cpp:143-150): linear-in-angle transition
+        if any(tt == em_pkg.SPOT for tt in self.delta_emitter_types):
+            cos_cutoff, cutoff_rad, inv_trans = r[9], r[10], r[11]
+            cos_theta = (-d).dot(axis)
+            beam = jnp.minimum(
+                (cutoff_rad - jnp.arccos(jnp.clip(cos_theta, -1.0, 1.0)))
+                * inv_trans, 1.0)
+            falloff = jnp.where(cos_theta > cos_cutoff,
+                                jnp.maximum(beam, 0.0), 0.0)
+            rad = Vec3.where(t == em_pkg.SPOT, rad * falloff, rad)
+        return d, p, -d, rad, dist
 
     def pdf_emitter_direction_hit(self, prev_p: Vec3, si: SurfaceInteraction,
                                   attrs):
@@ -370,3 +503,10 @@ class Scene:
         b = max(self.bsdf_params.shape[0], 1)
         oh = jax.nn.one_hot(bsdf_idx, b, axis=0, dtype=jnp.float32)  # [B, N]
         return self.bsdf_params.T @ oh  # [P, N]
+
+    def gather_medium_params(self, med_idx):
+        """[N] medium indices -> SoA param rows [N_MPARAMS, N] via one-hot.
+        Lanes with med_idx < 0 (vacuum) get the all-zeros row."""
+        m_count = max(self.medium_params.shape[0], 1)
+        oh = jax.nn.one_hot(med_idx, m_count, axis=0, dtype=jnp.float32)
+        return self.medium_params.T @ oh  # [P, N]

@@ -159,3 +159,89 @@ def test_dielectric_render_finite():
     img = np.asarray(mi.render(s, spp=16))
     assert np.isfinite(img).all()
     assert img.max() > 1.0
+
+
+@pytest.mark.parametrize("spec,name,ires", [
+    ({"type": "plastic", "diffuse_reflectance": {"type": "rgb", "value": [0.4, 0.4, 0.4]}}, "plastic", 8),
+    ({"type": "roughplastic", "alpha": 0.3, "distribution": "ggx"}, "roughplastic", 48),
+    ({"type": "roughdielectric", "alpha": 0.35, "distribution": "ggx"}, "roughdielectric", 48),
+])
+def test_new_bsdf_sample_chi2(spec, name, ires):
+    """Chi2: sampled directions follow the claimed pdf (smooth lobes of
+    plastic are delta and excluded by pdf>0 rejection filtering)."""
+    scene = _scene_with_bsdf(spec)
+    wi = jnp.array([0.4, -0.25, np.sqrt(1 - 0.4**2 - 0.25**2)], jnp.float32)
+
+    def sample_fn(n, seed):
+        s1, u, v = _uniform(n, seed)
+        si = _make_si(wi, n)
+        bs, w = bsdfs.sample(scene, jnp.zeros(n, jnp.int32), si, s1,
+                             Vec2(u, v))
+        # exclude delta lobes (plastic's specular component) and zero-weight
+        # samples (the reference chi2 BSDFAdapter drops weight==0 the same
+        # way, chi2.py:519-521 — e.g. reflections bent below the horizon)
+        keep = (np.asarray(bs.pdf) > 0) & (
+            (np.asarray(bs.sampled_type) & 0x60) == 0) & (
+            np.asarray(w.to_array()).max(axis=-1) > 0)
+        return np.asarray(bs.wo.to_array())[keep]
+
+    def pdf_fn(dirs):
+        n = dirs.shape[0]
+        si = _make_si(wi, n)
+        _, pdf = bsdfs.eval_pdf(scene, jnp.zeros(n, jnp.int32), si,
+                                Vec3.from_array(jnp.asarray(dirs, jnp.float32)))
+        return np.asarray(pdf)
+
+    passed, msg = chi2_test(
+        sample_fn, pdf_fn, SphericalDomain(), sample_count=300_000,
+        res=(32, 16), ires=ires)
+    assert passed, f"{name}: {msg}"
+
+
+def test_eval_sample_pdf_consistency_roughdielectric():
+    scene = _scene_with_bsdf({"type": "roughdielectric", "alpha": 0.3,
+                              "distribution": "ggx"})
+    n = 20_000
+    s1, u, v = _uniform(n, 13)
+    wi = jnp.array([0.3, 0.2, np.sqrt(1 - 0.09 - 0.04)], jnp.float32)
+    si = _make_si(wi, n)
+    bs, w = bsdfs.sample(scene, jnp.zeros(n, jnp.int32), si, s1, Vec2(u, v))
+    val, pdf = bsdfs.eval_pdf(scene, jnp.zeros(n, jnp.int32), si, bs.wo)
+    keep = np.asarray(bs.pdf) > 1e-2
+    a, b = np.asarray(bs.pdf)[keep], np.asarray(pdf)[keep]
+    assert np.allclose(a, b, rtol=5e-3), np.abs(a / b - 1).max()
+    ratio = np.asarray(val.to_array())[keep] / b[..., None]
+    assert np.allclose(ratio, np.asarray(w.to_array())[keep], rtol=1e-2,
+                       atol=1e-3)
+
+
+def test_thindielectric_energy_split():
+    """R + T = 1 per lane and transmission goes straight through."""
+    scene = _scene_with_bsdf({"type": "thindielectric"})
+    n = 20_000
+    s1, u, v = _uniform(n, 5)
+    wi = jnp.array([0.5, 0.0, np.sqrt(0.75)], jnp.float32)
+    si = _make_si(wi, n)
+    bs, w = bsdfs.sample(scene, jnp.zeros(n, jnp.int32), si, s1, Vec2(u, v))
+    w = np.asarray(w.to_array())
+    assert np.allclose(w, 1.0, atol=1e-5)  # weight 1 both lobes
+    wo = np.asarray(bs.wo.to_array())
+    trans = (np.asarray(bs.sampled_type) & 0x40) != 0
+    assert np.allclose(wo[trans], -np.asarray([0.5, 0.0, np.sqrt(0.75)]),
+                       atol=1e-6)
+
+
+def test_plastic_furnace_bounded():
+    """Plastic with albedo-1 base cannot gain energy."""
+    scene = _scene_with_bsdf({
+        "type": "plastic",
+        "diffuse_reflectance": {"type": "rgb", "value": [1.0, 1.0, 1.0]}})
+    n = 50_000
+    s1, u, v = _uniform(n, 6)
+    wi = jnp.array([0.0, 0.0, 1.0], jnp.float32)
+    si = _make_si(wi, n)
+    bs, w = bsdfs.sample(scene, jnp.zeros(n, jnp.int32), si, s1, Vec2(u, v))
+    pdfs = np.asarray(bs.pdf)
+    w = np.asarray(w.to_array())[pdfs > 0]
+    # mean sample weight = total albedo <= 1
+    assert w.mean() <= 1.0 + 2e-2, w.mean()

@@ -1,0 +1,79 @@
+"""Delta emitter tests (point/spot/directional) — modeled on
+src/emitters/tests/test_{point,spot,directional}.py analytic checks."""
+import numpy as np
+
+import mitsuba3_tpu as mi
+
+
+def _plane_scene(lamp, fov=30.0, wh=16):
+    return {
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 2},
+        "sensor": {
+            "type": "perspective", "fov": fov,
+            "to_world": mi.ScalarTransform4f().look_at(
+                origin=[0, 1.0, -2.5], target=[0, 0, 0], up=[0, 1, 0]),
+            "film": {"width": wh, "height": wh},
+            "sampler": {"type": "independent", "sample_count": 16}},
+        "floor": {"type": "rectangle",
+                  "to_world": mi.ScalarTransform4f().rotate([1, 0, 0], -90)
+                  .scale(3.0),
+                  "bsdf": {"type": "diffuse",
+                           "reflectance": {"type": "rgb",
+                                           "value": [0.8, 0.8, 0.8]}}},
+        "lamp": lamp,
+    }
+
+
+def test_point_light_inverse_square():
+    """Diffuse plane lit by a unit point light 1 unit above: peak radiance
+    = I/r^2 * rho/pi (point.cpp:119-148 sample_direction)."""
+    d = _plane_scene({"type": "point", "position": [0, 1.0, 0],
+                      "intensity": {"type": "rgb", "value": [1, 1, 1]}})
+    img = np.asarray(mi.render(mi.load_dict(d), spp=64))
+    peak = img.max(axis=(0, 1))
+    expect = 0.8 / np.pi  # cos=1, r=1 at the point under the lamp
+    assert np.isfinite(img).all()
+    assert np.allclose(peak, expect, rtol=0.08), (peak, expect)
+
+
+def test_directional_light_uniform_irradiance():
+    """Directional emitter straight down: radiance = E * rho/pi everywhere
+    on the plane (directional.cpp)."""
+    d = _plane_scene({"type": "directional", "direction": [0, -1, 0],
+                      "irradiance": {"type": "rgb", "value": [1, 1, 1]}})
+    img = np.asarray(mi.render(mi.load_dict(d), spp=64))
+    expect = 0.8 / np.pi
+    # central pixels all see the floor: identical radiance (no falloff);
+    # pixels near the plane's silhouette blend with the background through
+    # the reconstruction filter and are excluded
+    vals = img[4:12, 4:12]
+    assert np.allclose(vals, expect, rtol=0.05), (vals.min(), vals.max())
+
+
+def test_spot_cutoff():
+    """Spot: full intensity inside the beam, zero outside the cutoff
+    (spot.cpp:143-150 falloff_curve)."""
+    d = _plane_scene({"type": "spot", "position": [0, 1.0, 0],
+                      "direction": [0, -1, 0],
+                      "cutoff_angle": 20.0,
+                      "intensity": {"type": "rgb", "value": [1, 1, 1]}},
+                     wh=32)
+    img = np.asarray(mi.render(mi.load_dict(d), spp=64))
+    # center bright like a point light; outside the 20 deg cone: dark.
+    peak = img.max()
+    assert np.isfinite(img).all()
+    assert abs(peak - 0.8 / np.pi) / (0.8 / np.pi) < 0.1, peak
+    # corners of the plane are outside the cone -> zero
+    assert img[0, 0].max() == 0.0 and img[-1, -1].max() == 0.0
+
+
+def test_point_light_energy_vs_area_limit():
+    """A shrinking area emitter converges to the point light with matched
+    power: I = radiance * area / pi ... sanity via relative ordering only."""
+    d = _plane_scene({"type": "point", "position": [0.5, 1.0, 0.0],
+                      "intensity": {"type": "rgb", "value": [2, 1, 0.5]}})
+    img = np.asarray(mi.render(mi.load_dict(d), spp=32))
+    peak = img.reshape(-1, 3).max(axis=0)
+    # channel ratios preserved
+    assert np.allclose(peak / peak[0], [1.0, 0.5, 0.25], rtol=0.05)
