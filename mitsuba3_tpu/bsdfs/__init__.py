@@ -139,8 +139,8 @@ def eval_null_transmission(scene, bsdf_idx, si):
 
 
 from . import (blendbsdf, conductor, dielectric, diffuse, mask,  # noqa: E402
-               normalmap, null, plastic, roughconductor, roughdielectric,
-               roughplastic, thindielectric)
+               normalmap, null, plastic, principled, roughconductor,
+               roughdielectric, roughplastic, thindielectric)
 
 register(DIFFUSE, diffuse)
 register(CONDUCTOR, conductor)
@@ -154,3 +154,4 @@ register(ROUGH_PLASTIC, roughplastic)
 register(MASK, mask)
 register(BLEND, blendbsdf)
 register(NORMALMAP, normalmap)
+register(PRINCIPLED, principled)

@@ -23,6 +23,13 @@ _REGISTRY = {"path": path_mod, "direct": direct_mod, "aov": aov_mod,
              "volpath": volpath_mod}
 
 
+def _register_moment():
+    # moment imports get_integrator from this module -> deferred import
+    if "moment" not in _REGISTRY:
+        from . import moment as moment_mod
+        _REGISTRY["moment"] = moment_mod
+
+
 def register(name, module):
     _REGISTRY[name] = module
 
@@ -36,6 +43,8 @@ def _lazy_register(name):
     if name == "prbvolpath" and "prbvolpath" not in _REGISTRY:
         from ..ad import prbvolpath as prbvol_mod
         _REGISTRY["prbvolpath"] = prbvol_mod
+    if name == "moment":
+        _register_moment()
 
 
 def get_integrator(cfg):
@@ -69,6 +78,9 @@ def config_from_dict(spec: dict):
         return ptracer_mod.config_from_dict(spec)
     if itype in ("depth", "aov"):
         return aov_mod.config_from_dict(spec)
+    if itype == "moment":
+        _register_moment()
+        return _REGISTRY["moment"].config_from_dict(spec)
     _lazy_register(itype)
     if itype in _REGISTRY and hasattr(_REGISTRY[itype], "config_from_dict"):
         return _REGISTRY[itype].config_from_dict(spec)

@@ -18,12 +18,13 @@ from .integrators.path import PathConfig
 from .render.scene import (TRI_CHUNK, TRI_PAD, FilmConfig, Scene,
                            SensorConfig, SensorData)
 
-_SHAPE_TYPES = ("rectangle", "cube", "sphere", "obj", "ply", "mesh")
+_SHAPE_TYPES = ("rectangle", "cube", "sphere", "disk", "cylinder", "obj",
+                "ply", "mesh")
 _EMITTER_TYPES = ("area", "constant", "envmap", "point")
 _BSDF_TYPES = ("diffuse", "conductor", "roughconductor", "dielectric",
                "thindielectric", "roughdielectric", "plastic",
                "roughplastic", "twosided", "null", "mask", "blendbsdf",
-               "normalmap", "bumpmap")
+               "normalmap", "bumpmap", "principled", "principledthin")
 _MEDIUM_TYPES = ("homogeneous", "heterogeneous")
 _PHASE_IDS = {"isotropic": 0, "hg": 1, "rayleigh": 2}
 
@@ -35,8 +36,30 @@ def _rgb(spec, default=(0.5, 0.5, 0.5)):
     if isinstance(spec, dict):
         if spec.get("type") == "rgb":
             v = spec["value"]
-        elif spec.get("type") in ("uniform", "d65", "srgb"):
-            v = spec.get("value", 1.0)
+        elif spec.get("type") in ("uniform", "d65", "srgb", "rawconstant"):
+            v = spec.get("value", spec.get("scale", 1.0))
+        elif spec.get("type") == "blackbody":
+            from .core.spectrum import blackbody_rgb
+            v = blackbody_rgb(float(spec.get("temperature", 5000.0))) \
+                * float(spec.get("scale", 1.0))
+        elif spec.get("type") in ("regular", "irregular"):
+            # sampled SPD -> sRGB projection (src/spectra/{regular,
+            # irregular}.cpp in RGB mode)
+            from .core.spectrum import spd_to_rgb
+            val = spec.get("value")
+            if isinstance(val, str):
+                pairs = [p.split(":") for p in val.split(",")]
+                wl = [float(a) for a, _ in pairs]
+                sp = [float(b) for _, b in pairs]
+            elif spec.get("type") == "regular":
+                lo, hi = spec.get("lambda_min", 360.0), spec.get(
+                    "lambda_max", 830.0)
+                sp = np.asarray(spec["values"]
+                                if "values" in spec else val, np.float64)
+                wl = np.linspace(float(lo), float(hi), sp.shape[0])
+            else:
+                wl, sp = zip(*val)
+            v = spd_to_rgb(wl, sp)
         else:
             raise ValueError(f"Unsupported spectrum spec {spec!r}")
     else:
@@ -163,6 +186,21 @@ def _bsdf_row(spec: dict, textures: list, add_bsdf=None):
         params[4:7] = _rgb(spec.get("specular_reflectance"), (1, 1, 1))
         params[7:10] = _rgb(spec.get("specular_transmittance"), (1, 1, 1))
         return bsdfs_pkg.ROUGH_DIELECTRIC, params
+    if btype in ("principled", "principledthin"):
+        color_or_texture(spec.get("base_color"), (0.5, 0.5, 0.5), 0, 3)
+        params[4] = float(spec.get("metallic", 0.0))
+        params[5] = float(spec.get("roughness", 0.5))
+        params[6] = float(spec.get("anisotropic", 0.0))
+        params[8] = float(spec.get("spec_tint", 0.0))
+        params[9] = float(spec.get("sheen", 0.0))
+        params[10] = float(spec.get("sheen_tint", 0.0))
+        params[11] = float(spec.get("clearcoat", 0.0))
+        params[12] = float(spec.get("clearcoat_gloss", 0.0))
+        params[13] = float(spec.get("specular", 0.5))
+        params[14] = float(spec.get("flatness", 0.0))
+        if btype == "principledthin":
+            params[7] = 1.0  # thin surfaces are two-sided
+        return bsdfs_pkg.PRINCIPLED, params
     if btype in ("plastic", "roughplastic"):
         int_ior = float(spec.get("int_ior", 1.49))  # polypropylene (ior.h)
         ext_ior = float(spec.get("ext_ior", 1.000277))
@@ -301,7 +339,8 @@ def load_dict(d: dict) -> Scene:
                 "path", "direct", "depth", "aov", "volpath", "volpathmis",
                 "prb", "prb_basic", "prbvolpath", "ptracer", "moment"):
             integrator_cfg = integrator_from_dict(val)
-        elif vtype in ("perspective", "thinlens", "orthographic"):
+        elif vtype in ("perspective", "thinlens", "orthographic",
+                       "radiancemeter", "irradiancemeter", "distant"):
             film_spec = val.get("film", {})
             film_cfg = FilmConfig(
                 width=int(film_spec.get("width", 256)),
@@ -335,6 +374,7 @@ def load_dict(d: dict) -> Scene:
     face_shape, face_bsdf, face_emitter = [], [], []
     face_medium_rows = []  # (interior, exterior); -2 = not a transition
     face_uv = []
+    face_ns = []           # per-corner shading normals (0 = use geometric)
     em_radiance = []
     em_faces: list[list[int]] = []   # per-emitter list of global face ids
     em_areas: list[np.ndarray] = []
@@ -381,6 +421,10 @@ def load_dict(d: dict) -> Scene:
             face_uv.append(mesh.uvs[mesh.faces])
         else:
             face_uv.append(np.zeros((nf, 3, 2)))
+        if mesh.normals is not None:
+            face_ns.append(mesh.normals[mesh.faces])
+        else:
+            face_ns.append(np.zeros((nf, 3, 3)))
         v_off += mesh.vertices.shape[0]
         f_off += nf
 
@@ -394,6 +438,7 @@ def load_dict(d: dict) -> Scene:
     face_emitter = np.asarray(face_emitter, np.int32)
     face_medium = np.asarray(face_medium_rows, np.int32).reshape(-1, 2)
     face_uv = np.concatenate(face_uv, 0).astype(np.float32)
+    face_normals = np.concatenate(face_ns, 0).astype(np.float32)
 
     n_faces = faces.shape[0]
     # emitter slots: [area emitters][delta emitters][environment]
@@ -506,6 +551,8 @@ def load_dict(d: dict) -> Scene:
         face_inv_total_area = np.concatenate(
             [face_inv_total_area, np.zeros(pad, np.float32)])
         face_uv = np.concatenate([face_uv, np.zeros((pad, 3, 2), np.float32)], 0)
+        face_normals = np.concatenate(
+            [face_normals, np.zeros((pad, 3, 3), np.float32)], 0)
 
     # degenerate padding faces must reference an existing vertex; ensure the
     # first three vertex slots exist (any real scene has >= 3 vertices)
@@ -551,6 +598,7 @@ def load_dict(d: dict) -> Scene:
             np.stack(medium_to_grids, 0) if medium_to_grids
             else np.zeros((0, 3, 4), np.float32)),
         face_medium=jnp.asarray(face_medium),
+        face_normals=jnp.asarray(face_normals),
         de_params=(jnp.asarray(np.stack(de_rows, 0)) if de_rows else None),
         n_shapes=len(shape_items),
         n_emitters=n_emitters,

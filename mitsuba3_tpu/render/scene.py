@@ -58,17 +58,22 @@ class SensorConfig:
     fov_axis: str = "x"
     near_clip: float = 1e-2
     far_clip: float = 1e4
+    type: str = "perspective"  # perspective|thinlens|orthographic|radiancemeter
 
 
 @pytree_dataclass
 class SensorData:
-    """Perspective sensor parameters (src/sensors/perspective.cpp)."""
+    """Sensor parameters (src/sensors/{perspective,thinlens,orthographic,
+    radiancemeter}.cpp). tan_half_* double as the film half-extents for the
+    orthographic sensor; aperture/focus drive the thin lens."""
     origin: jnp.ndarray    # [3]
     axis_x: jnp.ndarray    # [3] camera X (left)  — see transform.h look_at
     axis_y: jnp.ndarray    # [3] camera Y (up)
     axis_z: jnp.ndarray    # [3] camera Z (view dir)
     tan_half_x: jnp.ndarray  # scalar
     tan_half_y: jnp.ndarray  # scalar
+    aperture_radius: jnp.ndarray = None  # scalar (thinlens.cpp)
+    focus_distance: jnp.ndarray = None   # scalar (thinlens.cpp)
 
 
 @pytree_dataclass
@@ -111,6 +116,9 @@ class Scene:
 
     # ---- delta emitters (point/spot/directional; src/emitters) ----
     de_params: jnp.ndarray = None       # [D, 14] rows (see _eval_delta_emitter)
+
+    # ---- shading normals (per-corner; zeros = flat/geometric) ----
+    face_normals: jnp.ndarray = None    # [F, 3, 3]
 
     # ---- static topology / config ----
     n_shapes: int = static_field(default=0)
@@ -157,6 +165,10 @@ class Scene:
             med_ex = self.face_medium[:, 1].astype(jnp.float32)
         else:
             med_in = med_ex = jnp.full(f, -1.0, jnp.float32)
+        if self.face_normals is not None:
+            ns = self.face_normals
+        else:
+            ns = jnp.zeros((f, 3, 3), jnp.float32)
         rows = [p0.x, p0.y, p0.z, e1.x, e1.y, e1.z, e2.x, e2.y, e2.z,
                 uv[:, 0, 0], uv[:, 0, 1], uv[:, 1, 0], uv[:, 1, 1],
                 uv[:, 2, 0], uv[:, 2, 1],
@@ -164,7 +176,10 @@ class Scene:
                 self.face_emitter.astype(jnp.float32),
                 self.face_bsdf.astype(jnp.float32),
                 self.face_shape.astype(jnp.float32),
-                med_in, med_ex]
+                med_in, med_ex,
+                ns[:, 0, 0], ns[:, 0, 1], ns[:, 0, 2],
+                ns[:, 1, 0], ns[:, 1, 1], ns[:, 1, 2],
+                ns[:, 2, 0], ns[:, 2, 1], ns[:, 2, 2]]
         return jnp.stack(rows, axis=0)
 
     def gather_face_attrs(self, prim):
@@ -224,8 +239,16 @@ class Scene:
         b2 = pi.prim_uv.y
         p = tp0 + te1 * b1 + te2 * b2
         ng = te1.cross(te2).normalize()
-        # Flat shading for now; vertex-normal interpolation is a follow-up.
-        sh_frame = Frame.from_normal(ng)
+        # shading normal: barycentric vertex-normal interpolation where the
+        # mesh provides normals (mesh.h compute_surface_interaction normal
+        # recompute); all-zero corner normals mean flat shading
+        w0 = 1.0 - b1 - b2
+        ns = Vec3(a[21] * w0 + a[24] * b1 + a[27] * b2,
+                  a[22] * w0 + a[25] * b1 + a[28] * b2,
+                  a[23] * w0 + a[26] * b1 + a[29] * b2)
+        has_ns = ns.squared_norm() > 1e-12
+        ns = Vec3.where(has_ns, ns.normalize(), ng)
+        sh_frame = Frame.from_normal(ns)
         wi = sh_frame.to_local(-ray.d)
         w0 = 1.0 - b1 - b2
         uv = Vec2(a[9] * w0 + a[11] * b1 + a[13] * b2,

@@ -106,6 +106,24 @@ def build_shape(spec: dict) -> MeshData:
         mesh = make_rectangle()
     elif stype == "cube":
         mesh = make_cube()
+    elif stype == "disk":
+        mesh = make_disk()
+    elif stype == "cylinder":
+        mesh = make_cylinder()
+        r = float(spec.get("radius", 1.0))
+        p0 = np.asarray(spec.get("p0", [0, 0, 0]), np.float64)
+        p1 = np.asarray(spec.get("p1", [0, 0, 1]), np.float64)
+        axis = p1 - p0
+        length = np.linalg.norm(axis)
+        if length > 0:
+            z = axis / length
+            x = np.cross([0.0, 1.0, 0.01], z)
+            x /= max(np.linalg.norm(x), 1e-12)
+            y = np.cross(z, x)
+            m = np.eye(4)
+            m[:3, 0], m[:3, 1], m[:3, 2], m[:3, 3] = (
+                x * r, y * r, z * length, p0)
+            mesh = mesh.transformed(Transform4f(m))
     elif stype == "sphere":
         mesh = make_sphere_mesh()
         center = spec.get("center", None)
@@ -126,3 +144,39 @@ def build_shape(spec: dict) -> MeshData:
             to_world = Transform4f(np.asarray(to_world, np.float64))
         mesh = mesh.transformed(to_world)
     return mesh
+
+
+def make_disk(subdiv: int = 64) -> MeshData:
+    """Unit disk in the XY plane, +Z normal (src/shapes/disk.cpp); uv is
+    polar (r, phi/2pi) like the reference parameterization."""
+    angles = np.linspace(0.0, 2 * np.pi, subdiv, endpoint=False)
+    verts = [np.zeros(3)]
+    uvs = [[0.0, 0.0]]
+    for a in angles:
+        verts.append([np.cos(a), np.sin(a), 0.0])
+        uvs.append([1.0, a / (2 * np.pi)])
+    faces = [[0, 1 + i, 1 + (i + 1) % subdiv] for i in range(subdiv)]
+    n = np.tile([0.0, 0.0, 1.0], (len(verts), 1))
+    return MeshData(np.array(verts), np.array(faces, np.int32),
+                    np.array(uvs), n)
+
+
+def make_cylinder(subdiv: int = 64) -> MeshData:
+    """Open cylinder: unit radius, z in [0, 1], outward normals
+    (src/shapes/cylinder.cpp canonical frame)."""
+    angles = np.linspace(0.0, 2 * np.pi, subdiv, endpoint=False)
+    ring = np.stack([np.cos(angles), np.sin(angles)], axis=-1)
+    v0 = np.concatenate([ring, np.zeros((subdiv, 1))], axis=-1)
+    v1 = np.concatenate([ring, np.ones((subdiv, 1))], axis=-1)
+    verts = np.concatenate([v0, v1], axis=0)
+    normals = np.concatenate(
+        [np.concatenate([ring, np.zeros((subdiv, 1))], axis=-1)] * 2, axis=0)
+    uv0 = np.stack([angles / (2 * np.pi), np.zeros(subdiv)], axis=-1)
+    uv1 = np.stack([angles / (2 * np.pi), np.ones(subdiv)], axis=-1)
+    uvs = np.concatenate([uv0, uv1], axis=0)
+    faces = []
+    for i in range(subdiv):
+        j = (i + 1) % subdiv
+        faces.append([i, j, subdiv + i])
+        faces.append([j, subdiv + j, subdiv + i])
+    return MeshData(verts, np.array(faces, np.int32), uvs, normals)

@@ -1,0 +1,53 @@
+"""Tests for the moment integrator, LargeSteps preconditioner, principled
+BSDF energy, and the CLI entry point."""
+import subprocess
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+
+import mitsuba3_tpu as mi
+
+
+def test_moment_integrator_variance_nonnegative():
+    d = mi.cornell_box(width=8, height=8, max_depth=3)
+    d["integrator"] = {"type": "moment",
+                       "nested": {"type": "path", "max_depth": 3}}
+    img = np.asarray(mi.render(mi.load_dict(d), spp=32))
+    assert img.shape[-1] == 9
+    assert np.isfinite(img).all()
+    var = img[..., 6:9] - img[..., 3:6] ** 2
+    assert (var > -1e-5).all()
+
+
+def test_largesteps_roundtrip_and_grad():
+    import jax
+    from mitsuba3_tpu.ad.largesteps import LargeSteps
+    v = np.random.default_rng(0).normal(size=(40, 3)).astype(np.float32)
+    f = np.array([[i, (i + 1) % 40, (i + 2) % 40] for i in range(38)],
+                 np.int32)
+    for meth in ("uniform", "cotan"):
+        ls = LargeSteps(v, f, lambda_=19.0, method=meth)
+        u = ls.to_differential(jnp.asarray(v))
+        v2 = np.asarray(ls.from_differential(u))
+        assert np.abs(v2 - v).max() < 1e-4, meth
+    ls = LargeSteps(v, f, 19.0)
+    g = jax.grad(lambda u: (ls.from_differential(u) ** 2).sum())(
+        ls.to_differential(jnp.asarray(v)))
+    assert bool(jnp.isfinite(g).all())
+
+
+def test_principled_renders_and_bounded():
+    d = mi.cornell_box(width=16, height=16, max_depth=4)
+    d["small-box"]["bsdf"] = {"type": "principled", "metallic": 0.7,
+                              "roughness": 0.3, "clearcoat": 0.5}
+    img = np.asarray(mi.render(mi.load_dict(d), spp=16))
+    assert np.isfinite(img).all()
+
+
+def test_cli_help():
+    out = subprocess.run(
+        [sys.executable, "-m", "mitsuba3_tpu", "--help"],
+        capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0
+    assert "scene" in out.stdout

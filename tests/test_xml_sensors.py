@@ -1,0 +1,130 @@
+"""XML parser + sensor family tests (parser.cpp front-end;
+src/sensors/{thinlens,orthographic,radiancemeter}.cpp)."""
+import numpy as np
+import pytest
+
+import mitsuba3_tpu as mi
+
+
+XML = """<scene version="3.0.0">
+  <default name="spp" value="16"/>
+  <default name="reflectance" value="0.6"/>
+  <integrator type="path"><integer name="max_depth" value="4"/></integrator>
+  <sensor type="perspective">
+    <float name="fov" value="40"/>
+    <transform name="to_world">
+      <lookat origin="0 1 4" target="0 0 0" up="0 1 0"/>
+    </transform>
+    <film type="hdrfilm">
+      <integer name="width" value="24"/><integer name="height" value="24"/>
+    </film>
+    <sampler type="independent">
+      <integer name="sample_count" value="$spp"/>
+    </sampler>
+  </sensor>
+  <bsdf type="diffuse" id="gray">
+    <rgb name="reflectance" value="$reflectance $reflectance $reflectance"/>
+  </bsdf>
+  <shape type="rectangle">
+    <transform name="to_world"><rotate x="1" angle="-90"/><scale value="2"/></transform>
+    <ref id="gray"/>
+  </shape>
+  <emitter type="constant"><rgb name="radiance" value="0.5 0.5 0.5"/></emitter>
+</scene>"""
+
+
+@pytest.fixture
+def xml_path(tmp_path):
+    p = tmp_path / "scene.xml"
+    p.write_text(XML)
+    return str(p)
+
+
+def test_parse_file_structure(xml_path):
+    from mitsuba3_tpu.utils.xml import parse_file
+    d = parse_file(xml_path)
+    assert d["type"] == "scene"
+    assert d["integrator"]["max_depth"] == 4
+    assert d["sensor"]["film"]["width"] == 24
+    assert d["sensor"]["sampler"]["sample_count"] == 16  # $spp default
+    assert d["gray"]["reflectance"]["value"] == [0.6, 0.6, 0.6]
+    assert d["shape"]["bsdf"] == {"type": "ref", "id": "gray"}
+
+
+def test_load_file_renders(xml_path):
+    scene = mi.load_file(xml_path)
+    img = np.asarray(mi.render(scene, spp=8))
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.1
+
+
+def test_load_file_param_override(xml_path):
+    from mitsuba3_tpu.utils.xml import parse_file
+    d = parse_file(xml_path, {"spp": 4, "reflectance": 0.2})
+    assert d["sensor"]["sampler"]["sample_count"] == 4
+    assert d["gray"]["reflectance"]["value"] == [0.2, 0.2, 0.2]
+
+
+def test_thinlens_defocus():
+    """Thin lens: an out-of-focus emissive sphere spreads over more pixels
+    than the pinhole image (thinlens.cpp)."""
+    def make(aperture):
+        d = {
+            "type": "scene",
+            "integrator": {"type": "path", "max_depth": 2},
+            "sensor": {"type": "thinlens" if aperture else "perspective",
+                       "fov": 30.0,
+                       "aperture_radius": aperture or 0.0,
+                       "focus_distance": 2.0,  # focus in FRONT of sphere
+                       "to_world": mi.ScalarTransform4f().look_at(
+                           origin=[0, 0, -4], target=[0, 0, 0],
+                           up=[0, 1, 0]),
+                       "film": {"width": 32, "height": 32},
+                       "sampler": {"type": "independent",
+                                   "sample_count": 64}},
+            "ball": {"type": "sphere", "radius": 0.3,
+                     "emitter": {"type": "area",
+                                 "radiance": {"type": "rgb",
+                                              "value": [5, 5, 5]}}},
+        }
+        return np.asarray(mi.render(mi.load_dict(d), spp=64))
+
+    sharp = make(None)
+    blurred = make(0.4)
+    lit_sharp = (sharp.max(axis=-1) > 0.05).sum()
+    lit_blur = (blurred.max(axis=-1) > 0.05).sum()
+    assert lit_blur > lit_sharp * 1.3, (lit_sharp, lit_blur)
+
+
+def test_orthographic_no_perspective_shrink():
+    """Orthographic: object size independent of distance."""
+    def silhouette(z):
+        d = {
+            "type": "scene",
+            "integrator": {"type": "path", "max_depth": 2},
+            "sensor": {"type": "orthographic",
+                       "to_world": mi.ScalarTransform4f().look_at(
+                           origin=[0, 0, z], target=[0, 0, 0],
+                           up=[0, 1, 0]).scale(2.0),
+                       "film": {"width": 32, "height": 32},
+                       "sampler": {"type": "independent",
+                                   "sample_count": 16}},
+            "ball": {"type": "sphere", "radius": 0.5,
+                     "emitter": {"type": "area",
+                                 "radiance": {"type": "rgb",
+                                              "value": [5, 5, 5]}}},
+        }
+        img = np.asarray(mi.render(mi.load_dict(d), spp=16))
+        return (img.max(axis=-1) > 0.05).sum()
+
+    near, far_ = silhouette(-2.0), silhouette(-6.0)
+    assert abs(near - far_) <= 0.1 * max(near, far_), (near, far_)
+
+
+def test_radiancemeter_single_direction():
+    """Radiancemeter: every pixel measures the same ray -> flat image."""
+    d = mi.cornell_box(width=8, height=8, max_depth=4)
+    d["sensor"]["type"] = "radiancemeter"
+    img = np.asarray(mi.render(mi.load_dict(d), spp=256))
+    flat = img.reshape(-1, 3)
+    assert np.allclose(flat, flat.mean(axis=0), rtol=0.15), flat.std(axis=0)
