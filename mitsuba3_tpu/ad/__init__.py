@@ -1,2 +1,3 @@
 from . import optimizers
 from .optimizers import Adam, SGD, RMSProp
+from .largesteps import LargeSteps

@@ -45,7 +45,8 @@ class PRBConfig:
     hide_emitters: bool = False
 
 
-DIFF_PARAM_NAMES = ("bsdf_params", "em_radiance", "textures", "env_data")
+DIFF_PARAM_NAMES = ("bsdf_params", "em_radiance", "textures", "env_data",
+                    "vertices")
 
 
 def extract_theta(scene):
@@ -67,6 +68,50 @@ def _attached_em_weight(scene_t, ds) -> Vec3:
         radiance = Vec3.where(ds.emitter_index == scene_t.env_emitter,
                               scene_t.eval_env(ds.d), radiance)
     return radiance * jax.lax.stop_gradient(inv_pdf)
+
+
+def _attached_nee_geometry(scene_t, ds, ref_p_a):
+    """Re-attach the NEE sample to moving emitter geometry: recompute the
+    sample position from (prim, barycentrics), the direction, and the
+    solid-angle pdf ratio pdf_det/pdf(θ) — the TPU formulation of the
+    reference's solid-angle-to-area Jacobian handling for moving geometry
+    (prb.py:201-210: ds.pdf attached via dr.replace_grad).
+
+    Returns (d_attached Vec3, jacobian Vec3-scalar [N]) where `jacobian`
+    is 1 numerically with d(pdf ratio)/d(vertices) gradients.
+    """
+    sg = jax.lax.stop_gradient
+    area_lane = ds.prim_index >= 0
+    prim = jnp.maximum(ds.prim_index, 0)
+    a = scene_t.gather_face_attrs(prim)
+    fp0 = Vec3(a[0], a[1], a[2])
+    fe1 = Vec3(a[3], a[4], a[5])
+    fe2 = Vec3(a[6], a[7], a[8])
+    b1, b2 = ds.uv.x, ds.uv.y
+    p_a = fp0 + fe1 * b1 + fe2 * b2
+    p_a = Vec3.where(area_lane, p_a, ds.p)
+    d_un = p_a - ref_p_a
+    dist2 = jnp.maximum(d_un.squared_norm(), 1e-30)
+    d_a = d_un * jax.lax.rsqrt(dist2)
+    d_a = Vec3.where(area_lane, d_a, ds.d)
+    # attached solid-angle pdf: pdf_area(θ) * dist²(θ) / cos(θ); the area
+    # pdf itself is 1/(E*A): A(θ) changes with vertices -> attach via the
+    # triangle-area ratio
+    ng_a = fe1.cross(fe2)
+    area2_a = ng_a.norm()  # 2 * triangle area
+    ng_a = ng_a * (1.0 / jnp.maximum(area2_a, 1e-20))
+    cos_em = jnp.maximum(-ng_a.dot(d_a), 1e-6)
+    # true NEE pdf(θ) = dist²(θ) / (E · A_total(θ) · cosθ_em); A_total is
+    # the summed area of ALL emissive faces (scene.cpp pdf_emitter_direction
+    # with the global area CDF). Attach the RATIO detach(pdf)/pdf(θ).
+    ef = scene_t.ef_face
+    p_all = scene_t.vertices[scene_t.faces[ef]]  # [FE, 3, 3] — FE is small
+    cr = jnp.cross(p_all[:, 1] - p_all[:, 0], p_all[:, 2] - p_all[:, 0])
+    a_total = 0.5 * jnp.sum(jnp.linalg.norm(cr, axis=-1))
+    pdf_shape_a = m.safe_div(dist2, a_total * cos_em)
+    ratio = m.safe_div(sg(pdf_shape_a), pdf_shape_a, fallback=1.0)
+    jac = jnp.where(area_lane, ratio, 1.0)
+    return d_a, jac
 
 
 @pytree_dataclass
@@ -179,21 +224,34 @@ def _loop(scene, rng, ray, cfg: PRBConfig, mode: str, dL=None, L_in=None,
 
             def local_contrib(th):
                 scene_t = substitute_theta(scene, th)
+                # attached hit recompute: si(θ) from detached (prim, bary)
+                # — attaches positions, normals, frames to the vertices
+                # (prb.py:129-146 attached si.wi recompute)
+                si_a, _ = scene_t.compute_surface_interaction(cur_ray, pi)
                 # Le(θ)
-                emitted_a = scene_t.eval_emitter(si, attrs)
+                emitted_a = scene_t.eval_emitter(si_a, attrs)
                 if scene.env_emitter >= 0:
                     emitted_a = Vec3.where(miss, scene_t.eval_env(cur_ray.d),
                                            emitted_a)
                 Le_a = (beta_det * emitted_a * mis).mask(s.active)
-                # Lr_dir(θ) — detached visibility/pdf, attached radiance+bsdf
-                em_weight_a = _attached_em_weight(scene_t, ds)
+                # Lr_dir(θ) — detached visibility, attached radiance + bsdf
+                # + emitter-sample geometry (direction & pdf Jacobian)
+                d_a, jac = _attached_nee_geometry(scene_t, ds, si_a.p)
+                em_weight_a = _attached_em_weight(scene_t, ds) * jac
                 em_weight_a = Vec3.where(em_weight_det.any_positive(),
                                          em_weight_a, Vec3.zeros(n))
-                bsdf_val_em_a, _ = bsdfs.eval_pdf(scene_t, bsdf_idx, si, wo_em)
+                wo_em_a = si_a.to_local(d_a)
+                bsdf_val_em_a, _ = bsdfs.eval_pdf(scene_t, bsdf_idx, si_a,
+                                                  wo_em_a)
                 Lr_dir_a = (beta_det * bsdf_val_em_a * em_weight_a
                             * mis_em).mask(active_em)
-                # Lr_ind(θ) = L_remaining * bsdf_val(θ)/detach(bsdf_val)
-                bsdf_val_a, _ = bsdfs.eval_pdf(scene_t, bsdf_idx, si, bs.wo)
+                # Lr_ind(θ) = L_remaining * bsdf_val(θ)/detach(bsdf_val);
+                # the continuation direction is fixed in world space, so
+                # its local coordinates rotate with the attached frame
+                wo_ind_a = si_a.to_local(jax.tree_util.tree_map(sg,
+                                                                wo_world))
+                bsdf_val_a, _ = bsdfs.eval_pdf(scene_t, bsdf_idx, si_a,
+                                               wo_ind_a)
                 denom = jax.tree_util.tree_map(sg, bsdf_val_next_det)
                 rel = Vec3(m.safe_div(bsdf_val_a.x, denom.x),
                            m.safe_div(bsdf_val_a.y, denom.y),

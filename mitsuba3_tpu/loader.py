@@ -328,6 +328,13 @@ def load_dict(d: dict) -> Scene:
     shape_items = []  # (name, spec)
     env_spec = None
     delta_specs: list[dict] = []  # point/spot/directional emitters
+    # pre-pass: shapegroup templates may be referenced before definition
+    shapegroups: dict[str, list] = {}  # id -> list of member shape specs
+    for key, val in d.items():
+        if isinstance(val, dict) and val.get("type") == "shapegroup":
+            shapegroups[key] = [v for v in val.values()
+                                if isinstance(v, dict)
+                                and v.get("type") in _SHAPE_TYPES]
 
     for key, val in d.items():
         if key == "type":
@@ -339,6 +346,18 @@ def load_dict(d: dict) -> Scene:
                 "path", "direct", "depth", "aov", "volpath", "volpathmis",
                 "prb", "prb_basic", "prbvolpath", "ptracer", "moment"):
             integrator_cfg = integrator_from_dict(val)
+        elif vtype == "batch":
+            film_spec = val.get("film", {})
+            film_cfg = FilmConfig(
+                width=int(film_spec.get("width", 256)),
+                height=int(film_spec.get("height", 256)),
+                rfilter=(film_spec.get("rfilter", {}) or {}).get(
+                    "type", "gaussian"))
+            sampler_spec = val.get("sampler", {}) or {}
+            spp = int(sampler_spec.get("sample_count", 64))
+            sampler_type = sampler_spec.get("type", "independent")
+            sensor_data, sensor_cfg = sensors_pkg.build_batch(
+                val, film_cfg.width, film_cfg.height)
         elif vtype in ("perspective", "thinlens", "orthographic",
                        "radiancemeter", "irradiancemeter", "distant"):
             film_spec = val.get("film", {})
@@ -358,11 +377,29 @@ def load_dict(d: dict) -> Scene:
             add_bsdf(val, name=key)
         elif vtype in _MEDIUM_TYPES:
             add_medium(val, name=key)
+        elif vtype == "shapegroup":
+            pass  # collected in the pre-pass above
+        elif vtype == "instance":
+            # flattened instancing: bake the instance transform into copies
+            # of the group members (the reference shares one BLAS,
+            # instance.cpp; geometry dedup is a future-round optimization)
+            ref = next(v for v in val.values()
+                       if isinstance(v, dict) and v.get("type") == "ref")
+            t_inst = val.get("to_world", Transform4f())
+            for gi, member in enumerate(shapegroups[ref["id"]]):
+                member = dict(member)
+                t_m = member.get("to_world", Transform4f())
+                if not isinstance(t_m, Transform4f):
+                    t_m = Transform4f(np.asarray(t_m, np.float64))
+                t_i = t_inst if isinstance(t_inst, Transform4f) else \
+                    Transform4f(np.asarray(t_inst, np.float64))
+                member["to_world"] = t_i @ t_m
+                shape_items.append((f"{key}_{gi}", member))
         elif vtype in _SHAPE_TYPES:
             shape_items.append((key, val))
-        elif vtype in ("constant", "envmap"):
+        elif vtype in ("constant", "envmap", "sunsky"):
             env_spec = val
-        elif vtype in ("point", "spot", "directional"):
+        elif vtype in ("point", "spot", "directional", "projector"):
             delta_specs.append(val)
 
     if sensor_data is None:
@@ -448,9 +485,37 @@ def load_dict(d: dict) -> Scene:
     de_rows: list[np.ndarray] = []
     from . import emitters as em_pkg
     for espec in delta_specs:
-        row = np.zeros(14, np.float32)
+        row = np.zeros(em_pkg.DE_ROW, np.float32)
         etype = espec["type"]
         tw = espec.get("to_world")
+        if etype == "projector":
+            if tw is not None:
+                mtx = tw.matrix
+                row[0:3] = mtx[:3, 3]
+                row[13:16] = mtx[:3, 0] / max(
+                    np.linalg.norm(mtx[:3, 0]), 1e-12)
+                row[16:19] = mtx[:3, 1] / max(
+                    np.linalg.norm(mtx[:3, 1]), 1e-12)
+                row[6:9] = mtx[:3, 2] / max(np.linalg.norm(mtx[:3, 2]),
+                                            1e-12)
+            else:
+                row[13:16] = [1, 0, 0]
+                row[16:19] = [0, 1, 0]
+                row[6:9] = [0, 0, 1]
+            row[3:6] = float(espec.get("scale", 1.0))
+            irr = espec.get("irradiance")
+            if isinstance(irr, dict) and irr.get("type") in ("bitmap",
+                                                             "checkerboard"):
+                from .render.texture_io import load_texture_spec
+                textures.append(load_texture_spec(irr))
+                row[12] = len(textures)
+            elif irr is not None:
+                row[3:6] = _rgb(irr, (1, 1, 1)) * float(
+                    espec.get("scale", 1.0))
+            row[19] = np.tan(np.deg2rad(float(espec.get("fov", 45.0))) / 2)
+            de_types.append(em_pkg.PROJECTOR)
+            de_rows.append(row)
+            continue
         if etype == "point":
             pos = np.asarray(espec.get("position", (0, 0, 0)), np.float32)
             if tw is not None:
@@ -505,6 +570,9 @@ def load_dict(d: dict) -> Scene:
         if env_spec["type"] == "constant":
             rad = _rgb(env_spec.get("radiance"), (1.0, 1.0, 1.0))
             env_data = np.broadcast_to(rad, (4, 8, 3)).astype(np.float32)
+        elif env_spec["type"] == "sunsky":
+            from .emitters.sunsky import build_sunsky_envmap
+            env_data = build_sunsky_envmap(env_spec)
         else:
             if "filename" in env_spec or "data" in env_spec:
                 env_data = load_texture_spec(

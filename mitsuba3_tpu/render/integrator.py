@@ -56,12 +56,15 @@ def render_pass(scene, pass_seed, sppc: int, pixel_offset=0, n_pixels=None,
     pos01 = Vec2((px + jitter.x) / w, (py + jitter.y) / h)
 
     stype = scene.sensor_config.type
-    if stype == "thinlens":
-        rng, ap = sampler_mod.next_2d(rng)
+    if stype == "batch":
+        ray = sensors.sample_ray_batch(scene.sensor, pos01)
     else:
-        ap = None
-    ray = sensors.sample_ray(scene.sensor, pos01, stype=stype,
-                             aperture_sample=ap)
+        if stype == "thinlens":
+            rng, ap = sampler_mod.next_2d(rng)
+        else:
+            ap = None
+        ray = sensors.sample_ray(scene.sensor, pos01, stype=stype,
+                                 aperture_sample=ap)
 
     integrator = get_integrator(scene.integrator)
     L, valid, rng, n_rays = integrator.sample(scene, rng, ray, scene.integrator)

@@ -102,7 +102,10 @@ class PositionSample:
 @pytree_dataclass
 class DirectionSample:
     """records.h:110 — position + direction from a reference point, pdf in
-    solid-angle measure. `emitter_index` replaces the EmitterPtr."""
+    solid-angle measure. `emitter_index` replaces the EmitterPtr;
+    `prim_index` records the sampled emitter triangle (-1 for env/delta)
+    so PRB can re-attach the sample position to moving geometry
+    (prb.py:201-210 solid-angle-to-area Jacobians)."""
     p: Vec3
     n: Vec3
     uv: Vec2
@@ -111,6 +114,7 @@ class DirectionSample:
     d: Vec3              # direction ref -> sample (world)
     dist: jnp.ndarray    # [N]
     emitter_index: jnp.ndarray  # [N] int32
+    prim_index: jnp.ndarray = None  # [N] int32, -1 = not an area sample
 
 
 @pytree_dataclass

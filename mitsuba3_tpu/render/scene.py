@@ -337,7 +337,8 @@ class Scene:
             ds = DirectionSample(p=z3, n=z3, uv=Vec2(zeros, zeros),
                                  pdf=zeros, delta=jnp.zeros(n, bool),
                                  d=z3, dist=zeros,
-                                 emitter_index=jnp.full(n, -1, jnp.int32))
+                                 emitter_index=jnp.full(n, -1, jnp.int32),
+                                 prim_index=jnp.full(n, -1, jnp.int32))
             return ds, z3
 
         e_total = max(self.n_emitters, 1)
@@ -345,10 +346,12 @@ class Scene:
         delta_mass = n_delta / e_total
         is_delta_lane = jnp.zeros(n, bool)
 
+        prim = jnp.full(n, -1, jnp.int32)
         if n_area:
             idx = jnp.searchsorted(self.ef_cdf, sample1, side="right")
             idx = jnp.clip(idx, 0, n_area - 1).astype(jnp.int32)
             face = self.ef_face[idx]
+            prim = face
             a = self.gather_face_attrs(face)
             fp0 = Vec3(a[0], a[1], a[2])
             fe1 = Vec3(a[3], a[4], a[5])
@@ -432,9 +435,12 @@ class Scene:
         inv_pdf = jnp.where(ok, 1.0 / jnp.maximum(pdf_sa, 1e-20), 0.0)
         weight = radiance * inv_pdf
 
+        area_lane = (em_idx >= 0) & (em_idx < max(self.n_area_emitters,
+                                                  n_area and 1))
         ds = DirectionSample(
             p=p, n=ng, uv=uv, pdf=jnp.where(ok, pdf_sa, 0.0),
-            delta=is_delta_lane, d=d, dist=dist, emitter_index=em_idx)
+            delta=is_delta_lane, d=d, dist=dist, emitter_index=em_idx,
+            prim_index=jnp.where(area_lane, prim, -1))
         return ds, weight.mask(ok)
 
     def _eval_delta_emitter(self, si, k):
@@ -474,6 +480,28 @@ class Scene:
             falloff = jnp.where(cos_theta > cos_cutoff,
                                 jnp.maximum(beam, 0.0), 0.0)
             rad = Vec3.where(t == em_pkg.SPOT, rad * falloff, rad)
+        # projector: textured frustum (src/emitters/projector.cpp) — the
+        # emitter-space direction maps to film uv through tan(fov/2)
+        if any(tt == em_pkg.PROJECTOR for tt in self.delta_emitter_types):
+            ax_x = Vec3(r[13], r[14], r[15])
+            ax_y = Vec3(r[16], r[17], r[18])
+            tanf = jnp.maximum(r[19], 1e-6)
+            dl = -d  # emitter -> surface
+            lz = jnp.maximum(dl.dot(axis), 1e-6)
+            lx = dl.dot(ax_x) / (lz * tanf)
+            ly = dl.dot(ax_y) / (lz * tanf)
+            inside = (jnp.abs(lx) <= 1.0) & (jnp.abs(ly) <= 1.0) & (
+                dl.dot(axis) > 0.0)
+            uv = Vec2((lx + 1.0) * 0.5, (ly + 1.0) * 0.5)
+            from .texture import eval_bilinear
+            tex_rgb = Vec3.from_scalar(1.0, 1.0, 1.0, like=lz)
+            tex_id = jnp.round(r[12]).astype(jnp.int32)
+            for kk, tex in enumerate(self.textures):
+                val = eval_bilinear(tex, uv)
+                tex_rgb = Vec3.where(tex_id == (kk + 1), val, tex_rgb)
+            proj = rad * tex_rgb
+            proj = Vec3.where(inside, proj, Vec3.zeros(lz.shape))
+            rad = Vec3.where(t == em_pkg.PROJECTOR, proj, rad)
         return d, p, -d, rad, dist
 
     def pdf_emitter_direction_hit(self, prev_p: Vec3, si: SurfaceInteraction,

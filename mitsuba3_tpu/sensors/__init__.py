@@ -141,3 +141,42 @@ def sample_ray(sensor: SensorData, pos01, stype: str = "perspective",
         return Ray.make(o, world(jnp.zeros_like(dx), jnp.zeros_like(dx),
                                  jnp.ones_like(dx)).normalize())
     raise ValueError(f"Unknown sensor type {stype!r}")
+
+
+def build_batch(spec: dict, width: int, height: int):
+    """Batch sensor (src/sensors/batch.cpp): film columns are split evenly
+    among nested sub-sensors rendered in one wavefront."""
+    subs = [v for v in spec.values()
+            if isinstance(v, dict) and v.get("type") in (
+                "perspective", "thinlens", "orthographic")]
+    if not subs:
+        raise ValueError("batch sensor needs nested sensors")
+    sub_w = width // len(subs)
+    built = [build_perspective(s, sub_w, height) for s in subs]
+    datas = tuple(b[0] for b in built)
+    cfg = SensorConfig(fov_axis=built[0][1].fov_axis,
+                       near_clip=built[0][1].near_clip,
+                       far_clip=built[0][1].far_clip, type="batch")
+    return datas, cfg
+
+
+def sample_ray_batch(sensors_data: tuple, pos01) -> Ray:
+    """Dispatch film columns to sub-sensors (batch.cpp:20-45): sub-sensor
+    index = floor(x * S), local film x = frac(x * S)."""
+    import jax.numpy as jnp
+    from ..core.vec import Vec2, Vec3
+    s_count = len(sensors_data)
+    xs = pos01.x * s_count
+    idx = jnp.clip(xs.astype(jnp.int32), 0, s_count - 1)
+    x_local = xs - idx
+    ray = None
+    for k, sd in enumerate(sensors_data):
+        rk = sample_ray(sd, Vec2(x_local, pos01.y), stype="perspective")
+        if ray is None:
+            ray = rk
+        else:
+            sel = idx == k
+            ray = Ray(o=Vec3.where(sel, rk.o, ray.o),
+                      d=Vec3.where(sel, rk.d, ray.d),
+                      maxt=ray.maxt)
+    return ray

@@ -30,6 +30,12 @@ class SceneParameters:
             "env_scale": s.env_scale,
             "sensor.to_world.origin": s.sensor.origin,
         }
+        if s.medium_params is not None and s.medium_params.shape[0]:
+            self._values["medium_params"] = s.medium_params
+            for i in range(len(s.medium_grids)):
+                self._values[f"medium{i}.density.data"] = s.medium_grids[i]
+        if s.de_params is not None:
+            self._values["de_params"] = s.de_params
         for i in range(len(s.textures)):
             self._values[f"texture{i}.data"] = s.textures[i]
 
@@ -79,6 +85,21 @@ class SceneParameters:
             elif k == "sensor.to_world.origin":
                 s = s.replace(sensor=s.sensor.replace(
                     origin=self._values[k]))
+            elif k == "medium_params":
+                s = s.replace(medium_params=self._values[k])
+            elif k == "de_params":
+                s = s.replace(de_params=self._values[k])
+            elif k.startswith("medium"):
+                idx = int(k[len("medium"):].split(".")[0])
+                grids = list(s.medium_grids)
+                grids[idx] = self._values[k]
+                # refresh the majorant bound (heterogeneous.cpp:178)
+                mp = np.asarray(s.medium_params).copy()
+                color_max = float(mp[idx, 0:3].max())
+                mp[idx, 8] = mp[idx, 6] * float(
+                    np.asarray(self._values[k]).max()) * color_max
+                s = s.replace(medium_grids=tuple(grids),
+                              medium_params=jnp.asarray(mp))
             elif k.startswith("texture"):
                 idx = int(k[len("texture"):].split(".")[0])
                 tex[idx] = self._values[k]

@@ -110,3 +110,100 @@ def test_prb_texture_gradient_vs_fd():
     fd = (float(loss((t0.at[0, 0, 0].add(eps),)))
           - float(loss((t0.at[0, 0, 0].add(-eps),)))) / (2 * eps)
     assert abs(g[0, 0, 0] - fd) / (abs(fd) + 1e-9) < 0.05, (g[0, 0, 0], fd)
+
+
+def test_prb_vertex_gradient_vs_fd():
+    """Interior geometry gradients (moving emitter): PRB vs finite
+    differences (test_ad_integrators.py shape-translation configs)."""
+    import jax
+    from mitsuba3_tpu.render.integrator import render_pass, plan_passes
+    from mitsuba3_tpu.render import film as film_mod
+
+    d = {
+        "type": "scene",
+        "integrator": {"type": "prb", "max_depth": 3},
+        "sensor": {"type": "perspective", "fov": 40.0,
+                   "to_world": mi.ScalarTransform4f().look_at(
+                       origin=[0, 1, -3], target=[0, 0, 0], up=[0, 1, 0]),
+                   "film": {"width": 6, "height": 6},
+                   "sampler": {"type": "independent", "sample_count": 64}},
+        "floor": {"type": "rectangle",
+                  "to_world": mi.ScalarTransform4f().rotate([1, 0, 0], -90)
+                  .scale(2.0),
+                  "bsdf": {"type": "diffuse",
+                           "reflectance": {"type": "rgb",
+                                           "value": [0.7, 0.7, 0.7]}}},
+        "light": {"type": "rectangle",
+                  "to_world": mi.ScalarTransform4f().translate([0, 1.5, 0])
+                  .rotate([1, 0, 0], 90).scale(0.4),
+                  "emitter": {"type": "area",
+                              "radiance": {"type": "rgb",
+                                           "value": [8, 8, 8]}}},
+    }
+    scene = mi.load_dict(d)
+    sppc, _ = plan_passes(scene, 512)
+
+    def mean_img(verts, seed):
+        s = scene.replace(vertices=verts)
+        img_i, wgt_i, _ = render_pass(s, jnp.uint32(seed), sppc)
+        return film_mod.develop(img_i, wgt_i).mean()
+
+    gf = jax.jit(jax.grad(mean_img))
+    mf = jax.jit(mean_img)
+    v0 = scene.vertices
+    eps = 1e-2
+    vp = np.asarray(v0).copy(); vp[4:8, 1] += eps
+    vm = np.asarray(v0).copy(); vm[4:8, 1] -= eps
+    seeds = range(6)
+    fd = (np.mean([float(mf(jnp.asarray(vp), s)) for s in seeds])
+          - np.mean([float(mf(jnp.asarray(vm), s)) for s in seeds])) / (2 * eps)
+    prb = np.mean([np.asarray(gf(v0, s))[4:8, 1].sum() for s in seeds])
+    assert abs(prb - fd) < 0.15 * max(abs(fd), 1e-3), (fd, prb)
+
+
+def test_prbvolpath_medium_gradients_vs_fd():
+    """Volumetric PRB: sigma_t and albedo gradients vs finite differences
+    (prbvolpath.py ladder rung)."""
+    import jax
+    from mitsuba3_tpu.render.integrator import render_pass, plan_passes
+    from mitsuba3_tpu.render import film as film_mod
+
+    d = {
+        "type": "scene",
+        "integrator": {"type": "prbvolpath", "max_depth": 4,
+                       "max_null_events": 3, "shadow_segments": 2},
+        "sensor": {"type": "perspective", "fov": 20.0,
+                   "to_world": mi.ScalarTransform4f().look_at(
+                       origin=[0, 0, -4], target=[0, 0, 0], up=[0, 1, 0]),
+                   "film": {"width": 6, "height": 6},
+                   "sampler": {"type": "independent", "sample_count": 64}},
+        "fog": {"type": "cube", "bsdf": {"type": "null"},
+                "interior": {"type": "homogeneous",
+                             "sigma_t": {"type": "rgb",
+                                         "value": [0.5, 0.5, 0.5]},
+                             "albedo": {"type": "rgb", "value": 0.3}}},
+        "env": {"type": "constant",
+                "radiance": {"type": "rgb", "value": 1.0}},
+    }
+    scene = mi.load_dict(d)
+    sppc, _ = plan_passes(scene, 256)
+
+    def mean_img(mp, seed):
+        s = scene.replace(medium_params=mp)
+        img_i, wgt_i, _ = render_pass(s, jnp.uint32(seed), sppc)
+        return film_mod.develop(img_i, wgt_i).mean()
+
+    gf = jax.jit(jax.grad(mean_img))
+    mf = jax.jit(mean_img)
+    mp0 = scene.medium_params
+    eps = 1e-2
+    seeds = range(6)
+    for sl in (slice(0, 3), slice(3, 6)):  # sigma_t, albedo
+        mp_p = np.asarray(mp0).copy(); mp_p[0, sl] += eps
+        mp_m = np.asarray(mp0).copy(); mp_m[0, sl] -= eps
+        fd = (np.mean([float(mf(jnp.asarray(mp_p), s)) for s in seeds])
+              - np.mean([float(mf(jnp.asarray(mp_m), s))
+                         for s in seeds])) / (2 * eps)
+        prb = np.mean([float(np.asarray(gf(mp0, s))[0, sl].sum())
+                       for s in seeds])
+        assert abs(prb - fd) < 0.12 * max(abs(fd), 1e-2), (sl, fd, prb)
