@@ -26,7 +26,8 @@ _BSDF_TYPES = ("diffuse", "conductor", "roughconductor", "dielectric",
                "roughplastic", "twosided", "null", "mask", "blendbsdf",
                "normalmap", "bumpmap", "principled", "principledthin")
 _MEDIUM_TYPES = ("homogeneous", "heterogeneous")
-_PHASE_IDS = {"isotropic": 0, "hg": 1, "rayleigh": 2}
+_PHASE_IDS = {"isotropic": 0, "hg": 1, "rayleigh": 2, "sggx": 3,
+              "tabphase": 4, "blendphase": 5}
 
 
 def _rgb(spec, default=(0.5, 0.5, 0.5)):
@@ -221,7 +222,47 @@ def _bsdf_row(spec: dict, textures: list, add_bsdf=None):
     raise ValueError(f"Unsupported BSDF type {btype!r}")
 
 
-def _medium_row(spec: dict, grids: list):
+def _fill_phase(phase_spec: dict, row: np.ndarray, tables: list) -> int:
+    """Fill the phase slots of a medium row (media/__init__ layout);
+    returns the phase type id."""
+    pname = phase_spec.get("type", "isotropic")
+    ptype = _PHASE_IDS[pname]
+    row[7] = float(phase_spec.get("g", 0.0))
+    if pname == "sggx":
+        s = phase_spec.get("S", phase_spec.get("s"))
+        if isinstance(s, dict):  # constvolume-style {'value': [6 floats]}
+            s = s.get("value")
+        s = np.asarray(s if s is not None else [1, 1, 1, 0, 0, 0],
+                       np.float32).reshape(-1)
+        row[12:18] = s[:6]
+    elif pname == "tabphase":
+        vals = phase_spec.get("values")
+        if isinstance(vals, str):
+            vals = [float(v) for v in vals.replace(",", " ").split()]
+        tables.append(np.asarray(vals, np.float32))
+        row[18] = len(tables)
+    elif pname == "blendphase":
+        row[19] = float(phase_spec.get("weight", 0.5))
+        nested = [v for v in phase_spec.values()
+                  if isinstance(v, dict) and v.get("type") in _PHASE_IDS]
+        if len(nested) != 2:
+            raise ValueError("blendphase needs exactly two nested phases")
+        for nv in nested:
+            if nv["type"] in ("blendphase",):
+                raise ValueError("nested blendphase unsupported")
+        sub = np.zeros_like(row)
+        row[20] = _fill_phase(nested[0], sub, tables)
+        # nested params share the row: copy slots the nested types use
+        row[7] = sub[7] if sub[7] else row[7]
+        row[12:19] = np.where(sub[12:19] != 0, sub[12:19], row[12:19])
+        sub2 = np.zeros_like(row)
+        row[21] = _fill_phase(nested[1], sub2, tables)
+        row[7] = sub2[7] if sub2[7] else row[7]
+        row[12:19] = np.where(sub2[12:19] != 0, sub2[12:19], row[12:19])
+    return ptype
+
+
+def _medium_row(spec: dict, grids: list, tables: list):
     """Lower a medium spec -> (medium_type, phase_type, row [N_MPARAMS],
     to_grid [3,4]). Grid volumes append to `grids`.
 
@@ -236,8 +277,7 @@ def _medium_row(spec: dict, grids: list):
     row[6] = float(spec.get("scale", 1.0))
 
     phase_spec = spec.get("phase", {"type": "isotropic"})
-    ptype = _PHASE_IDS[phase_spec.get("type", "isotropic")]
-    row[7] = float(phase_spec.get("g", 0.0))
+    ptype = _fill_phase(phase_spec, row, tables)
     row[3:6] = _rgb(spec.get("albedo"), (0.75, 0.75, 0.75))
 
     to_grid = np.concatenate([np.eye(3, dtype=np.float32),
@@ -310,12 +350,14 @@ def load_dict(d: dict) -> Scene:
     medium_rows: list[np.ndarray] = []
     medium_to_grids: list[np.ndarray] = []
     medium_grids: list[np.ndarray] = []
+    phase_tables: list[np.ndarray] = []
     sensor_medium = -1
 
     def add_medium(spec, name=None):
         if spec.get("type") == "ref":
             return named_medium[spec["id"]]
-        mtype, ptype, row, to_grid = _medium_row(spec, medium_grids)
+        mtype, ptype, row, to_grid = _medium_row(spec, medium_grids,
+                                                 phase_tables)
         idx = len(medium_types)
         medium_types.append(mtype)
         phase_types.append(ptype)
@@ -660,8 +702,9 @@ def load_dict(d: dict) -> Scene:
         sensor=sensor_data,
         medium_params=jnp.asarray(
             np.stack(medium_rows, 0) if medium_rows
-            else np.zeros((0, 12), np.float32)),
+            else np.zeros((0, 24), np.float32)),
         medium_grids=tuple(jnp.asarray(g) for g in medium_grids),
+        phase_tables=tuple(jnp.asarray(t) for t in phase_tables),
         medium_to_grid=jnp.asarray(
             np.stack(medium_to_grids, 0) if medium_to_grids
             else np.zeros((0, 3, 4), np.float32)),

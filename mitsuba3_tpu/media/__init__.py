@@ -21,6 +21,9 @@ Medium parameter row layout (``N_MPARAMS`` wide):
   [9]    grid slot + 1 (0 = homogeneous, no grid)
   [10]   sample_emitters flag
   [11]   reserved
+  [12:18] SGGX S matrix (Sxx, Syy, Szz, Sxy, Sxz, Syz) — phase/sggx.py
+  [18]   tabulated-phase table slot + 1 — phase/tabphase.py
+  [19]   blendphase weight, [20]/[21] nested phase type ids — phase/blendphase.py
 """
 from __future__ import annotations
 
@@ -35,7 +38,7 @@ from ..render import sampler as sampler_mod
 HOMOGENEOUS = 0
 HETEROGENEOUS = 1
 
-N_MPARAMS = 12
+N_MPARAMS = 24
 
 # bounded step count for delta/ratio-tracking loops in heterogeneous media
 MAX_TRACK_STEPS = 48

@@ -34,6 +34,8 @@ ISOTROPIC = 0
 HG = 1
 RAYLEIGH = 2
 SGGX = 3
+TABPHASE = 4
+BLEND = 5
 
 _REGISTRY = {}
 
@@ -76,8 +78,11 @@ def eval_pdf(scene, med_idx, wi, wo):
     return _dispatch(scene, med_idx, "eval_pdf", wi, wo)
 
 
-from . import hg, isotropic, rayleigh  # noqa: E402
+from . import blendphase, hg, isotropic, rayleigh, sggx, tabphase  # noqa: E402
 
 register(ISOTROPIC, isotropic)
 register(HG, hg)
 register(RAYLEIGH, rayleigh)
+register(SGGX, sggx)
+register(TABPHASE, tabphase)
+register(BLEND, blendphase)

@@ -111,6 +111,7 @@ class Scene:
     # ---- participating media (media/__init__.py; medium.h) ----
     medium_params: jnp.ndarray = None   # [M, N_MPARAMS] (loader fills)
     medium_grids: tuple = ()            # tuple of [D, H, W] density grids
+    phase_tables: tuple = ()            # tuple of [K] tabulated phase pdfs
     medium_to_grid: jnp.ndarray = None  # [M, 3, 4] world->grid affine
     face_medium: jnp.ndarray = None     # [F, 2] i32 (interior, exterior), -1 = vacuum
 

@@ -131,3 +131,99 @@ def test_rayleigh_phase_normalization():
     val_u, _ = phase.eval_pdf(sc, med, wi, d_uni)
     integral = float(np.mean(np.asarray(val_u))) * 4.0 * np.pi
     assert abs(integral - 1.0) < 0.01, integral
+
+
+def _phase_fixture(ptypes, tables=()):
+    import jax.numpy as jnp
+    from mitsuba3_tpu import phase
+
+    class FS:
+        phase_types = ptypes
+        phase_tables = tables
+        row_mods = {}
+
+        def gather_medium_params(self, idx):
+            row = jnp.zeros((24, idx.shape[0]), jnp.float32)
+            for k, v in self.row_mods.items():
+                row = row.at[k].set(v)
+            return row
+    return FS()
+
+
+def test_sggx_phase_consistency_and_normalization():
+    import jax.numpy as jnp
+    from mitsuba3_tpu import phase
+    from mitsuba3_tpu.core import warp
+    from mitsuba3_tpu.core.vec import Vec3
+    from mitsuba3_tpu.render.sampler import seed as sseed, next_1d, next_2d
+
+    sc = _phase_fixture((phase.SGGX,))
+    sc.row_mods = {12: 1.0, 13: 0.25, 14: 0.04}
+    n = 200_000
+    rng = sseed(3, n)
+    rng, s2 = next_2d(rng)
+    rng, s1 = next_1d(rng)
+    med = jnp.zeros(n, jnp.int32)
+    wi = Vec3.from_scalar(0.3, 0.1, 0.9486, like=jnp.zeros(n)).normalize()
+    wo, w, pdf = phase.sample(sc, med, wi, s1, s2)
+    _, pdf2 = phase.eval_pdf(sc, med, wi, wo)
+    assert np.abs(np.asarray(pdf) / np.maximum(np.asarray(pdf2), 1e-9)
+                  - 1).max() < 1e-3
+    rng, s2b = next_2d(rng)
+    du = warp.square_to_uniform_sphere_v(s2b)
+    vu, _ = phase.eval_pdf(sc, med, wi, du)
+    integral = float(np.mean(np.asarray(vu))) * 4 * np.pi
+    assert abs(integral - 1.0) < 0.02, integral
+
+
+def test_tabphase_matches_hg_table():
+    import jax.numpy as jnp
+    from mitsuba3_tpu import phase
+    from mitsuba3_tpu.core import warp
+    from mitsuba3_tpu.core.vec import Vec3
+    from mitsuba3_tpu.render.sampler import seed as sseed, next_1d, next_2d
+
+    g = 0.4
+    cosg = np.linspace(-1, 1, 128)
+    tbl = (1 - g * g) / (4 * np.pi * (1 + g * g - 2 * g * cosg) ** 1.5)
+    sc = _phase_fixture((phase.TABPHASE,),
+                        (jnp.asarray(tbl, np.float32),))
+    sc.row_mods = {18: 1.0}
+    n = 200_000
+    rng = sseed(5, n)
+    rng, s2 = next_2d(rng)
+    rng, s1 = next_1d(rng)
+    med = jnp.zeros(n, jnp.int32)
+    wi = Vec3.from_scalar(0.0, 0.0, 1.0, like=jnp.zeros(n))
+    wo, _, pdf = phase.sample(sc, med, wi, s1, s2)
+    _, pdf2 = phase.eval_pdf(sc, med, wi, wo)
+    assert np.abs(np.asarray(pdf) / np.maximum(np.asarray(pdf2), 1e-9)
+                  - 1).max() < 1e-3
+    rng, s2b = next_2d(rng)
+    du = warp.square_to_uniform_sphere_v(s2b)
+    vu, _ = phase.eval_pdf(sc, med, wi, du)
+    assert abs(float(np.mean(np.asarray(vu))) * 4 * np.pi - 1.0) < 0.02
+
+
+def test_blendphase_mixture():
+    import jax.numpy as jnp
+    from mitsuba3_tpu import phase
+    from mitsuba3_tpu.core import warp
+    from mitsuba3_tpu.core.vec import Vec3
+    from mitsuba3_tpu.render.sampler import seed as sseed, next_1d, next_2d
+
+    sc = _phase_fixture((phase.BLEND,))
+    sc.row_mods = {7: 0.6, 19: 0.3, 20: float(phase.ISOTROPIC),
+                   21: float(phase.HG)}
+    n = 100_000
+    rng = sseed(9, n)
+    rng, s2 = next_2d(rng)
+    rng, s1 = next_1d(rng)
+    med = jnp.zeros(n, jnp.int32)
+    wi = Vec3.from_scalar(0.0, 0.0, 1.0, like=jnp.zeros(n))
+    wo, w, pdf = phase.sample(sc, med, wi, s1, s2)
+    assert np.allclose(np.asarray(w), 1.0, atol=1e-4)  # val == pdf blend
+    rng, s2b = next_2d(rng)
+    du = warp.square_to_uniform_sphere_v(s2b)
+    vu, _ = phase.eval_pdf(sc, med, wi, du)
+    assert abs(float(np.mean(np.asarray(vu))) * 4 * np.pi - 1.0) < 0.02

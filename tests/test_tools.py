@@ -51,3 +51,23 @@ def test_cli_help():
         capture_output=True, text=True, timeout=120)
     assert out.returncode == 0
     assert "scene" in out.stdout
+
+
+def test_denoiser_reduces_gaussian_noise():
+    from mitsuba3_tpu.utils.denoiser import denoise
+    rng = np.random.default_rng(0)
+    clean = np.zeros((32, 32, 3), np.float32)
+    clean[:, 16:] = 1.0
+    noisy = clean + rng.normal(0, 0.2, clean.shape).astype(np.float32)
+    den = np.asarray(denoise(jnp.asarray(noisy)))
+    assert ((den - clean) ** 2).mean() < 0.1 * ((noisy - clean) ** 2).mean()
+
+
+def test_tonemap_and_srgb_ranges():
+    from mitsuba3_tpu.utils.denoiser import tonemap_aces, to_srgb
+    x = jnp.asarray(np.random.default_rng(1).uniform(0, 10, (8, 8, 3)),
+                    jnp.float32)
+    t = np.asarray(tonemap_aces(x))
+    assert t.min() >= 0.0 and t.max() <= 1.0
+    s = np.asarray(to_srgb(jnp.clip(x, 0, 1)))
+    assert s.min() >= 0.0 and s.max() <= 1.0
