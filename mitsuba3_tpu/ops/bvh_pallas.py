@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.vec import Vec2, Vec3
 
 TILE = 1024
-STACK = 64
+STACK = 128
 K = 128  # leaf capacity (lane width)
 
 
@@ -93,13 +93,17 @@ def build(p0, e1, e2, leaf_size=K):
 # ---------------------------------------------------------------------------
 
 def _aabb_any_hit(nb_ref, node, ox, oy, oz, ix, iy, iz, tmax):
-    """Slab test of one node's box against the whole tile; returns bool."""
-    mnx = nb_ref[node, 0]
-    mny = nb_ref[node, 1]
-    mnz = nb_ref[node, 2]
-    mxx = nb_ref[node, 3]
-    mxy = nb_ref[node, 4]
-    mxz = nb_ref[node, 5]
+    """Slab test of one node's box against the whole tile; returns bool.
+
+    Node bounds are a FLAT [Nn*8] SMEM array: 2-D SMEM windows pad the
+    minor dim to 128 lanes (16x memory blow-up at scene scale)."""
+    base = node * 8
+    mnx = nb_ref[base + 0]
+    mny = nb_ref[base + 1]
+    mnz = nb_ref[base + 2]
+    mxx = nb_ref[base + 3]
+    mxy = nb_ref[base + 4]
+    mxz = nb_ref[base + 5]
     t0 = (mnx - ox) * ix
     t1 = (mxx - ox) * ix
     tn = jnp.minimum(t0, t1)
@@ -181,8 +185,8 @@ def _traverse_kernel(nb_ref, nm_ref, tri_hbm, o_ref, d_ref, maxt_ref,
         sp = sp - 1
         best_t = t_out[0, :]
         any_hit = _aabb_any_hit(nb_ref, node, ox, oy, oz, ix, iy, iz, best_t)
-        meta1 = nm_ref[node, 0]
-        meta2 = nm_ref[node, 1]
+        meta1 = nm_ref[node * 2 + 0]
+        meta2 = nm_ref[node * 2 + 1]
         is_leaf = meta1 < 0
 
         @pl.when(any_hit & jnp.logical_not(is_leaf))
@@ -236,9 +240,9 @@ def _run(nb, nm, tris, o3, d3, mt, closest, interpret=False):
         grid=(grid,),
         interpret=interpret,
         in_specs=[
-            pl.BlockSpec((nb.shape[0], 8), lambda i: (0, 0),
+            pl.BlockSpec((nb.shape[0] * 8,), lambda i: (0,),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((nm.shape[0], 2), lambda i: (0, 0),
+            pl.BlockSpec((nm.shape[0] * 2,), lambda i: (0,),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((3, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -262,7 +266,7 @@ def _run(nb, nm, tris, o3, d3, mt, closest, interpret=False):
             pltpu.SMEM((STACK,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
-    )(nb, nm, tris, o3, d3, mt)
+    )(nb.reshape(-1), nm.reshape(-1), tris, o3, d3, mt)
     return outs
 
 
@@ -308,3 +312,82 @@ def occluded_bvh(bvh: BVHData, o: Vec3, d: Vec3, maxt, active=None):
     _, occ, _, _ = _run(bvh.node_bounds, bvh.node_meta, bvh.tris,
                         o3, d3, mt, False, interpret=interpret)
     return occ[0, :n] > 0
+
+
+# ---------------------------------------------------------------------------
+# Sorted (compacted) traversal — the SURVEY.md 'reorder_threads' equivalent
+# ---------------------------------------------------------------------------
+
+def _coherence_key(bvh: BVHData, o: Vec3, d: Vec3):
+    """Spatial-directional sort key: 3-bit direction octant + 9-bit Morton
+    cell of the origin inside the scene bounds. The analog of the
+    reference's dr.reorder_threads shape-id compaction (prb.py:317-322):
+    packet tiles only work when their rays agree on a region of the tree,
+    which secondary bounces destroy unless re-sorted."""
+    root = bvh.node_bounds[0]
+    lo = Vec3(root[0], root[1], root[2])
+    span = Vec3(jnp.maximum(root[3] - root[0], 1e-6),
+                jnp.maximum(root[4] - root[1], 1e-6),
+                jnp.maximum(root[5] - root[2], 1e-6))
+    oct_ = ((d.x >= 0).astype(jnp.uint32)
+            | ((d.y >= 0).astype(jnp.uint32) << 1)
+            | ((d.z >= 0).astype(jnp.uint32) << 2))
+
+    def q3(x, lo_, span_):
+        c = jnp.clip((x - lo_) / span_ * 8.0, 0.0, 7.0).astype(jnp.uint32)
+        return c
+
+    qx, qy, qz = q3(o.x, lo.x, span.x), q3(o.y, lo.y, span.y), \
+        q3(o.z, lo.z, span.z)
+    # 3 interleaved Morton rounds of 1 bit each (cheap, 9-bit cell)
+    def part(v):
+        v = (v | (v << 4)) & jnp.uint32(0x0C3)
+        v = (v | (v << 2)) & jnp.uint32(0x249)
+        return v
+
+    morton = part(qx) | (part(qy) << 1) | (part(qz) << 2)
+    return (morton << 3) | oct_
+
+
+def intersect_bvh_sorted(bvh: BVHData, o: Vec3, d: Vec3, maxt, active=None):
+    """Closest hit with coherence sorting: co-sort the ray payload by the
+    octant/Morton key (lax.sort moves payload WITH the keys — no TPU
+    gathers), traverse coherent tiles, co-sort back by lane id."""
+    n = o.x.shape[0]
+    sg = jax.lax.stop_gradient
+    o, d = jax.tree_util.tree_map(sg, (o, d))
+    if active is not None:
+        maxt = jnp.where(active, maxt, -1.0)
+    maxt = jnp.minimum(maxt, jnp.float32(3e38))
+    key = _coherence_key(bvh, o, d).astype(jnp.int32)
+    lane = jnp.arange(n, dtype=jnp.int32)
+    (key_s, ox, oy, oz, dx, dy, dz, mt_s, lane_s) = jax.lax.sort(
+        (key, o.x, o.y, o.z, d.x, d.y, d.z, maxt, lane), num_keys=1)
+    o3, d3, mt, _ = _pack_rays(Vec3(ox, oy, oz), Vec3(dx, dy, dz), mt_s)
+    interpret = jax.default_backend() == "cpu"
+    t, slot, u, v = _run(bvh.node_bounds, bvh.node_meta, bvh.tris,
+                         o3, d3, mt, True, interpret=interpret)
+    # restore original order with a second co-sort keyed on lane id
+    (_, t_o, slot_o, u_o, v_o) = jax.lax.sort(
+        (lane_s, t[0, :n], slot[0, :n], u[0, :n], v[0, :n]), num_keys=1)
+    valid = slot_o >= 0
+    prim = jnp.where(valid, bvh.prim_order[jnp.maximum(slot_o, 0)], -1)
+    return t_o, prim, Vec2(u_o, v_o), valid
+
+
+def occluded_bvh_sorted(bvh: BVHData, o: Vec3, d: Vec3, maxt, active=None):
+    n = o.x.shape[0]
+    sg = jax.lax.stop_gradient
+    o, d = jax.tree_util.tree_map(sg, (o, d))
+    if active is not None:
+        maxt = jnp.where(active, maxt, -1.0)
+    key = _coherence_key(bvh, o, d).astype(jnp.int32)
+    lane = jnp.arange(n, dtype=jnp.int32)
+    (key_s, ox, oy, oz, dx, dy, dz, mt_s, lane_s) = jax.lax.sort(
+        (key, o.x, o.y, o.z, d.x, d.y, d.z, maxt, lane), num_keys=1)
+    o3, d3, mt, _ = _pack_rays(Vec3(ox, oy, oz), Vec3(dx, dy, dz), mt_s)
+    interpret = jax.default_backend() == "cpu"
+    _, occ, _, _ = _run(bvh.node_bounds, bvh.node_meta, bvh.tris,
+                        o3, d3, mt, False, interpret=interpret)
+    (_, occ_o) = jax.lax.sort((lane_s, occ[0, :n]), num_keys=1)
+    return occ_o > 0

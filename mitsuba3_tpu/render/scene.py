@@ -192,7 +192,11 @@ class Scene:
         table = self._face_table()
         if f <= 1024:
             oh = jax.nn.one_hot(prim, f, axis=0, dtype=jnp.float32)  # [F, N]
-            return table @ oh                                        # [K, N]
+            # HIGHEST: the TPU's default bf16 matmul passes would quantize
+            # vertex positions (measured as a systematic CPU-vs-TPU image
+            # bias in the Z-test regression harness)
+            return jnp.matmul(table, oh,
+                              precision=jax.lax.Precision.HIGHEST)
         return jnp.take(table, prim, axis=1)
 
     # ------------------------------------------------------------------
@@ -200,10 +204,16 @@ class Scene:
     # ------------------------------------------------------------------
 
     def ray_intersect_preliminary(self, ray: Ray, active=None) -> PreliminaryIntersection:
-        if self.accel is not None and jax.default_backend() != "cpu":
-            from ..ops import bvh_pallas
-            t, prim, uv, valid = bvh_pallas.intersect_bvh(
-                self.accel, ray.o, ray.d, ray.maxt, active=active)
+        if self.accel is not None:
+            from ..ops import bvh_tiled, bvh_xla
+            if isinstance(self.accel, bvh_xla.BVHXLA):
+                # per-lane stackless traversal (CPU/debug backend)
+                t, prim, uv, valid = bvh_xla.intersect_bvh(
+                    self.accel, ray.o, ray.d, ray.maxt, active=active)
+            else:
+                # TPU: sorted tiles + frustum-culled fixed-trip MT kernel
+                t, prim, uv, valid = bvh_tiled.intersect_bvh(
+                    self.accel, ray.o, ray.d, ray.maxt, active=active)
         else:
             p0, e1, e2 = self.triangle_soa()
             t, prim, uv, valid = ops_intersect.intersect_naive(
@@ -215,9 +225,12 @@ class Scene:
             t=t, prim_uv=uv, prim_index=prim, shape_index=shape_idx)
 
     def ray_test(self, ray: Ray, active=None):
-        if self.accel is not None and jax.default_backend() != "cpu":
-            from ..ops import bvh_pallas
-            return bvh_pallas.occluded_bvh(
+        if self.accel is not None:
+            from ..ops import bvh_tiled, bvh_xla
+            if isinstance(self.accel, bvh_xla.BVHXLA):
+                return bvh_xla.occluded_bvh(
+                    self.accel, ray.o, ray.d, ray.maxt, active=active)
+            return bvh_tiled.occluded_bvh(
                 self.accel, ray.o, ray.d, ray.maxt, active=active)
         p0, e1, e2 = self.triangle_soa()
         return ops_intersect.occluded_naive(
@@ -289,7 +302,8 @@ class Scene:
         """[N] emitter indices -> radiance Vec3 (one-hot over E emitters)."""
         e = max(self.em_radiance.shape[0], 1)
         oh = jax.nn.one_hot(em_idx, e, axis=0, dtype=jnp.float32)  # [E, N]
-        out = self.em_radiance.T @ oh  # [3, N]
+        out = jnp.matmul(self.em_radiance.T, oh,
+                         precision=jax.lax.Precision.HIGHEST)  # [3, N]
         return Vec3(out[0], out[1], out[2])
 
     def sample_emitter_direction_from(self, ref_p: Vec3, sample1,
@@ -452,7 +466,8 @@ class Scene:
         from .. import emitters as em_pkg
         de = max(self.de_params.shape[0], 1)
         oh = jax.nn.one_hot(k, de, axis=0, dtype=jnp.float32)
-        r = self.de_params.T @ oh  # [K, N] param rows
+        r = jnp.matmul(self.de_params.T, oh,
+                       precision=jax.lax.Precision.HIGHEST)  # [K, N] rows
         pos = Vec3(r[0], r[1], r[2])
         intensity = Vec3(r[3], r[4], r[5])
         axis = Vec3(r[6], r[7], r[8])
@@ -554,11 +569,13 @@ class Scene:
         """[N] bsdf slots -> SoA param rows [N_PARAMS, N] via one-hot."""
         b = max(self.bsdf_params.shape[0], 1)
         oh = jax.nn.one_hot(bsdf_idx, b, axis=0, dtype=jnp.float32)  # [B, N]
-        return self.bsdf_params.T @ oh  # [P, N]
+        return jnp.matmul(self.bsdf_params.T, oh,
+                          precision=jax.lax.Precision.HIGHEST)  # [P, N]
 
     def gather_medium_params(self, med_idx):
         """[N] medium indices -> SoA param rows [N_MPARAMS, N] via one-hot.
         Lanes with med_idx < 0 (vacuum) get the all-zeros row."""
         m_count = max(self.medium_params.shape[0], 1)
         oh = jax.nn.one_hot(med_idx, m_count, axis=0, dtype=jnp.float32)
-        return self.medium_params.T @ oh  # [P, N]
+        return jnp.matmul(self.medium_params.T, oh,
+                          precision=jax.lax.Precision.HIGHEST)  # [P, N]

@@ -74,7 +74,7 @@ def make_cube() -> MeshData:
     return MeshData(np.array(verts), np.array(faces, np.int32), np.array(uvs))
 
 
-def make_sphere_mesh(subdiv_theta: int = 64, subdiv_phi: int = 128) -> MeshData:
+def make_sphere_mesh(subdiv_theta: int = 32, subdiv_phi: int = 64) -> MeshData:
     """Lat-long triangulated unit sphere (placeholder until the analytic
     sphere intersection branch lands)."""
     th = np.linspace(0.0, np.pi, subdiv_theta + 1)
