@@ -48,6 +48,7 @@ MASK = 9
 BLEND = 10
 NORMALMAP = 11
 PRINCIPLED = 12
+HAIR = 13
 N_PARAMS = 16  # bsdf_params row width
 
 _REGISTRY = {}
@@ -155,3 +156,7 @@ register(MASK, mask)
 register(BLEND, blendbsdf)
 register(NORMALMAP, normalmap)
 register(PRINCIPLED, principled)
+
+from . import hair  # noqa: E402
+
+register(HAIR, hair)

@@ -109,6 +109,15 @@ def sample_emitter_ray(scene, rng, n):
     em_idx = jnp.round(a[16]).astype(jnp.int32)
     radiance = scene.gather_em_radiance(em_idx)
     weight = radiance * (m.Pi * m.safe_div(1.0, pdf_area))
+    # directionalarea: emission is a delta along the surface normal
+    # (directionalarea.cpp sample_ray: d = ps.n, no cosine-pdf factor)
+    if scene.em_directional:
+        is_dir = jnp.zeros_like(em_idx, dtype=bool)
+        for slot in scene.em_directional:
+            is_dir = is_dir | (em_idx == slot)
+        d = Vec3.where(is_dir, ng, d)
+        weight = Vec3.where(is_dir,
+                            radiance * m.safe_div(1.0, pdf_area), weight)
     eps = m.RayEpsilon * (1.0 + p.abs().max_component())
     ray = Ray.make(p + ng * eps, d)
     return ray, weight, p, ng, radiance, pdf_area, rng

@@ -24,7 +24,7 @@ _EMITTER_TYPES = ("area", "constant", "envmap", "point")
 _BSDF_TYPES = ("diffuse", "conductor", "roughconductor", "dielectric",
                "thindielectric", "roughdielectric", "plastic",
                "roughplastic", "twosided", "null", "mask", "blendbsdf",
-               "normalmap", "bumpmap", "principled", "principledthin")
+               "normalmap", "bumpmap", "principled", "principledthin", "hair")
 _MEDIUM_TYPES = ("homogeneous", "heterogeneous")
 _PHASE_IDS = {"isotropic": 0, "hg": 1, "rayleigh": 2, "sggx": 3,
               "tabphase": 4, "blendphase": 5}
@@ -187,6 +187,23 @@ def _bsdf_row(spec: dict, textures: list, add_bsdf=None):
         params[4:7] = _rgb(spec.get("specular_reflectance"), (1, 1, 1))
         params[7:10] = _rgb(spec.get("specular_transmittance"), (1, 1, 1))
         return bsdfs_pkg.ROUGH_DIELECTRIC, params
+    if btype == "hair":
+        params[0] = float(spec.get("longitudinal_roughness", 0.3))
+        params[1] = float(spec.get("azimuthal_roughness", 0.3))
+        params[2] = float(spec.get("scale_tilt", 2.0))
+        int_ior = float(spec.get("int_ior", 1.55))  # amber (ior.h)
+        ext_ior = float(spec.get("ext_ior", 1.000277))
+        params[3] = int_ior / ext_ior
+        if "sigma_a" in spec:
+            params[4:7] = _rgb(spec.get("sigma_a"), (0.2, 0.3, 0.5))
+        else:
+            # melanin pigmentation -> absorption (hair.cpp pigmentation)
+            eu = float(spec.get("eumelanin", 1.3))
+            ph = float(spec.get("pheomelanin", 0.2))
+            eu_a = np.array([0.419, 0.697, 1.37])
+            ph_a = np.array([0.187, 0.4, 1.05])
+            params[4:7] = eu * eu_a + ph * ph_a
+        return bsdfs_pkg.HAIR, params
     if btype in ("principled", "principledthin"):
         color_or_texture(spec.get("base_color"), (0.5, 0.5, 0.5), 0, 3)
         params[4] = float(spec.get("metallic", 0.0))
@@ -370,6 +387,7 @@ def load_dict(d: dict) -> Scene:
     shape_items = []  # (name, spec)
     env_spec = None
     delta_specs: list[dict] = []  # point/spot/directional emitters
+    em_directional: list[int] = []  # directionalarea emitter slots
     # pre-pass: shapegroup templates may be referenced before definition
     shapegroups: dict[str, list] = {}  # id -> list of member shape specs
     for key, val in d.items():
@@ -475,12 +493,14 @@ def load_dict(d: dict) -> Scene:
         e_idx = -1
         espec = spec.get("emitter")
         if espec is not None:
-            if espec["type"] != "area":
+            if espec["type"] not in ("area", "directionalarea"):
                 raise ValueError(f"Shape emitter type {espec['type']!r} unsupported")
             e_idx = len(em_radiance)
             em_radiance.append(_rgb(espec.get("radiance"), (1, 1, 1)))
             em_faces.append(list(range(f_off, f_off + nf)))
             em_areas.append(mesh.face_areas())
+            if espec["type"] == "directionalarea":
+                em_directional.append(e_idx)
 
         int_spec = spec.get("interior") or spec.get("interior_medium")
         ext_spec = spec.get("exterior") or spec.get("exterior_medium")
@@ -737,4 +757,5 @@ def load_dict(d: dict) -> Scene:
         phase_types=tuple(phase_types),
         sensor_medium=sensor_medium,
         delta_emitter_types=tuple(de_types),
-        n_area_emitters=n_area_emitters)
+        n_area_emitters=n_area_emitters,
+        em_directional=tuple(em_directional))

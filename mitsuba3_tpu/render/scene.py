@@ -136,6 +136,7 @@ class Scene:
     sensor_medium: int = static_field(default=-1)    # camera-ray medium
     delta_emitter_types: tuple = static_field(default=())  # emitters pkg ids
     n_area_emitters: int = static_field(default=0)
+    em_directional: tuple = static_field(default=())  # directionalarea slots
 
     # ------------------------------------------------------------------
     # Geometry access
@@ -387,6 +388,10 @@ class Scene:
             pdf_sa = jnp.where(cos_emitter > 0.0, pdf_sa, 0.0)
             em_idx = jnp.round(a[16]).astype(jnp.int32)
             radiance = self.gather_em_radiance(em_idx)
+            # NEE toward a directionalarea emitter contributes 0
+            # (delta-direction emission, directionalarea.cpp)
+            for slot in self.em_directional:
+                radiance = radiance.mask(em_idx != slot)
             uv = Vec2(b1, b2)
 
         if n_delta:
@@ -552,6 +557,10 @@ class Scene:
             return Vec3.zeros(si.t.shape)
         em_idx = attrs["emitter"]
         emissive = (em_idx >= 0) & si.is_valid()
+        # directionalarea emitters radiate only along the exact normal —
+        # a delta never hit by sampled rays (directionalarea.cpp eval = 0)
+        for slot in self.em_directional:
+            emissive = emissive & (em_idx != slot)
         front = si.wi.z > 0.0  # local frame: cos_theta(wi) > 0
         radiance = self.gather_em_radiance(jnp.maximum(em_idx, 0))
         return radiance.mask(emissive & front)

@@ -245,3 +245,42 @@ def test_plastic_furnace_bounded():
     w = np.asarray(w.to_array())[pdfs > 0]
     # mean sample weight = total albedo <= 1
     assert w.mean() <= 1.0 + 2e-2, w.mean()
+
+
+def test_hair_furnace_and_chi2():
+    """Hair: white furnace (sigma_a=0 -> unit energy, A_p lobes sum to 1)
+    and chi2 of the sampling distribution vs its pdf."""
+    scene = _scene_with_bsdf({"type": "hair",
+                              "sigma_a": {"type": "rgb",
+                                          "value": [0.0, 0.0, 0.0]}})
+    n = 50_000
+    s1, u, v = _uniform(n, 21)
+    wi = jnp.array([0.3, 0.6, np.sqrt(1 - 0.09 - 0.36)], jnp.float32)
+    si = _make_si(wi, n)
+    bs, w = bsdfs.sample(scene, jnp.zeros(n, jnp.int32), si, s1, Vec2(u, v))
+    wa = np.asarray(w.to_array())
+    assert np.isfinite(wa).all()
+    assert abs(wa.mean() - 1.0) < 1e-3, wa.mean()
+
+    scene2 = _scene_with_bsdf({"type": "hair"})
+
+    def sample_fn(nn, seed):
+        a, b, c = _uniform(nn, seed)
+        sii = _make_si(wi, nn)
+        bss, ww = bsdfs.sample(scene2, jnp.zeros(nn, jnp.int32), sii, a,
+                               Vec2(b, c))
+        keep = (np.asarray(bss.pdf) > 0) & (
+            np.asarray(ww.to_array()).max(axis=-1) > 0)
+        return np.asarray(bss.wo.to_array())[keep]
+
+    def pdf_fn(dirs):
+        nn = dirs.shape[0]
+        sii = _make_si(wi, nn)
+        _, pdf = bsdfs.eval_pdf(scene2, jnp.zeros(nn, jnp.int32), sii,
+                                Vec3.from_array(jnp.asarray(dirs,
+                                                            jnp.float32)))
+        return np.asarray(pdf)
+
+    passed, msg = chi2_test(sample_fn, pdf_fn, SphericalDomain(),
+                            sample_count=300_000, res=(32, 16), ires=48)
+    assert passed, msg
