@@ -30,3 +30,34 @@ from .utils.params import SceneParameters, traverse
 from . import ad
 
 ScalarTransform4f = Transform4f
+
+# ---- variant selection (mi.set_variant analog, alias.cpp:97-266) ----
+# Variants are config axes, not compiled modules: 'llvm_rgb'/'cuda_rgb'
+# style backend axes collapse to the JAX device backend; the color axis
+# selects RGB vs hero-wavelength spectral transport.
+_VARIANT = "rgb"
+_KNOWN_VARIANTS = ("rgb", "spectral",
+                   # reference-style aliases accepted for compatibility
+                   "scalar_rgb", "llvm_rgb", "cuda_rgb", "llvm_ad_rgb",
+                   "cuda_ad_rgb", "scalar_spectral", "llvm_ad_spectral")
+
+
+def set_variant(*names):
+    """Select the rendering variant (mi.set_variant). Reference-style
+    names map onto the two real axes: anything containing 'spectral'
+    enables hero-wavelength spectral transport; the backend prefix is
+    ignored (JAX owns the device)."""
+    global _VARIANT
+    for name in names:
+        if name in _KNOWN_VARIANTS or "rgb" in name or "spectral" in name:
+            _VARIANT = "spectral" if "spectral" in name else "rgb"
+            return
+    raise ValueError(f"Unknown variant(s) {names!r}")
+
+
+def variant() -> str:
+    return _VARIANT
+
+
+def variants():
+    return list(_KNOWN_VARIANTS)

@@ -45,6 +45,7 @@ def mis_weight(pdf_a, pdf_b):
 class PathState:
     ray_o: Vec3
     ray_d: Vec3
+    wl: object            # Vec3 hero wavelengths or None (spectral mode)
     throughput: Vec3
     result: Vec3
     eta: jnp.ndarray          # [N]
@@ -71,7 +72,7 @@ def sample(scene, rng, ray: Ray, cfg: PathConfig, active=None):
         return Vec3.zeros(n), jnp.zeros(n, bool), rng, jnp.float32(0)
 
     state = PathState(
-        ray_o=ray.o, ray_d=ray.d,
+        ray_o=ray.o, ray_d=ray.d, wl=ray.wl,
         throughput=Vec3.ones(n),
         result=Vec3.zeros(n),
         eta=jnp.ones(n, jnp.float32),
@@ -86,7 +87,7 @@ def sample(scene, rng, ray: Ray, cfg: PathConfig, active=None):
 
     def bounce(state: PathState, _):
         s = state
-        cur_ray = Ray.make(s.ray_o, s.ray_d)
+        cur_ray = Ray.make(s.ray_o, s.ray_d, wl=s.wl)
         pi = scene.ray_intersect_preliminary(cur_ray, active=s.active)
         si, attrs = scene.compute_surface_interaction(cur_ray, pi)
 
@@ -95,7 +96,8 @@ def sample(scene, rng, ray: Ray, cfg: PathConfig, active=None):
         ds_pdf = scene.pdf_emitter_direction_hit(s.prev_p, si, attrs)
         if scene.env_emitter >= 0:
             miss = ~si.is_valid()
-            emitted = Vec3.where(miss, scene.eval_env(cur_ray.d), emitted)
+            emitted = Vec3.where(miss, scene.eval_env(cur_ray.d, s.wl),
+                                 emitted)
             ds_pdf = jnp.where(miss,
                                scene.pdf_emitter_direction_miss(cur_ray.d),
                                ds_pdf)
@@ -164,7 +166,7 @@ def sample(scene, rng, ray: Ray, cfg: PathConfig, active=None):
                       & (throughput_max != 0.0) & (bs.pdf > 0.0))
 
         new_state = PathState(
-            ray_o=new_o, ray_d=new_d,
+            ray_o=new_o, ray_d=new_d, wl=s.wl,
             throughput=throughput, result=result, eta=eta, depth=depth,
             valid_ray=valid_ray,
             prev_p=Vec3.where(active_next, si.p, s.prev_p),

@@ -331,9 +331,12 @@ def _medium_row(spec: dict, grids: list, tables: list):
     raise ValueError(f"Unsupported medium type {mtype!r}")
 
 
-def load_dict(d: dict) -> Scene:
+def load_dict(d: dict, spectral: bool = None) -> Scene:
     if d.get("type") != "scene":
         raise ValueError("Top-level dict must have type='scene'")
+    if spectral is None:
+        from . import variant
+        spectral = "spectral" in variant()
 
     integrator_cfg = PathConfig()
     film_cfg = FilmConfig()
@@ -758,4 +761,5 @@ def load_dict(d: dict) -> Scene:
         sensor_medium=sensor_medium,
         delta_emitter_types=tuple(de_types),
         n_area_emitters=n_area_emitters,
-        em_directional=tuple(em_directional))
+        em_directional=tuple(em_directional),
+        spectral=bool(spectral))

@@ -65,9 +65,20 @@ def render_pass(scene, pass_seed, sppc: int, pixel_offset=0, n_pixels=None,
             ap = None
         ray = sensors.sample_ray(scene.sensor, pos01, stype=stype,
                                  aperture_sample=ap)
+    if scene.spectral:
+        # hero-wavelength sampling (core/spectral.py; spectrum.h
+        # sample_shifted): channel i transports radiance at lambda_i
+        from ..core import spectral as spectral_mod
+        rng, u_wl = sampler_mod.next_1d(rng)
+        wl, _ = spectral_mod.sample_wavelengths(u_wl)
+        import dataclasses as _dc
+        ray = _dc.replace(ray, wl=wl)
 
     integrator = get_integrator(scene.integrator)
     L, valid, rng, n_rays = integrator.sample(scene, rng, ray, scene.integrator)
+    if scene.spectral and hasattr(L, "to_array"):
+        from ..core import spectral as spectral_mod
+        L = spectral_mod.spectral_to_xyz(L, ray.wl)  # film stores XYZ
     if hasattr(L, "to_array"):
         L = L.to_array()
 
@@ -108,7 +119,12 @@ def _render_jit(scene, seed, sppc: int, n_passes: int):
         image, weight, rays = body(0, init)
     else:
         image, weight, rays = jax.lax.fori_loop(0, n_passes, body, init)
-    return film_mod.develop(image, weight), rays
+    out = film_mod.develop(image, weight)
+    if scene.spectral:
+        # the film accumulated CIE XYZ; convert to linear sRGB
+        from ..core import spectral as spectral_mod
+        out = spectral_mod.xyz_to_srgb(out)
+    return out, rays
 
 
 def plan_passes(scene, spp=None, max_wavefront=1 << 19):

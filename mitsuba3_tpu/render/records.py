@@ -19,16 +19,18 @@ from ..core.vec import Vec2, Vec3
 
 @pytree_dataclass
 class Ray:
-    """Ray with origin/direction/maxt (ray.h)."""
+    """Ray with origin/direction/maxt (ray.h). `wl` carries the path's
+    hero wavelengths in spectral mode (ray.h wavelengths member)."""
     o: Vec3
     d: Vec3
     maxt: jnp.ndarray
+    wl: Vec3 = None
 
     @staticmethod
-    def make(o: Vec3, d: Vec3, maxt=None):
+    def make(o: Vec3, d: Vec3, maxt=None, wl=None):
         if maxt is None:
             maxt = jnp.full(o.x.shape, jnp.inf, dtype=jnp.float32)
-        return Ray(o=o, d=d, maxt=maxt)
+        return Ray(o=o, d=d, maxt=maxt, wl=wl)
 
     def at(self, t):
         return self.o + self.d * t
@@ -58,6 +60,7 @@ class SurfaceInteraction:
     wi: Vec3                # incident dir, LOCAL shading frame
     shape_index: jnp.ndarray  # [N] int32, -1 = invalid/environment
     prim_index: jnp.ndarray   # [N] int32
+    wavelengths: Vec3 = None  # spectral mode: the path's 3 wavelengths
 
     def is_valid(self):
         return self.shape_index >= 0

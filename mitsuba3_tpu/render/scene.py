@@ -42,6 +42,7 @@ class _RefPoint:
     """Minimal reference-point record for NEE from medium vertices."""
     p: Vec3
     t: jnp.ndarray  # only used for lane-count shaping
+    wavelengths: Vec3 = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -137,6 +138,7 @@ class Scene:
     delta_emitter_types: tuple = static_field(default=())  # emitters pkg ids
     n_area_emitters: int = static_field(default=0)
     em_directional: tuple = static_field(default=())  # directionalarea slots
+    spectral: bool = static_field(default=False)  # hero-wavelength variant
 
     # ------------------------------------------------------------------
     # Geometry access
@@ -272,7 +274,8 @@ class Scene:
         shape_idx = jnp.where(valid, jnp.round(a[18]).astype(jnp.int32), -1)
         si = SurfaceInteraction(
             p=p, t=pi.t, n=ng, sh_frame=sh_frame, uv=uv, wi=wi,
-            shape_index=shape_idx, prim_index=pi.prim_index)
+            shape_index=shape_idx, prim_index=pi.prim_index,
+            wavelengths=ray.wl)
         attrs = {
             "bsdf": jnp.round(a[17]).astype(jnp.int32),
             "emitter": jnp.where(valid, jnp.round(a[16]).astype(jnp.int32), -1),
@@ -337,6 +340,8 @@ class Scene:
 
     def _sample_emitter_core(self, si, sample1, sample2: Vec2):
         """Shared NEE core; `si` only needs `.p` (and `.t` for shaping).
+        In spectral mode (si.wavelengths set) emitter radiance is upsampled
+        to the path's wavelengths.
 
         The unit interval of `sample1` is split into: area-emitter mass
         (the global area-weighted CDF, n_area/E), one 1/E slot per delta
@@ -453,6 +458,10 @@ class Scene:
 
         ok = pdf_sa > 0.0
         inv_pdf = jnp.where(ok, 1.0 / jnp.maximum(pdf_sa, 1e-20), 0.0)
+        if getattr(si, "wavelengths", None) is not None:
+            from ..core.spectral import rgb_to_spectrum
+            radiance = rgb_to_spectrum(radiance, si.wavelengths,
+                                       reflectance=False)
         weight = radiance * inv_pdf
 
         area_lane = (em_idx >= 0) & (em_idx < max(self.n_area_emitters,
@@ -563,12 +572,20 @@ class Scene:
             emissive = emissive & (em_idx != slot)
         front = si.wi.z > 0.0  # local frame: cos_theta(wi) > 0
         radiance = self.gather_em_radiance(jnp.maximum(em_idx, 0))
+        if si.wavelengths is not None:
+            from ..core.spectral import rgb_to_spectrum
+            radiance = rgb_to_spectrum(radiance, si.wavelengths,
+                                       reflectance=False)
         return radiance.mask(emissive & front)
 
-    def eval_env(self, d: Vec3) -> Vec3:
+    def eval_env(self, d: Vec3, wavelengths: Vec3 = None) -> Vec3:
         """Environment radiance for escaped rays."""
         from ..emitters import envmap as env_mod
-        return env_mod.eval_env(self, d)
+        rad = env_mod.eval_env(self, d)
+        if wavelengths is not None:
+            from ..core.spectral import rgb_to_spectrum
+            rad = rgb_to_spectrum(rad, wavelengths, reflectance=False)
+        return rad
 
     # ------------------------------------------------------------------
     # BSDF param access

@@ -51,10 +51,15 @@ def eval_bilinear(tex, uv: Vec2) -> Vec3:
 
 def eval_color(scene, base_rgb: Vec3, tex_id_f, si) -> Vec3:
     """Resolve a color parameter: constant `base_rgb` when the lane's tex id
-    is 0, else bilinear lookup in scene.textures[id-1]."""
+    is 0, else bilinear lookup in scene.textures[id-1]. In spectral mode
+    the resolved RGB reflectance is upsampled to the path wavelengths
+    (srgb.cpp spectral upsampling role)."""
     out = base_rgb
     tex_id = tex_id_f.astype(jnp.int32)
     for k, tex in enumerate(scene.textures):
         val = eval_bilinear(tex, si.uv)
         out = Vec3.where(tex_id == (k + 1), val, out)
+    if getattr(si, "wavelengths", None) is not None:
+        from ..core.spectral import rgb_to_spectrum
+        out = rgb_to_spectrum(out, si.wavelengths, reflectance=True)
     return out
