@@ -145,6 +145,16 @@ def sample(scene, rng, ray: Ray, cfg: PathConfig, active=None):
 
         throughput = Vec3.where(active_next, s.throughput * bsdf_weight,
                                 s.throughput)
+        wl = s.wl
+        if scene.spectral and s.wl is not None:
+            # hero-wavelength collapse: a dispersive transmission zeroed
+            # the secondary channels; continue the path at lambda_0 only
+            collapsed = (active_next
+                         & ((bs.sampled_type & bsdfs.DELTA_TRANSMISSION)
+                            != 0)
+                         & (bsdf_weight.x > 0.0) & (bsdf_weight.y == 0.0)
+                         & (bsdf_weight.z == 0.0))
+            wl = Vec3.where(collapsed, Vec3(s.wl.x, s.wl.x, s.wl.x), s.wl)
         eta = jnp.where(active_next, s.eta * bs.eta, s.eta)
         sampled_null = (bs.sampled_type & bsdfs.NULL_FLAG) != 0
         valid_ray = valid_ray | (active_next & si.is_valid() & ~sampled_null)
@@ -166,7 +176,7 @@ def sample(scene, rng, ray: Ray, cfg: PathConfig, active=None):
                       & (throughput_max != 0.0) & (bs.pdf > 0.0))
 
         new_state = PathState(
-            ray_o=new_o, ray_d=new_d, wl=s.wl,
+            ray_o=new_o, ray_d=new_d, wl=wl,
             throughput=throughput, result=result, eta=eta, depth=depth,
             valid_ray=valid_ray,
             prev_p=Vec3.where(active_next, si.p, s.prev_p),

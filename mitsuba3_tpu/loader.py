@@ -174,6 +174,8 @@ def _bsdf_row(spec: dict, textures: list, add_bsdf=None):
         params[0] = int_ior / ext_ior
         params[1:4] = _rgb(spec.get("specular_reflectance"), (1, 1, 1))
         params[4:7] = _rgb(spec.get("specular_transmittance"), (1, 1, 1))
+        # Cauchy dispersion coefficient B [um^2] (spectral variant)
+        params[8] = float(spec.get("dispersion", 0.0))
         return (bsdfs_pkg.DIELECTRIC if btype == "dielectric"
                 else bsdfs_pkg.THIN_DIELECTRIC), params
     if btype == "roughdielectric":
