@@ -49,6 +49,7 @@ BLEND = 10
 NORMALMAP = 11
 PRINCIPLED = 12
 HAIR = 13
+POLARIZER = 14
 N_PARAMS = 16  # bsdf_params row width
 
 _REGISTRY = {}
@@ -127,16 +128,19 @@ def dispatch_nested(scene, bsdf_idx, fn_name, *args):
 
 def eval_null_transmission(scene, bsdf_idx, si):
     """Per-lane transmittance of straight-through shadow rays
-    (bsdf.h:480): 1 for null-type lanes, 0 otherwise."""
+    (bsdf.h:480) for null-like types (null, polarization filters)."""
     unique = tuple(sorted(set(scene.bsdf_types)))
     from ..core.vec import Vec3
     out = Vec3.zeros(si.t.shape)
-    if NULL not in unique:
-        return out
-    type_per_slot = jnp.array(scene.bsdf_types, jnp.int32)
-    lane_type = type_per_slot[bsdf_idx]
-    val = _REGISTRY[NULL].eval_null_transmission(scene, bsdf_idx, si)
-    return Vec3.where(lane_type == NULL, val, out)
+    type_per_slot = jnp.array(scene.bsdf_types, jnp.int32) \
+        if scene.bsdf_types else None
+    for t in (NULL, POLARIZER):
+        if t not in unique:
+            continue
+        lane_type = type_per_slot[bsdf_idx]
+        val = _REGISTRY[t].eval_null_transmission(scene, bsdf_idx, si)
+        out = Vec3.where(lane_type == t, val, out)
+    return out
 
 
 from . import (blendbsdf, conductor, dielectric, diffuse, mask,  # noqa: E402
@@ -157,6 +161,7 @@ register(BLEND, blendbsdf)
 register(NORMALMAP, normalmap)
 register(PRINCIPLED, principled)
 
-from . import hair  # noqa: E402
+from . import hair, polarizer  # noqa: E402
 
 register(HAIR, hair)
+register(POLARIZER, polarizer)

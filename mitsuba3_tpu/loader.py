@@ -24,7 +24,8 @@ _EMITTER_TYPES = ("area", "constant", "envmap", "point")
 _BSDF_TYPES = ("diffuse", "conductor", "roughconductor", "dielectric",
                "thindielectric", "roughdielectric", "plastic",
                "roughplastic", "twosided", "null", "mask", "blendbsdf",
-               "normalmap", "bumpmap", "principled", "principledthin", "hair")
+               "normalmap", "bumpmap", "principled", "principledthin", "hair",
+               "polarizer", "retarder", "circular")
 _MEDIUM_TYPES = ("homogeneous", "heterogeneous")
 _PHASE_IDS = {"isotropic": 0, "hg": 1, "rayleigh": 2, "sggx": 3,
               "tabphase": 4, "blendphase": 5}
@@ -189,6 +190,13 @@ def _bsdf_row(spec: dict, textures: list, add_bsdf=None):
         params[4:7] = _rgb(spec.get("specular_reflectance"), (1, 1, 1))
         params[7:10] = _rgb(spec.get("specular_transmittance"), (1, 1, 1))
         return bsdfs_pkg.ROUGH_DIELECTRIC, params
+    if btype in ("polarizer", "retarder", "circular"):
+        params[0:3] = _rgb(spec.get("transmittance"), (1.0, 1.0, 1.0))
+        params[8] = float(spec.get("theta", {}).get("value", 0.0)
+                          if isinstance(spec.get("theta"), dict)
+                          else spec.get("theta", 0.0))
+        params[9] = 0.0 if btype == "polarizer" else 1.0
+        return bsdfs_pkg.POLARIZER, params
     if btype == "hair":
         params[0] = float(spec.get("longitudinal_roughness", 0.3))
         params[1] = float(spec.get("azimuthal_roughness", 0.3))

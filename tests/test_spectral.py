@@ -54,3 +54,14 @@ def test_spectral_cornell_close_to_rgb():
     # per-channel: same order of magnitude even on the saturated walls
     ratios = img_sp.mean(axis=(0, 1)) / img_rgb.mean(axis=(0, 1))
     assert (ratios > 0.7).all() and (ratios < 1.3).all(), ratios
+
+
+@pytest.mark.parametrize("variant", ["rgb", "spectral"])
+def test_variant_smoke(variant):
+    """Variant-fixture analog (src/conftest.py:29-137): the same test body
+    runs under every variant axis value."""
+    d = mi.cornell_box(width=12, height=12, max_depth=3)
+    scene = mi.load_dict(d, spectral=(variant == "spectral"))
+    img = np.asarray(mi.render(scene, spp=16))
+    assert np.isfinite(img).all()
+    assert 0.02 < img.mean() < 1.0

@@ -71,3 +71,45 @@ def test_tonemap_and_srgb_ranges():
     assert t.min() >= 0.0 and t.max() <= 1.0
     s = np.asarray(to_srgb(jnp.clip(x, 0, 1)))
     assert s.min() >= 0.0 and s.max() <= 1.0
+
+
+def test_mueller_identities():
+    """Mueller algebra (mueller.h): crossed polarizers kill all light,
+    Malus' law at 45 degrees, retarder energy conservation."""
+    from mitsuba3_tpu.core import mueller
+    s_in = jnp.array([1.0, 0.0, 0.0, 0.0])
+    m1 = mueller.linear_polarizer(1.0)
+    m90 = mueller.rotated_element(jnp.float32(np.pi / 2),
+                                  mueller.linear_polarizer(1.0))
+    assert abs(float((m90 @ m1 @ s_in)[0])) < 1e-6
+    m45 = mueller.rotated_element(jnp.float32(np.pi / 4),
+                                  mueller.linear_polarizer(1.0))
+    assert abs(float((m45 @ m1 @ s_in)[0]) - 0.25) < 1e-5
+    # retarders preserve S0
+    ret = mueller.linear_retarder(jnp.float32(np.pi / 2))
+    s_pol = m1 @ s_in
+    assert abs(float((ret @ s_pol)[0]) - float(s_pol[0])) < 1e-6
+
+
+def test_polarizer_bsdf_unpolarized_attenuation():
+    """In the unpolarized variant the polarizer passes 50% straight through
+    (polarizer.cpp:137-139); retarders pass 100%."""
+    d = {
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 6},
+        "sensor": {"type": "perspective", "fov": 20.0,
+                   "to_world": mi.ScalarTransform4f().look_at(
+                       origin=[0, 0, -4], target=[0, 0, 0], up=[0, 1, 0]),
+                   "film": {"width": 8, "height": 8},
+                   "sampler": {"type": "independent", "sample_count": 64}},
+        "plate": {"type": "rectangle",
+                  "to_world": mi.ScalarTransform4f().scale(3.0),
+                  "bsdf": {"type": "polarizer"}},
+        "env": {"type": "constant",
+                "radiance": {"type": "rgb", "value": 1.0}},
+    }
+    img = np.asarray(mi.render(mi.load_dict(d), spp=64))
+    assert abs(img.mean() - 0.5) < 0.02, img.mean()
+    d["plate"]["bsdf"] = {"type": "retarder"}
+    img2 = np.asarray(mi.render(mi.load_dict(d), spp=64))
+    assert abs(img2.mean() - 1.0) < 0.03, img2.mean()
