@@ -46,7 +46,7 @@ class PRBConfig:
 
 
 DIFF_PARAM_NAMES = ("bsdf_params", "em_radiance", "textures", "env_data",
-                    "vertices")
+                    "vertices", "de_params")
 
 
 def extract_theta(scene):
@@ -67,6 +67,21 @@ def _attached_em_weight(scene_t, ds) -> Vec3:
     if scene_t.env_emitter >= 0:
         radiance = Vec3.where(ds.emitter_index == scene_t.env_emitter,
                               scene_t.eval_env(ds.d), radiance)
+    if scene_t.de_params is not None:
+        # delta emitters (point/spot/projector): re-evaluate the attached
+        # intensity/falloff at the sampled direction so their parameters
+        # get PRB gradients
+        from ..render.scene import _RefPoint
+        n_area = scene_t.n_area_emitters
+        is_delta = ((ds.emitter_index >= n_area)
+                    & (ds.emitter_index
+                       < n_area + scene_t.de_params.shape[0]))
+        k = jnp.clip(ds.emitter_index - n_area, 0,
+                     scene_t.de_params.shape[0] - 1)
+        ref_p = ds.p - ds.d * ds.dist
+        _, _, _, rad_d, _ = scene_t._eval_delta_emitter(
+            _RefPoint(p=ref_p, t=ds.dist), k)
+        radiance = Vec3.where(is_delta, rad_d, radiance)
     return radiance * jax.lax.stop_gradient(inv_pdf)
 
 

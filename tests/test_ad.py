@@ -207,3 +207,44 @@ def test_prbvolpath_medium_gradients_vs_fd():
         prb = np.mean([float(np.asarray(gf(mp0, s))[0, sl].sum())
                        for s in seeds])
         assert abs(prb - fd) < 0.12 * max(abs(fd), 1e-2), (sl, fd, prb)
+
+
+def test_prb_point_light_intensity_gradient_vs_fd():
+    """Delta-emitter parameter gradients through PRB (point light
+    intensity is linear in the image -> FD matches exactly)."""
+    import jax
+    from mitsuba3_tpu.render.integrator import render_pass, plan_passes
+    from mitsuba3_tpu.render import film as film_mod
+
+    d = {
+        "type": "scene",
+        "integrator": {"type": "prb", "max_depth": 3},
+        "sensor": {"type": "perspective", "fov": 40.0,
+                   "to_world": mi.ScalarTransform4f().look_at(
+                       origin=[0, 1, -3], target=[0, 0, 0], up=[0, 1, 0]),
+                   "film": {"width": 6, "height": 6},
+                   "sampler": {"type": "independent", "sample_count": 64}},
+        "floor": {"type": "rectangle",
+                  "to_world": mi.ScalarTransform4f().rotate([1, 0, 0], -90)
+                  .scale(2.0),
+                  "bsdf": {"type": "diffuse"}},
+        "lamp": {"type": "point", "position": [0, 1.5, 0],
+                 "intensity": {"type": "rgb", "value": [2, 2, 2]}},
+    }
+    scene = mi.load_dict(d)
+    sppc, _ = plan_passes(scene, 256)
+
+    def mean_img(dep, seed):
+        s = scene.replace(de_params=dep)
+        img, wgt, _ = render_pass(s, jnp.uint32(seed), sppc)
+        return film_mod.develop(img, wgt).mean()
+
+    gf = jax.jit(jax.grad(mean_img))
+    mf = jax.jit(mean_img)
+    g = np.asarray(gf(scene.de_params, 0))[0, 3:6].sum()
+    eps = 0.05
+    dp = np.asarray(scene.de_params).copy(); dp[0, 3:6] += eps
+    dm = np.asarray(scene.de_params).copy(); dm[0, 3:6] -= eps
+    fd = (float(mf(jnp.asarray(dp), 0)) - float(mf(jnp.asarray(dm), 0))) \
+        / (2 * eps)
+    assert abs(g - fd) < 1e-4 * max(abs(fd), 1.0), (fd, g)
