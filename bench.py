@@ -6,11 +6,13 @@ emitter radiance and textures via path-replay backprop).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Ray accounting: primary rays + per-bounce closest-hit + NEE shadow rays,
-counted with active masks (rays actually needed). The PRB backward replays
-every path once, so a grad step traces ~2x the forward rays. vs_baseline
-is relative to 10 Mrays/s, an order-of-magnitude estimate of the
-reference's llvm_ad_rgb throughput on this scene on a contemporary
-multicore host (the reference publishes no numbers — BASELINE.md).
+counted with active masks (rays actually needed). The PRB backward replay
+ray count is MEASURED (the backward loop reports its own per-bounce query
+count; `measure_bwd_ratio` runs it directly and compares to the primal
+count) rather than assumed to be 2x. vs_baseline is relative to
+10 Mrays/s, an order-of-magnitude estimate of the reference's llvm_ad_rgb
+throughput on this scene on a contemporary multicore host (the reference
+publishes no numbers — BASELINE.md).
 """
 from __future__ import annotations
 
@@ -71,6 +73,35 @@ def main():
                 jnp.add, acc, grads)
         return loss, rays_total, acc
 
+    # measure the backward-replay ray count directly (small wavefront):
+    # the PRB backward loop recomputes the same active masks as the primal
+    # (replay invariance), and its scan reports its own query count
+    def measure_bwd_ratio():
+        from mitsuba3_tpu.ad import prb as prb_mod
+        from mitsuba3_tpu.render import sampler as sampler_mod
+        from mitsuba3_tpu import sensors
+        from mitsuba3_tpu.core.vec import Vec2, Vec3
+
+        n = 64 * 64
+        idx = jnp.arange(n)
+        rng = sampler_mod.seed(jnp.uint32(7), n,
+                               sample_idx=jnp.zeros(n, jnp.uint32),
+                               pixel_id=idx.astype(jnp.int32),
+                               stype=scene.sampler_type, spp=1,
+                               base_seed=jnp.uint32(7))
+        px = ((idx % 64).astype(jnp.float32) + 0.5) / 64.0
+        py = ((idx // 64).astype(jnp.float32) + 0.5) / 64.0
+        ray = sensors.sample_ray(scene.sensor, Vec2(px, py))
+        cfg = prb_mod.PRBConfig(max_depth=8)
+        theta = prb_mod.extract_theta(scene)
+        L, _, _, n_fwd, _ = prb_mod._loop(scene, rng, ray, cfg, "primal")
+        _, _, _, n_bwd, _ = prb_mod._loop(
+            scene, rng, ray, cfg, "backward", dL=Vec3.ones(n), L_in=L,
+            theta=theta)
+        return float(n_bwd) / max(float(n_fwd), 1.0)
+
+    bwd_ratio = measure_bwd_ratio()
+
     # warmup / compile
     loss, rays, grads = grad_step(scene, 0)
     loss.block_until_ready()
@@ -83,8 +114,8 @@ def main():
     for i in range(n_iters):
         loss, rays, grads = grad_step(scene, i + 1)
         loss.block_until_ready()
-        # forward primal + backward replay each trace `rays` queries
-        total_rays += 2.0 * float(rays)
+        # forward primal `rays` + measured backward replay count
+        total_rays += (1.0 + bwd_ratio) * float(rays)
     dt = time.perf_counter() - t0
 
     mrays = total_rays / dt / 1e6

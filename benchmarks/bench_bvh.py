@@ -1,0 +1,160 @@
+"""Large-scene intersection throughput harness (round-2 perf crux).
+
+Builds a heightfield terrain (realistic occlusion + coherence structure,
+unlike a random soup), fires (a) coherent camera-style primary rays and
+(b) incoherent hemisphere bounce rays, and times closest-hit + any-hit
+through a selected accel implementation on the current backend.
+
+Usage:  python benchmarks/bench_bvh.py [n_tris] [n_rays] [impl ...]
+        impl in {tiled, naive}  (default: tiled)
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def make_terrain(side: int, seed: int = 0):
+    """side x side heightfield -> 2*(side-1)^2 triangles."""
+    rng = np.random.default_rng(seed)
+    # multi-octave value noise
+    h = np.zeros((side, side), np.float32)
+    for octave in range(5):
+        k = 2 ** octave
+        g = rng.normal(0, 1.0 / (octave + 1), (4 * k + 1, 4 * k + 1))
+        gi = np.linspace(0, 4 * k, side)
+        xi = np.clip(gi.astype(int), 0, 4 * k - 1)
+        fx = gi - xi
+        a = g[np.ix_(xi, xi)]
+        b = g[np.ix_(xi + 1, xi)]
+        c = g[np.ix_(xi, xi + 1)]
+        dd = g[np.ix_(xi + 1, xi + 1)]
+        h += ((a * (1 - fx)[:, None] + b * fx[:, None]) * (1 - fx)[None, :]
+              + (c * (1 - fx)[:, None] + dd * fx[:, None]) * fx[None, :])
+    xs = np.linspace(-10, 10, side, dtype=np.float32)
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    P = np.stack([X, Y, 2.0 * h], axis=-1).reshape(-1, 3)
+    idx = np.arange(side * side).reshape(side, side)
+    a = idx[:-1, :-1].ravel()
+    b = idx[1:, :-1].ravel()
+    c = idx[:-1, 1:].ravel()
+    d = idx[1:, 1:].ravel()
+    faces = np.concatenate(
+        [np.stack([a, b, c], -1), np.stack([b, d, c], -1)], 0)
+    v = P[faces]
+    p0 = v[:, 0]
+    return p0, v[:, 1] - p0, v[:, 2] - p0
+
+
+def make_rays(n: int, seed: int, kind: str):
+    rng = np.random.default_rng(seed)
+    if kind == "primary":
+        # camera at altitude looking down-forward; pixel-ordered grid
+        side = int(np.ceil(np.sqrt(n)))
+        u = (np.arange(side) + 0.5) / side
+        U, V = np.meshgrid(u, u, indexing="ij")
+        U, V = U.ravel()[:n], V.ravel()[:n]
+        o = np.tile(np.array([[0.0, -14.0, 8.0]], np.float32), (n, 1))
+        tgt = np.stack([(U - 0.5) * 20,
+                        (V - 0.5) * 20 - 2.0,
+                        np.zeros(n)], -1).astype(np.float32)
+        d = tgt - o
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+    else:
+        # bounce-style: origins near the surface, cosine-ish directions up
+        o = rng.uniform(-9, 9, (n, 3)).astype(np.float32)
+        o[:, 2] = rng.uniform(0.0, 3.0, n)
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d[:, 2] = np.abs(d[:, 2]) * rng.choice([1.0, -1.0], n)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return o.astype(np.float32), d.astype(np.float32)
+
+
+def run(impl: str, n_tris_target: int, n_rays: int):
+    from mitsuba3_tpu.core.vec import Vec3
+
+    side = int(np.sqrt(n_tris_target / 2)) + 1
+    p0n, e1n, e2n = make_terrain(side)
+    n_tris = len(p0n)
+
+    if impl == "tiled":
+        from mitsuba3_tpu.ops import bvh_tiled as mod
+        t0 = time.perf_counter()
+        accel = mod.build(p0n, e1n, e2n)
+        print(f"build({impl}) {time.perf_counter()-t0:.2f}s "
+              f"n_leaves={accel.n_leaves}")
+
+        def closest(o, d, maxt):
+            return mod.intersect_bvh(accel, o, d, maxt)
+
+        def anyhit(o, d, maxt):
+            return mod.occluded_bvh(accel, o, d, maxt)
+    elif impl == "naive":
+        pad = (-n_tris) % 256
+        p0 = Vec3.from_array(jnp.asarray(np.concatenate(
+            [p0n, np.zeros((pad, 3), np.float32)])))
+        e1 = Vec3.from_array(jnp.asarray(np.concatenate(
+            [e1n, np.zeros((pad, 3), np.float32)])))
+        e2 = Vec3.from_array(jnp.asarray(np.concatenate(
+            [e2n, np.zeros((pad, 3), np.float32)])))
+        from mitsuba3_tpu.ops import intersect as mod
+
+        def closest(o, d, maxt):
+            return mod.intersect_naive(o, d, maxt, p0, e1, e2)
+
+        def anyhit(o, d, maxt):
+            return mod.occluded_naive(o, d, maxt, p0, e1, e2)
+    else:
+        raise SystemExit(f"unknown impl {impl}")
+
+    results = {}
+    for kind in ("primary", "bounce"):
+        on, dn = make_rays(n_rays, 1, kind)
+        o = Vec3.from_array(jnp.asarray(on))
+        d = Vec3.from_array(jnp.asarray(dn))
+        maxt = jnp.full(n_rays, 1e30, jnp.float32)
+
+        f = jax.jit(closest)
+        t, prim, uv, valid = jax.block_until_ready(f(o, d, maxt))
+        hit_rate = float(jnp.mean(valid.astype(jnp.float32)))
+        reps = 5
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = f(o, d, maxt)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / reps
+        mrays = n_rays / dt / 1e6
+        results[f"closest_{kind}"] = mrays
+        print(f"{impl:8s} closest {kind:8s}: {mrays:9.2f} Mrays/s "
+              f"({dt*1e3:7.2f} ms, hit {hit_rate:.2f})")
+
+        g = jax.jit(anyhit)
+        occ = jax.block_until_ready(g(o, d, maxt))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            occ = g(o, d, maxt)
+        jax.block_until_ready(occ)
+        dt = (time.perf_counter() - t0) / reps
+        mrays = n_rays / dt / 1e6
+        results[f"any_{kind}"] = mrays
+        print(f"{impl:8s} any     {kind:8s}: {mrays:9.2f} Mrays/s "
+              f"({dt*1e3:7.2f} ms)")
+    return n_tris, results
+
+
+def main():
+    args = sys.argv[1:]
+    n_tris = int(args[0]) if args else 65536
+    n_rays = int(args[1]) if len(args) > 1 else 1 << 19
+    impls = args[2:] or ["tiled"]
+    print(f"backend={jax.default_backend()} n_tris~{n_tris} n_rays={n_rays}")
+    for impl in impls:
+        run(impl, n_tris, n_rays)
+
+
+if __name__ == "__main__":
+    main()

@@ -134,7 +134,7 @@ def eval_null_transmission(scene, bsdf_idx, si):
     out = Vec3.zeros(si.t.shape)
     type_per_slot = jnp.array(scene.bsdf_types, jnp.int32) \
         if scene.bsdf_types else None
-    for t in (NULL, POLARIZER):
+    for t in (NULL, POLARIZER, MASK):
         if t not in unique:
             continue
         lane_type = type_per_slot[bsdf_idx]

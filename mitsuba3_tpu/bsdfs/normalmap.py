@@ -23,7 +23,7 @@ def _perturbed_si(scene, params, si):
     """Build si with the shading frame rotated to the mapped normal
     (normalmap.cpp:frame): n = 2*tex - 1 in tangent space."""
     c = eval_color(scene, Vec3.from_scalar(0.5, 0.5, 1.0, like=si.t),
-                   params[1], si)
+                   params[1], si, raw=True)
     n_tan = Vec3(c.x * 2.0 - 1.0, c.y * 2.0 - 1.0,
                  jnp.maximum(c.z * 2.0 - 1.0, 1e-3)).normalize()
     n_world = si.sh_frame.to_world(n_tan)

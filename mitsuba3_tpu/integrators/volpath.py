@@ -307,8 +307,12 @@ def sample(scene, rng, ray: Ray, cfg: VolPathConfig, active=None):
         n_rays = jnp.sum(s.active.astype(jnp.float32)) + vis_queries
         return new_state, n_rays
 
+    # any null-capable BSDF (null, mask, polarizer) consumes scan
+    # iterations without incrementing depth — give them the same slack
+    _null_capable = {bsdfs.NULL, bsdfs.MASK, bsdfs.POLARIZER}
     length = cfg.max_depth + (cfg.max_null_events if has_media
-                              or bsdfs.NULL in set(scene.bsdf_types) else 0)
+                              or (_null_capable & set(scene.bsdf_types))
+                              else 0)
     state, ray_counts = jax.lax.scan(bounce, state, None, length=length)
     L = state.result.mask(state.valid_ray)
     return L, state.valid_ray, state.rng, jnp.sum(ray_counts)

@@ -57,7 +57,14 @@ def render_pass(scene, pass_seed, sppc: int, pixel_offset=0, n_pixels=None,
 
     stype = scene.sensor_config.type
     if stype == "batch":
-        ray = sensors.sample_ray_batch(scene.sensor, pos01)
+        sub_types = scene.sensor_config.sub_types
+        if "thinlens" in sub_types:
+            rng, ap = sampler_mod.next_2d(rng)
+        else:
+            ap = None
+        ray = sensors.sample_ray_batch(scene.sensor, pos01,
+                                       sub_types=sub_types,
+                                       aperture_sample=ap)
     else:
         if stype == "thinlens":
             rng, ap = sampler_mod.next_2d(rng)

@@ -60,6 +60,7 @@ class SensorConfig:
     near_clip: float = 1e-2
     far_clip: float = 1e4
     type: str = "perspective"  # perspective|thinlens|orthographic|radiancemeter
+    sub_types: tuple = ()      # batch sensor: per-sub-sensor model types
 
 
 @pytree_dataclass

@@ -49,17 +49,19 @@ def eval_bilinear(tex, uv: Vec2) -> Vec3:
     return t00 * w00 + t10 * w10 + t01 * w01 + t11 * w11
 
 
-def eval_color(scene, base_rgb: Vec3, tex_id_f, si) -> Vec3:
+def eval_color(scene, base_rgb: Vec3, tex_id_f, si, raw: bool = False) -> Vec3:
     """Resolve a color parameter: constant `base_rgb` when the lane's tex id
     is 0, else bilinear lookup in scene.textures[id-1]. In spectral mode
     the resolved RGB reflectance is upsampled to the path wavelengths
-    (srgb.cpp spectral upsampling role)."""
+    (srgb.cpp spectral upsampling role) — unless ``raw`` is set, for
+    non-color data (normal maps, opacity masks, blend weights; the analog
+    of bitmap.cpp's raw=true channel handling)."""
     out = base_rgb
     tex_id = tex_id_f.astype(jnp.int32)
     for k, tex in enumerate(scene.textures):
         val = eval_bilinear(tex, si.uv)
         out = Vec3.where(tex_id == (k + 1), val, out)
-    if getattr(si, "wavelengths", None) is not None:
+    if not raw and getattr(si, "wavelengths", None) is not None:
         from ..core.spectral import rgb_to_spectrum
         out = rgb_to_spectrum(out, si.wavelengths, reflectance=True)
     return out

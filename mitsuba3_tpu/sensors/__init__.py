@@ -156,22 +156,29 @@ def build_batch(spec: dict, width: int, height: int):
     datas = tuple(b[0] for b in built)
     cfg = SensorConfig(fov_axis=built[0][1].fov_axis,
                        near_clip=built[0][1].near_clip,
-                       far_clip=built[0][1].far_clip, type="batch")
+                       far_clip=built[0][1].far_clip, type="batch",
+                       sub_types=tuple(s.get("type", "perspective")
+                                       for s in subs))
     return datas, cfg
 
 
-def sample_ray_batch(sensors_data: tuple, pos01) -> Ray:
+def sample_ray_batch(sensors_data: tuple, pos01, sub_types: tuple = (),
+                     aperture_sample=None) -> Ray:
     """Dispatch film columns to sub-sensors (batch.cpp:20-45): sub-sensor
-    index = floor(x * S), local film x = frac(x * S)."""
+    index = floor(x * S), local film x = frac(x * S). Each sub-sensor keeps
+    its own camera model (`sub_types`, static)."""
     import jax.numpy as jnp
     from ..core.vec import Vec2, Vec3
     s_count = len(sensors_data)
+    if not sub_types:
+        sub_types = ("perspective",) * s_count
     xs = pos01.x * s_count
     idx = jnp.clip(xs.astype(jnp.int32), 0, s_count - 1)
     x_local = xs - idx
     ray = None
     for k, sd in enumerate(sensors_data):
-        rk = sample_ray(sd, Vec2(x_local, pos01.y), stype="perspective")
+        rk = sample_ray(sd, Vec2(x_local, pos01.y), stype=sub_types[k],
+                        aperture_sample=aperture_sample)
         if ray is None:
             ray = rk
         else:

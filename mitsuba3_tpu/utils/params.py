@@ -93,11 +93,16 @@ class SceneParameters:
                 idx = int(k[len("medium"):].split(".")[0])
                 grids = list(s.medium_grids)
                 grids[idx] = self._values[k]
-                # refresh the majorant bound (heterogeneous.cpp:178)
+                # refresh the majorant bound (heterogeneous.cpp:178) on the
+                # medium row that owns grid slot idx+1 (medium_params[:,9];
+                # grid order need not match medium row order)
                 mp = np.asarray(s.medium_params).copy()
-                color_max = float(mp[idx, 0:3].max())
-                mp[idx, 8] = mp[idx, 6] * float(
-                    np.asarray(self._values[k]).max()) * color_max
+                rows = np.where(
+                    np.round(mp[:, 9]).astype(int) == idx + 1)[0]
+                for row in rows:
+                    color_max = float(mp[row, 0:3].max())
+                    mp[row, 8] = mp[row, 6] * float(
+                        np.asarray(self._values[k]).max()) * color_max
                 s = s.replace(medium_grids=tuple(grids),
                               medium_params=jnp.asarray(mp))
             elif k.startswith("texture"):
@@ -146,10 +151,17 @@ def _rebuild_geometry_derived(scene):
         scene = scene.replace(ef_cdf=jnp.asarray(cdf))
     scene = scene.replace(face_inv_total_area=jnp.asarray(inv_total))
     if scene.accel is not None:
-        from ..ops import bvh_pallas
+        # rebuild with the same accel type the loader chose (loader.py:705):
+        # bvh_xla on CPU, bvh_tiled on TPU — mixing types would feed the
+        # wrong traversal (scene.py:210 dispatches by isinstance)
+        from ..ops import bvh_tiled, bvh_xla
         p0 = p[:, 0]
-        scene = scene.replace(accel=bvh_pallas.build(
-            p0, p[:, 1] - p0, p[:, 2] - p0))
+        e1 = p[:, 1] - p0
+        e2 = p[:, 2] - p0
+        if isinstance(scene.accel, bvh_xla.BVHXLA):
+            scene = scene.replace(accel=bvh_xla.build(p0, e1, e2))
+        else:
+            scene = scene.replace(accel=bvh_tiled.build(p0, e1, e2))
     return scene
 
 

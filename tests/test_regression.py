@@ -62,19 +62,46 @@ def _render_mean_var(scene_dict, spp, seed):
     return mean_rgb, mean_xyz, var_xyz
 
 
-# the gaussian reconstruction filter makes each pixel a WEIGHTED average of
-# correlated samples: the variance of the mean is var/n_eff with
-# n_eff = n / FILTER_VAR_FACTOR (sum(w)^2 / sum(w^2) effect + neighbor
-# correlation), calibrated against same-pipeline renders
-FILTER_VAR_FACTOR = 4.0
+def _filter_var_factor(rfilter="gaussian", std=0.5, radius=2.0):
+    """Principled effective-sample correction for filtered pixel means.
+
+    A pixel value is sum(w_i x_i)/sum(w_i) over samples in the filter
+    footprint, so Var = sigma^2 * sum(w^2)/(sum w)^2. With one stratified
+    jitter per sample and a separable filter, per-dimension expectations
+    over tap offsets d give  a = sum_d E_j[w(d+.5-j)],
+    b = sum_d E_j[w(d+.5-j)^2]  and  Var = sigma^2/spp * (b/a^2)^2.
+    This replaces the old calibrated FILTER_VAR_FACTOR=4.0 tunable."""
+    from mitsuba3_tpu.render.film import rfilter_eval
+    r_int = int(np.ceil(radius))
+    j = (np.arange(4096) + 0.5) / 4096.0
+    a = b = 0.0
+    for d in range(-r_int, r_int + 1):
+        w = np.asarray(rfilter_eval(rfilter, d + 0.5 - j, radius, std))
+        a += w.mean()
+        b += (w * w).mean()
+    return (b / (a * a)) ** 2
 
 
 def _z_test(mean_a, var_a, n_a, mean_ref, var_ref, n_ref,
             significance=0.01):
     """Per-pixel two-sample Z-test with Sidak correction
-    (test_renders.py:159-232)."""
+    (test_renders.py:159-232).
+
+    The SE uses the analytic filter factor plus a conservative footprint
+    treatment: the per-pixel variance map is neighborhood-maxed over the
+    filter support (samples from neighboring pixels contribute), and the
+    spread of means across the footprint enters as a between-group term
+    (neighbor samples estimate different means)."""
     from scipy.stats import norm
-    se = np.sqrt(FILTER_VAR_FACTOR * (var_a / n_a + var_ref / n_ref)
+    from scipy.ndimage import maximum_filter
+    c = _filter_var_factor()
+    size = (3, 3, 1) if var_a.ndim == 3 else (3, 3)
+    var_a_n = maximum_filter(var_a, size=size)
+    var_ref_n = maximum_filter(var_ref, size=size)
+    spread_a = maximum_filter(mean_a, size=size) - mean_a
+    spread_ref = maximum_filter(mean_ref, size=size) - mean_ref
+    se = np.sqrt(c * ((var_a_n + spread_a ** 2) / n_a
+                      + (var_ref_n + spread_ref ** 2) / n_ref)
                  + 1e-10)
     z = np.abs(mean_a - mean_ref) / se
     p = 2.0 * (1.0 - norm.cdf(z))

@@ -104,3 +104,23 @@ def test_ptracer_matches_path():
     fwd = np.asarray(mi.render(scene, spp=48, seed=0)).mean(axis=(0, 1))
     pt = np.asarray(render_ptracer(scene, seed=0, spp=48)).mean(axis=(0, 1))
     assert np.allclose(pt, fwd, rtol=0.08), (pt, fwd)
+
+
+def test_ef_cdf_total_mass_invariant():
+    """Pin the loader invariant pdf_emitter_direction_hit relies on
+    (scene.py:366): the area-emitter CDF's total mass equals
+    n_area_emitters / n_emitters, both at load and after a vertex-driven
+    rebuild (VERDICT r1 weak #11)."""
+    d = mi.cornell_box(width=8, height=8, max_depth=3)
+    d["plight"] = {"type": "point", "position": [0, 1, 0],
+                   "intensity": {"type": "rgb", "value": 1.0}}
+    scene = mi.load_dict(d)
+    assert scene.n_emitters == scene.n_area_emitters + 1
+    expect = scene.n_area_emitters / scene.n_emitters
+    assert np.allclose(float(scene.ef_cdf[-1]), expect, atol=1e-5)
+
+    # rebuild path (params update after a vertex edit) preserves the mass
+    params = mi.traverse(scene)
+    params["vertices"] = scene.vertices * 1.1
+    scene2 = params.update()
+    assert np.allclose(float(scene2.ef_cdf[-1]), expect, atol=1e-5)
