@@ -43,6 +43,11 @@ def _lazy_register(name):
     if name == "prbvolpath" and "prbvolpath" not in _REGISTRY:
         from ..ad import prbvolpath as prbvol_mod
         _REGISTRY["prbvolpath"] = prbvol_mod
+    if name in ("prb_projective", "direct_projective") \
+            and name not in _REGISTRY:
+        from ..ad import prb_projective as prbproj_mod
+        _REGISTRY["prb_projective"] = prbproj_mod
+        _REGISTRY["direct_projective"] = prbproj_mod
     if name == "moment":
         _register_moment()
 
@@ -81,6 +86,9 @@ def config_from_dict(spec: dict):
     if itype == "moment":
         _register_moment()
         return _REGISTRY["moment"].config_from_dict(spec)
+    if itype in ("prb_projective", "direct_projective"):
+        from ..ad import prb_projective as prbproj_mod
+        return prbproj_mod.config_from_dict(spec)
     _lazy_register(itype)
     if itype in _REGISTRY and hasattr(_REGISTRY[itype], "config_from_dict"):
         return _REGISTRY[itype].config_from_dict(spec)

@@ -58,12 +58,18 @@ class PathState:
     rng: object               # Sampler
 
 
-def sample(scene, rng, ray: Ray, cfg: PathConfig, active=None):
+def sample(scene, rng, ray: Ray, cfg: PathConfig, active=None, pi0=None):
     """Trace one wavefront of paths.
 
     Returns (L Vec3, valid [N], rng, n_ray_queries scalar) — the last is
     the number of closest-hit + shadow-ray queries actually issued (masked
     lanes excluded), for Mrays/s accounting.
+
+    ``pi0``: optional PreliminaryIntersection override for the FIRST bounce
+    (projective boundary paths start at a constructed silhouette hit — the
+    analog of ``si_shade`` in the reference's PSIntegrator.sample,
+    direct_projective.py:341-393). Lanes where ``pi0.prim_index >= 0`` use
+    the provided hit instead of tracing `ray` at depth 0.
     """
     n = ray.o.x.shape[0]
     if active is None:
@@ -85,10 +91,14 @@ def sample(scene, rng, ray: Ray, cfg: PathConfig, active=None):
         active=active,
         rng=rng)
 
-    def bounce(state: PathState, _):
+    def bounce(state: PathState, k):
         s = state
         cur_ray = Ray.make(s.ray_o, s.ray_d, wl=s.wl)
         pi = scene.ray_intersect_preliminary(cur_ray, active=s.active)
+        if pi0 is not None:
+            use0 = (k == 0) & (pi0.prim_index >= 0)
+            pi = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(use0, a, b), pi0, pi)
         si, attrs = scene.compute_surface_interaction(cur_ray, pi)
 
         # ---------------------- Direct emission ----------------------
@@ -193,6 +203,7 @@ def sample(scene, rng, ray: Ray, cfg: PathConfig, active=None):
                   + jnp.sum(active_em.astype(jnp.float32)))
         return new_state, n_rays
 
-    state, ray_counts = jax.lax.scan(bounce, state, None, length=cfg.max_depth)
+    state, ray_counts = jax.lax.scan(
+        bounce, state, jnp.arange(cfg.max_depth, dtype=jnp.int32))
     L = state.result.mask(state.valid_ray)
     return L, state.valid_ray, state.rng, jnp.sum(ray_counts)

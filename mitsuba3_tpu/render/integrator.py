@@ -131,6 +131,13 @@ def _render_jit(scene, seed, sppc: int, n_passes: int):
         # the film accumulated CIE XYZ; convert to linear sRGB
         from ..core import spectral as spectral_mod
         out = spectral_mod.xyz_to_srgb(out)
+    if getattr(scene.integrator, "type", "") in ("prb_projective",
+                                                 "direct_projective"):
+        # zero-primal boundary term: injects visibility-discontinuity
+        # gradients on the backward pass (ad/projective.py; the analog of
+        # PSIntegrator.render_ad accumulating the silhouette images)
+        from ..ad.projective import boundary_image
+        out = out + boundary_image(scene, jnp.uint32(seed))
     return out, rays
 
 

@@ -1,0 +1,133 @@
+"""Projective (visibility-discontinuity) gradients: FD validation of the
+primarily-visible silhouette boundary term — the reference's
+test_ad_integrators.py shape-translation configs that move a silhouette
+across view rays (the case plain PRB cannot differentiate)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mitsuba3_tpu as mi
+from mitsuba3_tpu.ad import projective as proj
+
+
+def _occluder_scene(integrator="prb_projective", n=16, sppp=8):
+    """Bright area light behind a black occluder square; the occluder's
+    silhouette cuts the light's image. Translating the occluder changes
+    radiance ONLY through visibility — the pure boundary-gradient case."""
+    d = {
+        "type": "scene",
+        "integrator": {"type": integrator, "max_depth": 3, "sppp": sppp,
+                       "boundary_depth": 2},
+        "sensor": {"type": "perspective", "fov": 45.0,
+                   "to_world": mi.ScalarTransform4f().look_at(
+                       origin=[0, 0, -3], target=[0, 0, 0], up=[0, 1, 0]),
+                   "film": {"width": n, "height": n,
+                            "rfilter": {"type": "box"}},
+                   "sampler": {"type": "independent", "sample_count": 32}},
+        # big light facing the camera (normal -z after the 180° flip)
+        "light": {"type": "rectangle",
+                  "to_world": mi.ScalarTransform4f().translate([0, 0, 1.0])
+                  .rotate([0, 1, 0], 180).scale(1.6),
+                  "emitter": {"type": "area",
+                              "radiance": {"type": "rgb",
+                                           "value": [5, 5, 5]}}},
+        # occluder LAST so its 4 vertices are the final rows of
+        # scene.vertices (the FD test perturbs them)
+        "occluder": {"type": "rectangle",
+                     "to_world": mi.ScalarTransform4f()
+                     .translate([0.3, 0.0, 0.0]).scale(0.5),
+                     "bsdf": {"type": "diffuse",
+                              "reflectance": {"type": "rgb",
+                                              "value": [0.0, 0.0, 0.0]}}},
+    }
+    return mi.load_dict(d)
+
+
+def test_edge_topology_matches_host_build():
+    """Traced edge_arrays == host dedge.build adjacency."""
+    from mitsuba3_tpu.render import dedge
+    scene = _occluder_scene()
+    twin, v0, v1, v2, ef, ec = jax.jit(proj.edge_arrays)(scene)
+    de = dedge.build(np.asarray(scene.vertices), np.asarray(scene.faces))
+    np.testing.assert_array_equal(np.asarray(twin), np.asarray(de.twin))
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(de.v0))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(de.v1))
+
+
+def test_silhouette_sampling_hits_silhouette_edges():
+    """Sampled silhouette points must lie on boundary-or-fold edges of
+    front-facing faces, with positive pdf and correct barycentrics."""
+    scene = _occluder_scene()
+    topo = proj.edge_arrays(scene)
+    from mitsuba3_tpu.core.vec import Vec3
+    sd = scene.sensor
+    vp = Vec3(sd.origin[0], sd.origin[1], sd.origin[2])
+    s1 = jnp.linspace(0.01, 0.99, 64)
+    s2 = jnp.linspace(0.05, 0.95, 64)
+    ss = proj.sample_primary_silhouette(scene, topo, vp, s1, s2)
+    assert bool(ss.valid.all())
+    assert np.asarray(ss.pdf).min() > 0
+    # reconstruct the point from face barycentrics — must match lerp(v0,v1)
+    v = np.asarray(scene.vertices)
+    f = np.asarray(scene.faces)
+    prim = np.asarray(ss.prim_index)
+    b1, b2 = np.asarray(ss.b1), np.asarray(ss.b2)
+    p_bary = (v[f[prim, 0]] * (1 - b1 - b2)[:, None]
+              + v[f[prim, 1]] * b1[:, None] + v[f[prim, 2]] * b2[:, None])
+    p = np.stack([np.asarray(ss.p.x), np.asarray(ss.p.y),
+                  np.asarray(ss.p.z)], -1)
+    np.testing.assert_allclose(p_bary, p, atol=1e-5)
+
+
+def _loss_fn(scene, n_occ_verts=4):
+    nv = scene.vertices.shape[0]
+
+    def loss(x, seed):
+        shift = jnp.zeros((nv, 3), jnp.float32).at[
+            nv - n_occ_verts:, 0].set(x)
+        s = scene.replace(vertices=scene.vertices + shift)
+        return mi.render(s, spp=16, seed=seed).mean()
+
+    return loss
+
+
+def test_boundary_gradient_vs_fd():
+    """Occluder translating across a light: prb_projective's gradient must
+    match finite differences (VERDICT round-1 'done' criterion)."""
+    scene = _occluder_scene("prb_projective")
+    loss = _loss_fn(scene)
+    gf = jax.jit(jax.grad(loss))
+    lf = jax.jit(loss)
+
+    seeds = range(8)
+    eps = 2e-2
+    fd = np.mean([(float(lf(jnp.float32(eps), s))
+                   - float(lf(jnp.float32(-eps), s))) / (2 * eps)
+                  for s in seeds])
+    g = np.mean([float(gf(jnp.float32(0.0), s)) for s in seeds])
+    assert fd != 0.0
+    assert abs(g - fd) < 0.25 * abs(fd), (g, fd)
+
+
+def test_plain_prb_misses_boundary_gradient():
+    """Control: without the boundary term the visibility gradient is
+    (near) zero — the justification for the projective machinery."""
+    scene_proj = _occluder_scene("prb_projective")
+    scene_prb = _occluder_scene("prb")
+    loss_prb = _loss_fn(scene_prb)
+    loss_proj = _loss_fn(scene_proj)
+    g_prb = np.mean([float(jax.jit(jax.grad(loss_prb))(jnp.float32(0.0), s))
+                     for s in range(4)])
+    g_proj = np.mean([float(jax.jit(jax.grad(loss_proj))(jnp.float32(0.0),
+                                                         s))
+                      for s in range(4)])
+    assert abs(g_prb) < 0.2 * abs(g_proj), (g_prb, g_proj)
+
+
+def test_projective_primal_matches_prb():
+    """The boundary term is zero-primal: rendered images identical."""
+    a = np.asarray(mi.render(_occluder_scene("prb"), spp=8, seed=2))
+    b = np.asarray(mi.render(_occluder_scene("prb_projective"), spp=8,
+                             seed=2))
+    np.testing.assert_allclose(a, b, atol=1e-5)
