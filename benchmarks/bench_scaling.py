@@ -1,0 +1,81 @@
+"""Scaling harness: rays/s of the sharded PRB train step at 1..N devices.
+
+On real multi-chip hardware this measures the scaling curve the BASELINE
+names (>80% linear). Under `JAX_PLATFORMS=cpu` with
+`--xla_force_host_platform_device_count=N` it validates mechanism (the
+sharded program compiles/runs and the per-bounce psum overlap is in the
+HLO), not speed — CPU "devices" share cores, so rays/s there is NOT a
+scaling measurement.
+
+Usage: python benchmarks/bench_scaling.py [n_devices ...]
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def run(n_dev: int, size: int = 64, spp: int = 8, iters: int = 3):
+    import optax
+
+    import mitsuba3_tpu as mi
+    from mitsuba3_tpu.parallel import make_mesh, train_step_sharded
+
+    mesh = make_mesh(n_dev)
+    h = w = max(size, n_dev * 8)
+    d = mi.cornell_box(width=w, height=h, max_depth=4)
+    d["integrator"] = {"type": "prb", "max_depth": 4}
+    scene = mi.load_dict(d)
+
+    def params_fn(s, p):
+        if p is None:
+            return {"em_radiance": s.em_radiance,
+                    "bsdf_params": s.bsdf_params}
+        return s.replace(em_radiance=p["em_radiance"],
+                         bsdf_params=p["bsdf_params"])
+
+    target = jnp.zeros((h, w, 3), jnp.float32)
+    optimizer = optax.adam(1e-2)
+    params = params_fn(scene, None)
+    opt_state = optimizer.init(params)
+
+    # warmup/compile
+    p1, o1, loss = train_step_sharded(scene, mesh, target, opt_state,
+                                      optimizer, params_fn, seed=0, spp=spp)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        # vary the seed so the axon runtime cannot dedupe executions
+        p1, o1, loss = train_step_sharded(scene, mesh, target, o1,
+                                          optimizer, params_fn,
+                                          seed=i + 1, spp=spp)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / iters
+    # fwd+bwd sample count proxy: pixels*spp*(depth fwd + depth replay)
+    rays = w * h * spp * scene.integrator.max_depth * 2
+    print(f"devices={n_dev:3d}  {w}x{h} spp={spp}: {dt*1e3:8.1f} ms/step  "
+          f"~{rays/dt/1e6:7.2f} Mray-bounces/s  loss={float(loss):.4f}")
+    return rays / dt
+
+
+def main():
+    sizes = [int(a) for a in sys.argv[1:]] or [1, len(jax.devices())]
+    base = None
+    for n in sizes:
+        if n > len(jax.devices()):
+            print(f"skip {n} (have {len(jax.devices())})")
+            continue
+        r = run(n)
+        if base is None:
+            base = r / sizes[0]
+        else:
+            print(f"  scaling efficiency vs {sizes[0]}: "
+                  f"{r / (n * base) * 100:.0f}%")
+
+
+if __name__ == "__main__":
+    main()

@@ -43,6 +43,12 @@ class PRBConfig:
     max_depth: int = 8
     rr_depth: int = 5
     hide_emitters: bool = False
+    # shard_map axis to all-reduce per-bounce θ-gradients over. When set,
+    # the replay scan issues one psum per bounce, so the cross-chip
+    # gradient reduction overlaps with the remaining bounces' compute —
+    # the BASELINE north-star "all-reduce overlapped with PRB replay"
+    # (greenfield; the reference is single-device, SURVEY §2.2).
+    psum_axis: str = None
 
 
 DIFF_PARAM_NAMES = ("bsdf_params", "em_radiance", "textures", "env_data",
@@ -276,6 +282,10 @@ def _loop(scene, rng, ray, cfg: PRBConfig, mode: str, dL=None, L_in=None,
                 return (dL * Lo).sum().sum()
 
             g = jax.grad(local_contrib)(theta)
+            if cfg.psum_axis is not None:
+                # per-bounce cross-chip reduction: bounce k's psum rides
+                # the ICI while bounce k+1 replays (async collective)
+                g = jax.lax.psum(g, cfg.psum_axis)
             grad = jax.tree_util.tree_map(jnp.add, grad, g)
 
         # ---------------- Loop var update / RR -----------------------------

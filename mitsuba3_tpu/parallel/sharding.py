@@ -77,13 +77,30 @@ def train_step_sharded(scene, mesh: Mesh, target, opt_state, optimizer,
     (scene, params) -> scene with params substituted (which scene leaves
     are optimized).
 
+    When the scene's integrator is PRB-family, the integrator config is
+    rewritten with ``psum_axis="chips"`` so the cross-chip θ-gradient
+    all-reduce happens PER BOUNCE inside the replay scan (ad/prb.py) —
+    bounce k's psum overlaps bounce k+1's replay compute — and the outer
+    post-hoc psum is skipped (the custom_vjp already returns globally
+    reduced gradients).
+
     Returns (new_params, new_opt_state, loss).
     """
+    import dataclasses as _dc
     n_dev = mesh.devices.size
     w, h = scene.film.width, scene.film.height
     n_pixels = w * h
     pix_per_dev = n_pixels // n_dev
     sppc = max(1, spp)
+
+    # projective integrators keep the outer post-hoc psum (their boundary
+    # custom_vjp's gradients are chip-local); plain PRB gets the per-bounce
+    # overlapped reduction
+    prb_overlapped = getattr(scene.integrator, "type", "") == "prb"
+    if prb_overlapped and getattr(scene.integrator, "psum_axis",
+                                  None) != "chips":
+        scene = scene.replace(integrator=_dc.replace(
+            scene.integrator, psum_axis="chips"))
 
     params = params_fn(scene, None)  # None => extract current params
 
@@ -105,8 +122,10 @@ def train_step_sharded(scene, mesh: Mesh, target, opt_state, optimizer,
             return jnp.mean((developed - target) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        grads = jax.lax.psum(grads, "chips")
-        # loss is already identical on all chips (computed on the psum'd film)
+        if not prb_overlapped:
+            grads = jax.lax.psum(grads, "chips")
+        # with PRB the per-bounce psums in the replay already reduced the
+        # custom_vjp path; loss is identical on all chips either way
         return loss, grads
 
     loss, grads = jax.jit(_grad)(scene, params, target)
