@@ -81,12 +81,19 @@ def run(impl: str, n_tris_target: int, n_rays: int):
     p0n, e1n, e2n = make_terrain(side)
     n_tris = len(p0n)
 
-    if impl == "tiled":
-        from mitsuba3_tpu.ops import bvh_tiled as mod
+    if impl in ("tiled", "dense", "bvh2"):
+        if impl == "dense":
+            from mitsuba3_tpu.ops import bvh_dense as mod
+        elif impl == "bvh2":
+            from mitsuba3_tpu.ops import bvh2 as mod
+        else:
+            from mitsuba3_tpu.ops import bvh_tiled as mod
         t0 = time.perf_counter()
         accel = mod.build(p0n, e1n, e2n)
+        n_leaves = getattr(accel, "n_leaves", None) or getattr(
+            accel, "n_nodes", 0)
         print(f"build({impl}) {time.perf_counter()-t0:.2f}s "
-              f"n_leaves={accel.n_leaves}")
+              f"n_leaves={n_leaves}")
 
         def closest(o, d, maxt):
             return mod.intersect_bvh(accel, o, d, maxt)
@@ -118,14 +125,15 @@ def run(impl: str, n_tris_target: int, n_rays: int):
         d = Vec3.from_array(jnp.asarray(dn))
         maxt = jnp.full(n_rays, 1e30, jnp.float32)
 
+        # axon dedupes executions with bit-identical inputs, so every rep
+        # must perturb an input (memory: tpu-renderer-perf-lessons)
         f = jax.jit(closest)
         t, prim, uv, valid = jax.block_until_ready(f(o, d, maxt))
         hit_rate = float(jnp.mean(valid.astype(jnp.float32)))
         reps = 5
         t0 = time.perf_counter()
-        for _ in range(reps):
-            out = f(o, d, maxt)
-        jax.block_until_ready(out)
+        outs = [f(o, d, maxt * (1.0 + 1e-6 * i)) for i in range(1, reps + 1)]
+        jax.block_until_ready(outs)
         dt = (time.perf_counter() - t0) / reps
         mrays = n_rays / dt / 1e6
         results[f"closest_{kind}"] = mrays
@@ -135,9 +143,8 @@ def run(impl: str, n_tris_target: int, n_rays: int):
         g = jax.jit(anyhit)
         occ = jax.block_until_ready(g(o, d, maxt))
         t0 = time.perf_counter()
-        for _ in range(reps):
-            occ = g(o, d, maxt)
-        jax.block_until_ready(occ)
+        outs = [g(o, d, maxt * (1.0 + 1e-6 * i)) for i in range(1, reps + 1)]
+        jax.block_until_ready(outs)
         dt = (time.perf_counter() - t0) / reps
         mrays = n_rays / dt / 1e6
         results[f"any_{kind}"] = mrays

@@ -50,6 +50,7 @@ NORMALMAP = 11
 PRINCIPLED = 12
 HAIR = 13
 POLARIZER = 14
+MEASURED = 15
 N_PARAMS = 16  # bsdf_params row width
 
 _REGISTRY = {}
@@ -161,7 +162,8 @@ register(BLEND, blendbsdf)
 register(NORMALMAP, normalmap)
 register(PRINCIPLED, principled)
 
-from . import hair, polarizer  # noqa: E402
+from . import hair, measured, polarizer  # noqa: E402
 
 register(HAIR, hair)
 register(POLARIZER, polarizer)
+register(MEASURED, measured)

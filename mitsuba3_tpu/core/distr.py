@@ -108,3 +108,59 @@ class ContinuousDistribution:
         v1 = jnp.take(self.pdf, idx + 1, axis=0)
         inside = (x >= self.range_min) & (x <= self.range_max)
         return jnp.where(inside, (v0 + (v1 - v0) * frac) * safe_div(1.0, self.integral), 0.0)
+
+
+@pytree_dataclass
+class IrregularContinuousDistribution:
+    """Piecewise-linear pdf on irregularly spaced nodes
+    (distr_1d.h:628 IrregularContinuousDistribution)."""
+    nodes: jnp.ndarray   # [N] strictly increasing positions
+    pdf: jnp.ndarray     # [N] unnormalized values at nodes
+    cdf: jnp.ndarray     # [N-1] cumulative trapezoid segments
+
+    @staticmethod
+    def from_samples(nodes, pdf):
+        nodes = jnp.asarray(nodes, jnp.float32)
+        pdf = jnp.asarray(pdf, jnp.float32)
+        seg = 0.5 * (pdf[:-1] + pdf[1:]) * (nodes[1:] - nodes[:-1])
+        return IrregularContinuousDistribution(
+            nodes=nodes, pdf=pdf, cdf=jnp.cumsum(seg))
+
+    @property
+    def integral(self):
+        return self.cdf[-1]
+
+    def sample(self, xi):
+        n = self.pdf.shape[0]
+        value = xi * self.integral
+        idx = jnp.clip(jnp.searchsorted(self.cdf, value, side="right"),
+                       0, n - 2)
+        cdf_prev = jnp.where(idx > 0, jnp.take(self.cdf, idx - 1, axis=0),
+                             0.0)
+        x0 = jnp.take(self.nodes, idx, axis=0)
+        x1 = jnp.take(self.nodes, idx + 1, axis=0)
+        w = jnp.maximum(x1 - x0, 1e-20)
+        v0 = jnp.take(self.pdf, idx, axis=0)
+        v1 = jnp.take(self.pdf, idx + 1, axis=0)
+        rem = (value - cdf_prev) / w
+        a = 0.5 * (v1 - v0)
+        disc = jnp.maximum(v0 * v0 + 4.0 * a * rem, 0.0)
+        t_lin = safe_div(rem, v0)
+        t_quad = safe_div(-v0 + jnp.sqrt(disc), 2.0 * a)
+        t = jnp.where(jnp.abs(a) < 1e-6 * (v0 + v1 + 1e-12), t_lin, t_quad)
+        return x0 + jnp.clip(t, 0.0, 1.0) * w
+
+    def eval_pdf_normalized(self, x):
+        n = self.pdf.shape[0]
+        idx = jnp.clip(jnp.searchsorted(self.nodes, x, side="right") - 1,
+                       0, n - 2)
+        x0 = jnp.take(self.nodes, idx, axis=0)
+        x1 = jnp.take(self.nodes, idx + 1, axis=0)
+        v0 = jnp.take(self.pdf, idx, axis=0)
+        v1 = jnp.take(self.pdf, idx + 1, axis=0)
+        t = safe_div(x - x0, x1 - x0)
+        inside = (x >= self.nodes[0]) & (x <= self.nodes[-1])
+        return jnp.where(inside,
+                         (v0 + (v1 - v0) * t) * safe_div(1.0,
+                                                         self.integral),
+                         0.0)

@@ -182,3 +182,127 @@ class Marginal2D:
         ix = jnp.clip((pos.x * w).astype(jnp.int32), 0, w - 1)
         iy = jnp.clip((pos.y * h).astype(jnp.int32), 0, h - 1)
         return self.density[iy, ix]
+
+
+@pytree_dataclass
+class SlicedMarginal2D:
+    """Parameter-conditioned Marginal2D (distr_2d.h:884 with one
+    conditioning dimension — the measured BSDF's Warp2D2 specialized to
+    isotropic materials, measured.cpp:77-79).
+
+    One piecewise-constant [H, W] density per condition slice. Per-lane
+    slice selection uses DENSE compare-sum CDF inversion against
+    block-gathered CDF rows — the TPU replacement for per-lane binary
+    search (per-lane gathers measured ~140M/s on v5e; a [N, H] row
+    gather + compare-reduce is ~50x faster).
+
+    Sampling is exactly consistent with `pdf`: piecewise-constant density
+    with in-cell uniform jitter (the reference's bilinear interpolation is
+    approximated at cell level; consistency, not smoothness, is what the
+    chi^2 harness checks)."""
+    density: jnp.ndarray    # [S, H, W], each slice integrates to 1 on [0,1]²
+    marg_cdf: jnp.ndarray   # [S, H] row CDF (ends at 1)
+    cond_cdf: jnp.ndarray   # [S*H, W] per-row column CDF (ends at 1)
+
+    @staticmethod
+    def from_data(data):
+        d = np.maximum(np.asarray(data, np.float32), 0.0)
+        s, h, w = d.shape
+        total = np.maximum(d.sum(axis=(1, 2), keepdims=True), 1e-20)
+        density = d / total * (h * w)              # mean 1 -> pdf on [0,1]²
+        rows = density.sum(axis=2)                 # [S, H]
+        marg_cdf = np.cumsum(rows / np.maximum(
+            rows.sum(axis=1, keepdims=True), 1e-20), axis=1)
+        cond = density / np.maximum(density.sum(axis=2, keepdims=True),
+                                    1e-20)
+        cond_cdf = np.cumsum(cond, axis=2).reshape(s * h, w)
+        return SlicedMarginal2D(density=jnp.asarray(density),
+                                marg_cdf=jnp.asarray(marg_cdf),
+                                cond_cdf=jnp.asarray(cond_cdf))
+
+    def _rows(self, k, iy):
+        h = self.marg_cdf.shape[1]
+        return jnp.take(self.cond_cdf, k * h + iy, axis=0)  # [N, W]
+
+    def sample(self, k, s: Vec2):
+        """k [N] slice index, s uniform -> (pos Vec2 in [0,1]², pdf [N])."""
+        s_count, h = self.marg_cdf.shape
+        w = self.cond_cdf.shape[1]
+        mrow = jnp.take(self.marg_cdf, k, axis=0)           # [N, H]
+        iy = jnp.minimum(jnp.sum((mrow < s.y[:, None]).astype(jnp.int32),
+                                 axis=1), h - 1)
+        col_h = jax.lax.broadcasted_iota(jnp.int32, (1, h), 1)
+        cy = jnp.sum(jnp.where(col_h == iy[:, None], mrow, 0.0), axis=1)
+        py = jnp.sum(jnp.where(col_h == iy[:, None] - 1, mrow, 0.0), axis=1)
+        fy = safe_div(s.y - py, cy - py)
+
+        crow = self._rows(k, iy)                            # [N, W]
+        ix = jnp.minimum(jnp.sum((crow < s.x[:, None]).astype(jnp.int32),
+                                 axis=1), w - 1)
+        col_w = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+        cx = jnp.sum(jnp.where(col_w == ix[:, None], crow, 0.0), axis=1)
+        px = jnp.sum(jnp.where(col_w == ix[:, None] - 1, crow, 0.0), axis=1)
+        fx = safe_div(s.x - px, cx - px)
+
+        pos = Vec2((ix + jnp.clip(fx, 0.0, 1.0)) / w,
+                   (iy + jnp.clip(fy, 0.0, 1.0)) / h)
+        return pos, self.eval(k, pos)
+
+    def invert(self, k, pos: Vec2):
+        """pos -> (uniform s Vec2, pdf [N]) — Marginal2D::invert."""
+        s_count, h = self.marg_cdf.shape
+        w = self.cond_cdf.shape[1]
+        iy = jnp.clip((pos.y * h).astype(jnp.int32), 0, h - 1)
+        fy = pos.y * h - iy
+        mrow = jnp.take(self.marg_cdf, k, axis=0)
+        col_h = jax.lax.broadcasted_iota(jnp.int32, (1, h), 1)
+        cy = jnp.sum(jnp.where(col_h == iy[:, None], mrow, 0.0), axis=1)
+        py = jnp.sum(jnp.where(col_h == iy[:, None] - 1, mrow, 0.0), axis=1)
+        sy = py + fy * (cy - py)
+
+        ix = jnp.clip((pos.x * w).astype(jnp.int32), 0, w - 1)
+        fx = pos.x * w - ix
+        crow = self._rows(k, iy)
+        col_w = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+        cx = jnp.sum(jnp.where(col_w == ix[:, None], crow, 0.0), axis=1)
+        px = jnp.sum(jnp.where(col_w == ix[:, None] - 1, crow, 0.0), axis=1)
+        sx = px + fx * (cx - px)
+        return Vec2(sx, sy), self.eval(k, pos)
+
+    def eval(self, k, pos: Vec2):
+        """Density at pos (pdf on the unit square)."""
+        s_count, h = self.marg_cdf.shape
+        w = self.cond_cdf.shape[1]
+        iy = jnp.clip((pos.y * h).astype(jnp.int32), 0, h - 1)
+        ix = jnp.clip((pos.x * w).astype(jnp.int32), 0, w - 1)
+        drow = jnp.take(self.density.reshape(s_count * h, w), k * h + iy,
+                        axis=0)                             # [N, W]
+        col_w = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+        return jnp.sum(jnp.where(col_w == ix[:, None], drow, 0.0), axis=1)
+
+
+def eval_bilinear_sliced(tbl, k, pos: Vec2):
+    """Bilinear lookup in a sliced table tbl [S, H, W] at pos in [0,1]²
+    per lane (slice k) — the continuous eval used for the measured BSDF's
+    spectra/ndf/sigma fields (Marginal2D::eval with node interpolation)."""
+    s_count, h, w = tbl.shape
+    flat = tbl.reshape(s_count * h, w)
+    x = jnp.clip(pos.x * (w - 1), 0.0, w - 1.0)
+    y = jnp.clip(pos.y * (h - 1), 0.0, h - 1.0)
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 2)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 2)
+    fx = x - x0
+    fy = y - y0
+    r0 = jnp.take(flat, k * h + y0, axis=0)                 # [N, W]
+    r1 = jnp.take(flat, k * h + y0 + 1, axis=0)
+    col_w = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+
+    def at(row, xi):
+        return jnp.sum(jnp.where(col_w == xi[:, None], row, 0.0), axis=1)
+
+    v00 = at(r0, x0)
+    v01 = at(r0, x0 + 1)
+    v10 = at(r1, x0)
+    v11 = at(r1, x0 + 1)
+    return ((v00 * (1 - fx) + v01 * fx) * (1 - fy)
+            + (v10 * (1 - fx) + v11 * fx) * fy)

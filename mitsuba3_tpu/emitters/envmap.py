@@ -3,11 +3,13 @@ constant.cpp as the small-uniform-map special case).
 
 The reference importance-samples the lat-long radiance map through a
 ``Hierarchical2D`` mip warp (envmap.cpp:104,297,528). The TPU-native
-equivalent flattens the sin(theta)-weighted luminance into ONE texel CDF
-and inverts it with a single binary search per lane — gather-light,
-branch-free, exactly invertible; the (u, v) inside the chosen texel is
-uniform. Radiance data stays differentiable; the sampling tables are
-detached (rebuilt by SceneParameters.update(), like parameters_changed()).
+warp is the marginal/conditional form (core/distr2d.SlicedMarginal2D,
+S=1): the hierarchical tree descent costs ~2 per-lane gathers per mip
+level (v5e: ~140M gathers/s), while the marginal warp inverts both CDFs
+with dense compare-sums over block-gathered rows — the same texel-exact
+distribution, one order of magnitude faster on this hardware. Radiance
+stays differentiable; the sampling tables are detached (rebuilt by
+SceneParameters.update(), like parameters_changed()).
 
 Direction convention (envmap.cpp eval, Y-up): world dir d ->
   u = atan2(d_x, -d_z) / 2pi (+wrap), v = acos(d_y) / pi.
@@ -24,21 +26,16 @@ from ..core.spectrum import LUMINANCE_WEIGHTS
 
 
 def build_tables(data: np.ndarray):
-    """Host-side: [He, We, 3] radiance -> (pmf [He*We], cdf [He*We]) over
-    texels, weighted by sin(theta) (solid-angle measure)."""
+    """Host-side: [He, We, 3] radiance -> SlicedMarginal2D warp over the
+    sin(theta)-weighted luminance (solid-angle measure)."""
+    from ..core.distr2d import SlicedMarginal2D
     he, we = data.shape[0], data.shape[1]
-    lum = data[..., :3] @ np.asarray(LUMINANCE_WEIGHTS)
+    lum = np.asarray(data)[..., :3] @ np.asarray(LUMINANCE_WEIGHTS)
     theta = (np.arange(he) + 0.5) / he * np.pi
-    w = lum * np.sin(theta)[:, None]
-    flat = np.maximum(w.reshape(-1), 0.0).astype(np.float64)
-    total = flat.sum()
-    if total <= 0:
-        flat = np.ones_like(flat)
-        total = flat.sum()
-    pmf = (flat / total).astype(np.float32)
-    cdf = np.cumsum(flat / total).astype(np.float32)
-    cdf[-1] = 1.0
-    return pmf, cdf
+    w = np.maximum(lum * np.sin(theta)[:, None], 0.0)
+    if w.sum() <= 0:
+        w = np.ones_like(w)
+    return SlicedMarginal2D.from_data(w[None])
 
 
 def dir_to_uv(d: Vec3) -> Vec2:
@@ -88,30 +85,23 @@ def eval_env(scene, d: Vec3) -> Vec3:
 
 
 def pdf_env_dir(scene, d: Vec3):
-    """Solid-angle pdf of sample_env_dir for direction d."""
-    data = scene.env_data
-    he, we = data.shape[0], data.shape[1]
+    """Solid-angle pdf of sample_env_dir for direction d: unit-square
+    density / (2 pi^2 sin(theta)) (envmap.cpp pdf_direction)."""
     uv = dir_to_uv(d)
-    xi = jnp.clip((uv.x * we).astype(jnp.int32), 0, we - 1)
-    yi = jnp.clip((uv.y * he).astype(jnp.int32), 0, he - 1)
-    pmf = scene.env_pmf[yi * we + xi]
+    k = jnp.zeros(uv.x.shape, jnp.int32)
+    dens = scene.env_warp.eval(k, uv)
     sin_theta = jnp.maximum(jnp.sin(uv.y * m.Pi), 1e-8)
-    return pmf * (he * we) / (2.0 * m.Pi * m.Pi * sin_theta)
+    return dens / (2.0 * m.Pi * m.Pi * sin_theta)
 
 
 def sample_env_dir(scene, s1, s2: Vec2):
-    """Importance-sample a direction from the env map.
+    """Importance-sample a direction from the env map via the marginal
+    warp (the Hierarchical2D sampling role, envmap.cpp:297).
     Returns (d Vec3, pdf [N], radiance Vec3)."""
-    data = scene.env_data
-    he, we = data.shape[0], data.shape[1]
-    idx = jnp.searchsorted(scene.env_cdf, s1, side="right")
-    idx = jnp.clip(idx, 0, he * we - 1).astype(jnp.int32)
-    yi = idx // we
-    xi = idx % we
-    u = (xi.astype(jnp.float32) + s2.x) / we
-    v = (yi.astype(jnp.float32) + s2.y) / he
-    d = uv_to_dir(Vec2(u, v))
-    sin_theta = jnp.maximum(jnp.sin(v * m.Pi), 1e-8)
-    pdf = scene.env_pmf[idx] * (he * we) / (2.0 * m.Pi * m.Pi * sin_theta)
+    k = jnp.zeros(s1.shape, jnp.int32)
+    pos, dens = scene.env_warp.sample(k, Vec2(s2.x, s1))
+    d = uv_to_dir(pos)
+    sin_theta = jnp.maximum(jnp.sin(pos.y * m.Pi), 1e-8)
+    pdf = dens / (2.0 * m.Pi * m.Pi * sin_theta)
     radiance = eval_env(scene, d)
     return d, pdf, radiance

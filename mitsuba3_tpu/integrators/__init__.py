@@ -11,6 +11,7 @@ import types
 from . import aov as aov_mod
 from . import direct as direct_mod
 from . import path as path_mod
+from . import stokes as stokes_mod
 from . import ptracer as ptracer_mod
 from . import volpath as volpath_mod
 from .path import PathConfig
@@ -20,7 +21,7 @@ _depth_mod = types.SimpleNamespace(sample=aov_mod.depth_sample,
 
 _REGISTRY = {"path": path_mod, "direct": direct_mod, "aov": aov_mod,
              "depth": _depth_mod, "ptracer": ptracer_mod,
-             "volpath": volpath_mod}
+             "volpath": volpath_mod, "stokes": stokes_mod}
 
 
 def _register_moment():
@@ -83,6 +84,8 @@ def config_from_dict(spec: dict):
         return ptracer_mod.config_from_dict(spec)
     if itype in ("depth", "aov"):
         return aov_mod.config_from_dict(spec)
+    if itype == "stokes":
+        return stokes_mod.config_from_dict(spec)
     if itype == "moment":
         _register_moment()
         return _REGISTRY["moment"].config_from_dict(spec)

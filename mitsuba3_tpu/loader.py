@@ -21,7 +21,7 @@ from .render.scene import (TRI_CHUNK, TRI_PAD, FilmConfig, Scene,
 _SHAPE_TYPES = ("rectangle", "cube", "sphere", "disk", "cylinder", "obj",
                 "ply", "mesh")
 _EMITTER_TYPES = ("area", "constant", "envmap", "point")
-_BSDF_TYPES = ("diffuse", "conductor", "roughconductor", "dielectric",
+_BSDF_TYPES = ("diffuse", "conductor", "roughconductor", "dielectric", "measured",
                "thindielectric", "roughdielectric", "plastic",
                "roughplastic", "twosided", "null", "mask", "blendbsdf",
                "normalmap", "bumpmap", "principled", "principledthin", "hair",
@@ -72,7 +72,45 @@ def _rgb(spec, default=(0.5, 0.5, 0.5)):
     return v
 
 
-def _bsdf_row(spec: dict, textures: list, add_bsdf=None):
+def _measured_tables(spec: dict):
+    """Lower a measured-BSDF spec to device tables (measured.cpp:86-238
+    constructor). Accepts {'filename': path-to-.bsdf} (RGL tensor file)
+    or {'tables': {field: np.ndarray}} with the same field names."""
+    from .core.distr2d import SlicedMarginal2D
+    if "filename" in spec:
+        from .utils import tensor_io
+        fields = tensor_io.read(spec["filename"])
+    else:
+        fields = spec["tables"]
+    phi_i = np.asarray(fields["phi_i"], np.float32).reshape(-1)
+    if phi_i.size > 1:
+        raise ValueError("measured: anisotropic (phi_i > 1) data is not "
+                         "supported yet; isotropic materials only")
+    theta_i = np.asarray(fields["theta_i"], np.float32).reshape(-1)
+    vndf = np.asarray(fields["vndf"], np.float32)
+    lum = np.asarray(fields["luminance"], np.float32)
+    key = "rgb" if "rgb" in fields else "spectra"
+    spectra = np.asarray(fields[key], np.float32)
+    if "wavelengths" in fields:
+        raise ValueError("measured: spectral .bsdf files are not supported "
+                         "yet; download the RGB variant")
+    ndf = np.asarray(fields["ndf"], np.float32)
+    sigma = np.asarray(fields["sigma"], np.float32)
+    t = theta_i.shape[0]
+    vndf = vndf.reshape(t, *vndf.shape[-2:])
+    lum = lum.reshape(t, *lum.shape[-2:])
+    spectra = spectra.reshape(t * 3, *spectra.shape[-2:])
+    return {
+        "theta_i": jnp.asarray(theta_i),
+        "lum": SlicedMarginal2D.from_data(lum),
+        "vndf": SlicedMarginal2D.from_data(vndf),
+        "spectra": jnp.asarray(spectra),
+        "ndf": jnp.asarray(ndf[None]),
+        "sigma": jnp.asarray(sigma[None]),
+    }
+
+
+def _bsdf_row(spec: dict, textures: list, add_bsdf=None, measured=None):
     """Lower a BSDF spec -> (type_id, params row [N_PARAMS]).
 
     `textures` is the scene-level texture list; bitmap/checkerboard color
@@ -146,12 +184,18 @@ def _bsdf_row(spec: dict, textures: list, add_bsdf=None):
         inner = spec.get("bsdf") or next(
             v for v in spec.values() if isinstance(v, dict) and "type" in v
             and v["type"] in _BSDF_TYPES)
-        tid, params = _bsdf_row(inner, textures, add_bsdf)
+        tid, params = _bsdf_row(inner, textures, add_bsdf, measured)
         params[7] = 1.0  # two-sided flag (honored by smooth BSDFs)
         return tid, params
     if btype == "diffuse":
         color_or_texture(spec.get("reflectance"), (0.5, 0.5, 0.5), 0, 3)
         return bsdfs_pkg.DIFFUSE, params
+    if btype == "measured":
+        if measured is None:
+            raise ValueError("measured BSDF requires table registration")
+        params[0] = len(measured)
+        measured.append(_measured_tables(spec))
+        return bsdfs_pkg.MEASURED, params
     if btype in ("conductor", "roughconductor"):
         from .render.fresnel import CONDUCTOR_IOR
         mat = spec.get("material", "none")
@@ -195,7 +239,13 @@ def _bsdf_row(spec: dict, textures: list, add_bsdf=None):
         params[8] = float(spec.get("theta", {}).get("value", 0.0)
                           if isinstance(spec.get("theta"), dict)
                           else spec.get("theta", 0.0))
-        params[9] = 0.0 if btype == "polarizer" else 1.0
+        params[9] = {"polarizer": 0.0, "retarder": 1.0,
+                     "circular": 2.0}[btype]
+        # retarder phase delay in degrees (retarder.cpp 'delta'; 90 =
+        # quarter-wave); consumed by the polarized stokes integrator
+        params[10] = float(spec.get("delta", {}).get("value", 90.0)
+                           if isinstance(spec.get("delta"), dict)
+                           else spec.get("delta", 90.0))
         return bsdfs_pkg.POLARIZER, params
     if btype == "hair":
         params[0] = float(spec.get("longitudinal_roughness", 0.3))
@@ -361,11 +411,12 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
     bsdf_params: list[np.ndarray] = []
 
     textures: list = []
+    measured_list: list = []
 
     def add_bsdf(spec, name=None):
         if spec.get("type") == "ref":
             return named_bsdf[spec["id"]]
-        tid, row = _bsdf_row(spec, textures, add_bsdf)
+        tid, row = _bsdf_row(spec, textures, add_bsdf, measured_list)
         idx = len(bsdf_types)
         bsdf_types.append(tid)
         bsdf_params.append(row)
@@ -656,13 +707,13 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
             else:
                 env_data = np.ones((4, 8, 3), np.float32)
         env_scale = float(env_spec.get("scale", 1.0))
-        env_pmf, env_cdf = env_mod.build_tables(env_data)
+        env_warp = env_mod.build_tables(env_data)
         # env occupies a slot in em_radiance too (unused for eval)
         em_radiance.append(np.zeros(3, np.float32))
     else:
+        from .emitters import envmap as env_mod
         env_data = np.zeros((1, 1, 3), np.float32)
-        env_pmf = np.ones(1, np.float32)
-        env_cdf = np.ones(1, np.float32)
+        env_warp = env_mod.build_tables(env_data)
         env_scale = 1.0
 
     # per-face 1/(emitter total area)
@@ -738,13 +789,13 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
         ef_face=jnp.asarray(ef_face),
         ef_cdf=jnp.asarray(ef_cdf),
         env_data=jnp.asarray(env_data),
-        env_pmf=jnp.asarray(env_pmf),
-        env_cdf=jnp.asarray(env_cdf),
+        env_warp=env_warp,
         env_scale=jnp.float32(env_scale),
         bsdf_params=jnp.asarray(np.stack(bsdf_params, 0) if bsdf_params
                                 else np.zeros((0, bsdfs_pkg.N_PARAMS),
                                               np.float32)),
         textures=tuple(jnp.asarray(t) for t in textures),
+        measured_tables=tuple(measured_list),
         sensor=sensor_data,
         medium_params=jnp.asarray(
             np.stack(medium_rows, 0) if medium_rows

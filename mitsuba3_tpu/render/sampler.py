@@ -101,6 +101,7 @@ class Sampler:
     dim: jnp.ndarray          # scalar uint32 dimension counter
     spp: int = static_field(default=0)
     stype: str = static_field(default="independent")
+    res: int = static_field(default=0)  # orthogonal-array grid resolution
 
 
 def seed(seed_value, wavefront_size: int, sample_idx=None, pixel_id=None,
@@ -122,9 +123,43 @@ def seed(seed_value, wavefront_size: int, sample_idx=None, pixel_id=None,
             pixel_id.astype(u32) + u32(0x1234567),
             jnp.broadcast_to(jnp.asarray(base_seed, u32) * u32(0x9e3779b9)
                              + u32(0x85ebca6b), (wavefront_size,)))
+    res = 0
+    if stype == "orthogonal":
+        # smallest prime with res^2 >= spp (orthogonal.cpp:93-110); spp
+        # is effectively rounded to res^2 for stratum placement
+        res = 2
+        def _is_prime(v):
+            return v > 1 and all(v % q for q in range(2, int(v ** 0.5) + 1))
+        while res * res < max(int(spp), 1) or not _is_prime(res):
+            res += 1
     return Sampler(rng=rng, sample_idx=sample_idx.astype(u32),
                    pixel_hash=pixel_hash, dim=u32(0), spp=int(spp),
-                   stype=stype)
+                   stype=stype, res=res)
+
+
+def _bose(s, j, jitter):
+    """Bose orthogonal-array construction, strength 2
+    (orthogonal.cpp:214-243): every 2D projection across dimensions is a
+    stratified (res x res) grid, with the correlated-multi-jitter flavor
+    of stratum/sub-stratum permutations."""
+    res = u32(s.res)
+    n = u32(s.res * s.res)
+    p = s.pixel_hash ^ u32(0x94d049bb)
+    i = _permute_kensler(s.sample_idx % n, s.res * s.res, p)
+    a_i0 = i // res
+    a_i1 = i % res
+    k = jnp.where((j % u32(2)) > 0, j - u32(1), j + u32(1))
+    a_ij = (a_i0 + (j - u32(1)) * a_i1) % res
+    a_ik = (a_i0 + (k - u32(1)) * a_i1) % res
+    a_ij = jnp.where(j == 0, a_i0, jnp.where(j == 1, a_i1, a_ij))
+    a_ik = jnp.where(j == 0, a_i1, jnp.where(j == 1, a_i0, a_ik))
+    stratum = _permute_kensler(a_ij, s.res,
+                               p * (j + u32(1)) * u32(0x51633e2d))
+    sub_stratum = _permute_kensler(a_ik, s.res,
+                                   p * (j + u32(1)) * u32(0x68bc21eb))
+    rf = res.astype(jnp.float32)
+    return (stratum.astype(jnp.float32)
+            + (sub_stratum.astype(jnp.float32) + jitter) / rf) / rf
 
 
 def _stratum_size(spp):
@@ -148,6 +183,8 @@ def next_1d(s):
         scr, _ = sample_tea_32(s.pixel_hash, s.dim)
         bits = _reverse_bits32(s.sample_idx) ^ scr
         return s.replace(rng=rng, dim=dim), _u32_to_float(bits)
+    if s.stype == "orthogonal":
+        return s.replace(rng=rng, dim=dim), _bose(s, s.dim, u)
     raise ValueError(f"unknown sampler type {s.stype!r}")
 
 
@@ -184,6 +221,10 @@ def next_2d(s):
         x = _u32_to_float(_reverse_bits32(s.sample_idx) ^ scr1)
         y = _u32_to_float(_sobol2(s.sample_idx, scr2))
         return s.replace(rng=rng, dim=dim), Vec2(x, y)
+    if s.stype == "orthogonal":
+        return s.replace(rng=rng, dim=dim), Vec2(_bose(s, s.dim, ux),
+                                                 _bose(s, s.dim + u32(1),
+                                                       uy))
     # non-square spp: fall back to 1D-stratified per axis
     p = s.pixel_hash ^ (s.dim * u32(0x68bc21eb))
     j = _permute_kensler(s.sample_idx, s.spp, p)

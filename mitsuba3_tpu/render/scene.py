@@ -96,8 +96,9 @@ class Scene:
 
     # ---- environment emitter (envmap.cpp / constant.cpp) ----
     env_data: jnp.ndarray      # [He, We, 3] radiance (differentiable)
-    env_pmf: jnp.ndarray       # [He*We] texel pmf (detached tables)
-    env_cdf: jnp.ndarray       # [He*We]
+    env_warp: object           # SlicedMarginal2D (S=1) sin-weighted warp
+                               # (detached tables; Hierarchical2D role,
+                               # envmap.cpp:104 — see emitters/envmap.py)
     env_scale: jnp.ndarray     # scalar
 
     # ---- BSDF tables ----
@@ -122,6 +123,9 @@ class Scene:
 
     # ---- shading normals (per-corner; zeros = flat/geometric) ----
     face_normals: jnp.ndarray = None    # [F, 3, 3]
+
+    # ---- measured BSDF tables (bsdfs/measured.py; measured.cpp) ----
+    measured_tables: tuple = ()
 
     # ---- static topology / config ----
     n_shapes: int = static_field(default=0)

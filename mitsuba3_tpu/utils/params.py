@@ -123,8 +123,8 @@ def _rebuild_env_tables(scene):
     if scene.env_emitter < 0:
         return scene
     from ..emitters import envmap as env_mod
-    pmf, cdf = env_mod.build_tables(np.asarray(scene.env_data))
-    return scene.replace(env_pmf=jnp.asarray(pmf), env_cdf=jnp.asarray(cdf))
+    return scene.replace(env_warp=env_mod.build_tables(
+        np.asarray(scene.env_data)))
 
 
 def _rebuild_geometry_derived(scene):

@@ -86,3 +86,122 @@ def test_solve_quadratic():
     assert list(valid) == [True, True, True, False]
     assert np.allclose(np.asarray(x0)[:3], [1.0, -2.0, 3.0], atol=1e-5)
     assert np.allclose(np.asarray(x1)[:2], [2.0, 2.0], atol=1e-5)
+
+
+def test_orthogonal_sampler_oa_property():
+    """Orthogonal-array sampler (orthogonal.cpp Bose strength-2): within
+    one pixel, EVERY pair of consecutive dimensions projects the spp
+    samples onto a stratified res x res grid (one sample per stratum)."""
+    import jax.numpy as jnp
+    from mitsuba3_tpu.render import sampler as sampler_mod
+
+    spp = 25  # res = 5 (prime)
+    n = spp
+    s = sampler_mod.seed(7, n,
+                         sample_idx=jnp.arange(n, dtype=jnp.uint32),
+                         pixel_id=jnp.full(n, 3, jnp.uint32),
+                         stype="orthogonal", spp=spp)
+    assert s.res == 5
+    for _pair in range(3):
+        s, v = sampler_mod.next_2d(s)
+        ix = np.clip((np.asarray(v.x) * 5).astype(int), 0, 4)
+        iy = np.clip((np.asarray(v.y) * 5).astype(int), 0, 4)
+        strata = set(zip(ix.tolist(), iy.tolist()))
+        assert len(strata) == 25, f"pair {_pair}: {len(strata)} strata"
+    # values stay in [0, 1)
+    assert (np.asarray(v.x) >= 0).all() and (np.asarray(v.x) < 1).all()
+
+
+def test_radical_inverse_reference_values():
+    """qmc.h radical inverse: known values in bases 2 and 3, plus
+    equidistribution of the first 1000 points."""
+    import jax.numpy as jnp
+    from mitsuba3_tpu.core import qmc
+
+    idx = jnp.arange(8, dtype=jnp.uint32)
+    b2 = np.asarray(qmc.radical_inverse(0, idx))
+    np.testing.assert_allclose(
+        b2, [0, 0.5, 0.25, 0.75, 0.125, 0.625, 0.375, 0.875], atol=1e-6)
+    b3 = np.asarray(qmc.radical_inverse(1, jnp.arange(4, dtype=jnp.uint32)))
+    np.testing.assert_allclose(b3, [0, 1 / 3, 2 / 3, 1 / 9], atol=1e-6)
+    # scrambled version remains equidistributed
+    v = np.asarray(qmc.scrambled_radical_inverse(3, jnp.arange(
+        2000, dtype=jnp.uint32)))
+    hist, _ = np.histogram(v, bins=10, range=(0, 1))
+    assert hist.min() > 150 and hist.max() < 250
+    assert (v >= 0).all() and (v < 1).all()
+
+
+def test_spline_eval_and_sample():
+    """spline.h: the Catmull-Rom interpolant reproduces node values and
+    a smooth function between them; sample_1d follows the interpolant
+    density (histogram check)."""
+    import jax.numpy as jnp
+    from mitsuba3_tpu.core import spline
+
+    xs = np.linspace(0.0, np.pi, 17)
+    vals = np.sin(xs) + 1.1
+    at_nodes = np.asarray(spline.eval_1d(0.0, np.pi, vals,
+                                         jnp.asarray(xs, jnp.float32)))
+    np.testing.assert_allclose(at_nodes, vals, atol=1e-5)
+    mid = np.asarray(spline.eval_1d(0.0, np.pi, vals,
+                                    jnp.asarray([0.4], jnp.float32)))[0]
+    assert abs(mid - (np.sin(0.4) + 1.1)) < 1e-3
+
+    xi = (np.arange(20000) + 0.5) / 20000
+    pos, pdf = spline.sample_1d(0.0, np.pi, vals,
+                                jnp.asarray(xi, jnp.float32))
+    pos = np.asarray(pos)
+    hist, edges = np.histogram(pos, bins=16, range=(0, np.pi),
+                               density=True)
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    expect = (np.sin(centers) + 1.1)
+    expect /= np.trapezoid(np.sin(xs) + 1.1, xs)
+    assert np.abs(hist - expect).max() < 0.03
+    # reported pdf integrates to ~1 against the sampled positions
+    assert abs(np.mean(1.0 / np.asarray(pdf)) - np.pi) < 0.05 * np.pi
+
+
+def test_gauss_quadrature_exactness():
+    """quad.h: n-point Gauss-Legendre integrates polynomials of degree
+    2n-1 exactly; Lobatto degree 2n-3; composite Simpson is consistent."""
+    from mitsuba3_tpu.core import quad
+
+    for n in (2, 4, 8, 16):
+        x, w = quad.gauss_legendre(n)
+        for deg in range(2 * n - 1):
+            got = np.sum(w * x ** deg)
+            exact = 0.0 if deg % 2 else 2.0 / (deg + 1)
+            assert abs(got - exact) < 1e-12, (n, deg)
+    for n in (3, 5, 9):
+        x, w = quad.gauss_lobatto(n)
+        assert abs(x[0] + 1) < 1e-14 and abs(x[-1] - 1) < 1e-14
+        for deg in range(2 * n - 3):
+            got = np.sum(w * x ** deg)
+            exact = 0.0 if deg % 2 else 2.0 / (deg + 1)
+            assert abs(got - exact) < 1e-10, (n, deg)
+    x, w = quad.composite_simpson(9)
+    assert abs(np.sum(w * x ** 2) - 2.0 / 3.0) < 1e-10
+
+
+def test_irregular_continuous_distribution():
+    """distr_1d.h IrregularContinuousDistribution: sampling follows the
+    trapezoid density on irregular nodes."""
+    import jax.numpy as jnp
+    from mitsuba3_tpu.core.distr import IrregularContinuousDistribution
+
+    nodes = np.array([0.0, 0.5, 0.7, 1.5, 3.0], np.float32)
+    pdf = np.array([1.0, 3.0, 0.5, 2.0, 0.1], np.float32)
+    d = IrregularContinuousDistribution.from_samples(nodes, pdf)
+    xi = jnp.asarray((np.arange(50000) + 0.5) / 50000, jnp.float32)
+    xs = np.asarray(d.sample(xi))
+    assert xs.min() >= 0 and xs.max() <= 3.0
+    hist, edges = np.histogram(xs, bins=24, range=(0, 3), density=True)
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    ref = np.asarray(d.eval_pdf_normalized(jnp.asarray(centers,
+                                                       jnp.float32)))
+    # exclude bins that straddle pdf kinks (node positions)
+    keep = np.ones(24, bool)
+    for nd in nodes:
+        keep &= ~((edges[:-1] < nd) & (nd < edges[1:]))
+    assert np.abs(hist[keep] - ref[keep]).max() < 0.05
