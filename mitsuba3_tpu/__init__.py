@@ -27,6 +27,8 @@ from .render.integrator import render, render_with_stats
 from .render.scene import Scene, FilmConfig
 from .render import film as film_lib
 from .utils.params import SceneParameters, traverse
+from .utils.log import (DEBUG, ERROR, INFO, TRACE, WARN, ProgressReporter,
+                        log, set_log_level)
 from . import ad
 
 ScalarTransform4f = Transform4f

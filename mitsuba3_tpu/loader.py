@@ -110,6 +110,78 @@ def _measured_tables(spec: dict):
     }
 
 
+def _try_analytic(spec: dict):
+    """Lower sphere/disk/cylinder to an analytic primitive row
+    (ops/analytic.py layout) when possible: no emitter attached, no
+    normal flips, rigid + uniform-scale transform. Returns np row[24]
+    or None (-> tessellation fallback, e.g. for area-light spheres or
+    anisotropic scaling)."""
+    st = spec.get("type")
+    if st not in ("sphere", "disk", "cylinder"):
+        return None
+    if spec.get("emitter") is not None or spec.get("flip_normals"):
+        return None
+    tw = spec.get("to_world")
+    m = np.eye(4)
+    if tw is not None:
+        if not isinstance(tw, Transform4f):
+            tw = Transform4f(np.asarray(tw, np.float64))
+        m = np.asarray(tw.matrix, np.float64)
+    a3 = m[:3, :3]
+    lens = np.linalg.norm(a3, axis=0)
+    s = float(lens.mean())
+    if s <= 0 or np.abs(lens - s).max() > 1e-5 * max(s, 1e-6):
+        return None
+    rot = a3 / s
+    if np.abs(rot.T @ rot - np.eye(3)).max() > 1e-4:
+        return None
+
+    from .ops.analytic import N_COLS
+    row = np.zeros(N_COLS, np.float32)
+    if st == "sphere":
+        c_local = np.asarray(spec.get("center", [0, 0, 0]), np.float64)
+        r_local = float(spec.get("radius", 1.0))
+        c = m[:3, :3] @ c_local + m[:3, 3]
+        row[0] = 0
+        row[1:4] = c
+        row[4:7] = rot[:, 2]
+        row[7] = s * r_local
+        row[9:12] = rot[:, 0]
+        row[12:15] = rot[:, 1]
+    elif st == "disk":
+        row[0] = 1
+        row[1:4] = m[:3, 3]
+        row[4:7] = rot[:, 2]
+        row[7] = s
+        row[9:12] = rot[:, 0]
+        row[12:15] = rot[:, 1]
+    else:  # cylinder
+        r_local = float(spec.get("radius", 1.0))
+        p0 = np.asarray(spec.get("p0", [0, 0, 0]), np.float64)
+        p1 = np.asarray(spec.get("p1", [0, 0, 1]), np.float64)
+        base = m[:3, :3] @ p0 + m[:3, 3]
+        axis = m[:3, :3] @ (p1 - p0)
+        length = np.linalg.norm(axis)
+        if length <= 0:
+            return None
+        z = axis / length
+        x = np.cross([0.0, 1.0, 0.01], z)
+        nx = np.linalg.norm(x)
+        if nx < 1e-9:
+            x = np.cross([1.0, 0.0, 0.0], z)
+            nx = np.linalg.norm(x)
+        x /= nx
+        y = np.cross(z, x)
+        row[0] = 2
+        row[1:4] = base
+        row[4:7] = z
+        row[7] = s * r_local
+        row[8] = length
+        row[9:12] = x
+        row[12:15] = y
+    return row
+
+
 def _bsdf_row(spec: dict, textures: list, add_bsdf=None, measured=None):
     """Lower a BSDF spec -> (type_id, params row [N_PARAMS]).
 
@@ -542,9 +614,9 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
     v_off = 0
     f_off = 0
 
+    analytic_rows: list[np.ndarray] = []
     for s_idx, (name, spec) in enumerate(shape_items):
-        mesh = shapes_pkg.build_shape(spec)
-        nf = mesh.faces.shape[0]
+        arow = _try_analytic(spec)
 
         bspec = spec.get("bsdf")
         if bspec is None:
@@ -553,6 +625,24 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
             b_idx = named_bsdf[bspec["id"]]
         else:
             b_idx = add_bsdf(bspec)
+
+        if arow is not None:
+            # implicit shape: no tessellation, no faces — intersected
+            # analytically (ops/analytic.py; sphere.cpp/disk.cpp role)
+            int_spec = spec.get("interior") or spec.get("interior_medium")
+            ext_spec = spec.get("exterior") or spec.get("exterior_medium")
+            m_in = add_medium(int_spec) if int_spec is not None else -2
+            m_ex = add_medium(ext_spec) if ext_spec is not None else -2
+            arow[15] = s_idx
+            arow[16] = b_idx
+            arow[17] = -1
+            arow[18] = m_in
+            arow[19] = m_ex
+            analytic_rows.append(arow)
+            continue
+
+        mesh = shapes_pkg.build_shape(spec)
+        nf = mesh.faces.shape[0]
 
         e_idx = -1
         espec = spec.get("emitter")
@@ -592,7 +682,18 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
         f_off += nf
 
     if not all_verts:
-        raise ValueError("Scene contains no shapes")
+        if not analytic_rows:
+            raise ValueError("Scene contains no shapes")
+        # all-analytic scene: keep one degenerate (never-hit) triangle so
+        # the SoA mesh arrays stay non-empty
+        all_verts.append(np.zeros((3, 3), np.float64))
+        all_faces.append(np.zeros((1, 3), np.int64))
+        face_shape.extend([-1])
+        face_bsdf.extend([0])
+        face_emitter.extend([-1])
+        face_medium_rows.extend([(-2, -2)])
+        face_uv.append(np.zeros((1, 3, 2)))
+        face_ns.append(np.zeros((1, 3, 3)))
 
     vertices = np.concatenate(all_verts, 0).astype(np.float32)
     faces = np.concatenate(all_faces, 0).astype(np.int32)
@@ -796,6 +897,8 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
                                               np.float32)),
         textures=tuple(jnp.asarray(t) for t in textures),
         measured_tables=tuple(measured_list),
+        analytic_prims=(jnp.asarray(np.stack(analytic_rows, 0))
+                        if analytic_rows else None),
         sensor=sensor_data,
         medium_params=jnp.asarray(
             np.stack(medium_rows, 0) if medium_rows

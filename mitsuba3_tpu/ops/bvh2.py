@@ -292,7 +292,7 @@ def _serve_pallas(blocks, rays, want, ids):
         jax.ShapeDtypeStruct((c, 1, CHUNK), jnp.float32),
         jax.ShapeDtypeStruct((c, 1, CHUNK), jnp.float32),
     ]
-    o_spec = pl.BlockSpec((1, 1, CHUNK), lambda i: (i, 0, 0),
+    o_spec = pl.BlockSpec((1, 1, CHUNK), lambda i, ids: (i, 0, 0),
                           memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,           # ids land in SMEM, whole array

@@ -158,8 +158,28 @@ def render(scene, seed=0, spp=None, max_wavefront=1 << 19):
 
 
 def render_with_stats(scene, seed=0, spp=None, max_wavefront=1 << 19):
-    """Like render(), but also returns the total ray-query count (for
-    Mrays/s benchmarking — analog of the reference's render stats logs,
-    integrator.cpp:361-388)."""
+    """Like render(), but also returns the total ray-query count and logs
+    the trace/compile/execute breakdown at DEBUG level (the reference's
+    record vs codegen vs render split, integrator.cpp:361-388)."""
+    import time
+
+    from ..utils import log as log_mod
     sppc, n_passes = plan_passes(scene, spp, max_wavefront)
+    if log_mod.log_level() <= log_mod.DEBUG:
+        t0 = time.perf_counter()
+        lowered = _render_jit.lower(scene, seed, sppc, n_passes)
+        t_trace = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        compiled = lowered.compile()
+        t_compile = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        with jax.profiler.TraceAnnotation("render"):
+            out = jax.block_until_ready(compiled(scene, seed))
+        t_run = time.perf_counter() - t0
+        log_mod.log(log_mod.DEBUG,
+                    f"render {scene.film.width}x{scene.film.height} "
+                    f"spp={sppc * n_passes}: trace {t_trace * 1e3:.0f} ms, "
+                    f"compile {t_compile * 1e3:.0f} ms (cached), "
+                    f"execute {t_run * 1e3:.0f} ms")
+        return out
     return _render_jit(scene, seed, sppc, n_passes)

@@ -127,6 +127,10 @@ class Scene:
     # ---- measured BSDF tables (bsdfs/measured.py; measured.cpp) ----
     measured_tables: tuple = ()
 
+    # ---- analytic (implicit) shapes: sphere/disk/cylinder rows ----
+    # (ops/analytic.py; sphere.cpp/disk.cpp/cylinder.cpp intersections)
+    analytic_prims: jnp.ndarray = None  # [A, analytic.N_COLS]
+
     # ---- static topology / config ----
     n_shapes: int = static_field(default=0)
     n_emitters: int = static_field(default=0)
@@ -227,6 +231,21 @@ class Scene:
             t, prim, uv, valid = ops_intersect.intersect_naive(
                 ray.o, ray.d, ray.maxt, p0, e1, e2, active=active,
                 chunk=TRI_CHUNK)
+        if self.analytic_prims is not None \
+                and self.analytic_prims.shape[0] > 0:
+            from ..ops import analytic
+            f_count = self.faces.shape[0]
+            t_cap = jnp.where(valid, t, ray.maxt)
+            ta, aidx, uva, va = analytic.intersect_analytic(
+                jax.lax.stop_gradient(self.analytic_prims), ray.o, ray.d,
+                t_cap, active=active)
+            better = va & (~valid | (ta < t))
+            t = jnp.where(better, ta, t)
+            prim = jnp.where(better, f_count + aidx, prim)
+            uv = Vec2(jnp.where(better, uva.x, uv.x),
+                      jnp.where(better, uva.y, uv.y))
+            valid = valid | better
+            prim = jnp.where(valid, prim, -1)
         # shape id resolved later from the attribute bundle; store hit mask
         shape_idx = jnp.where(valid, prim, -1)
         return PreliminaryIntersection(
@@ -236,13 +255,24 @@ class Scene:
         if self.accel is not None:
             from ..ops import bvh_tiled, bvh_xla
             if isinstance(self.accel, bvh_xla.BVHXLA):
-                return bvh_xla.occluded_bvh(
+                occ = bvh_xla.occluded_bvh(
                     self.accel, ray.o, ray.d, ray.maxt, active=active)
-            return bvh_tiled.occluded_bvh(
-                self.accel, ray.o, ray.d, ray.maxt, active=active)
-        p0, e1, e2 = self.triangle_soa()
-        return ops_intersect.occluded_naive(
-            ray.o, ray.d, ray.maxt, p0, e1, e2, active=active, chunk=TRI_CHUNK)
+            else:
+                occ = bvh_tiled.occluded_bvh(
+                    self.accel, ray.o, ray.d, ray.maxt, active=active)
+        else:
+            p0, e1, e2 = self.triangle_soa()
+            occ = ops_intersect.occluded_naive(
+                ray.o, ray.d, ray.maxt, p0, e1, e2, active=active,
+                chunk=TRI_CHUNK)
+        if self.analytic_prims is not None \
+                and self.analytic_prims.shape[0] > 0:
+            from ..ops import analytic
+            _, _, _, va = analytic.intersect_analytic(
+                jax.lax.stop_gradient(self.analytic_prims), ray.o, ray.d,
+                ray.maxt, active=active, any_hit=True)
+            occ = occ | va
+        return occ
 
     def compute_surface_interaction(self, ray: Ray,
                                     pi: PreliminaryIntersection):
@@ -277,16 +307,57 @@ class Scene:
                   a[10] * w0 + a[12] * b1 + a[14] * b2)
         valid = pi.is_valid()
         shape_idx = jnp.where(valid, jnp.round(a[18]).astype(jnp.int32), -1)
+        bsdf_idx = jnp.round(a[17]).astype(jnp.int32)
+        emitter_idx = jnp.where(valid,
+                                jnp.round(a[16]).astype(jnp.int32), -1)
+        inv_total_area = a[15]
+        med_in = jnp.round(a[19]).astype(jnp.int32)
+        med_ex = jnp.round(a[20]).astype(jnp.int32)
+
+        if self.analytic_prims is not None \
+                and self.analytic_prims.shape[0] > 0:
+            # analytic-hit lanes: recompute p/n differentiably from the
+            # implicit parameters (ops/analytic.py surface_fields — the
+            # sphere.cpp/disk.cpp compute_surface_interaction analog)
+            from ..ops import analytic
+            f_count = self.faces.shape[0]
+            is_an = valid & (pi.prim_index >= f_count)
+            aidx = jnp.clip(pi.prim_index - f_count, 0,
+                            self.analytic_prims.shape[0] - 1)
+            pa, nga, nsa, rows = analytic.surface_fields(
+                self.analytic_prims, aidx, pi.prim_uv, ray.o, ray.d, pi.t)
+            p = Vec3.where(is_an, pa, p)
+            ng = Vec3.where(is_an, nga, ng)
+            ns = Vec3.where(is_an, nsa, ns)
+            sh_frame = Frame.from_normal(ns)
+            wi = sh_frame.to_local(-ray.d)
+            uv = Vec2(jnp.where(is_an, pi.prim_uv.x, uv.x),
+                      jnp.where(is_an, pi.prim_uv.y, uv.y))
+            shape_idx = jnp.where(is_an,
+                                  jnp.round(rows[15]).astype(jnp.int32),
+                                  shape_idx)
+            bsdf_idx = jnp.where(is_an,
+                                 jnp.round(rows[16]).astype(jnp.int32),
+                                 bsdf_idx)
+            emitter_idx = jnp.where(is_an, -1, emitter_idx)
+            inv_total_area = jnp.where(is_an, 0.0, inv_total_area)
+            med_in = jnp.where(is_an,
+                               jnp.round(rows[18]).astype(jnp.int32),
+                               med_in)
+            med_ex = jnp.where(is_an,
+                               jnp.round(rows[19]).astype(jnp.int32),
+                               med_ex)
+
         si = SurfaceInteraction(
             p=p, t=pi.t, n=ng, sh_frame=sh_frame, uv=uv, wi=wi,
             shape_index=shape_idx, prim_index=pi.prim_index,
             wavelengths=ray.wl)
         attrs = {
-            "bsdf": jnp.round(a[17]).astype(jnp.int32),
-            "emitter": jnp.where(valid, jnp.round(a[16]).astype(jnp.int32), -1),
-            "inv_total_area": a[15],
-            "medium_interior": jnp.round(a[19]).astype(jnp.int32),
-            "medium_exterior": jnp.round(a[20]).astype(jnp.int32),
+            "bsdf": bsdf_idx,
+            "emitter": emitter_idx,
+            "inv_total_area": inv_total_area,
+            "medium_interior": med_in,
+            "medium_exterior": med_ex,
         }
         return si, attrs
 

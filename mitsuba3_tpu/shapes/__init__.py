@@ -135,6 +135,15 @@ def build_shape(spec: dict) -> MeshData:
     elif stype in ("obj", "ply"):
         from .loaders import load_mesh_file
         mesh = load_mesh_file(spec["filename"], stype)
+    elif stype == "mesh":
+        # raw in-memory mesh (the dict analog of the reference's
+        # ``type='mesh'`` with vertex_positions/faces props)
+        mesh = MeshData(np.asarray(spec["vertices"], np.float64),
+                        np.asarray(spec["faces"], np.int64),
+                        uvs=np.asarray(spec["uvs"], np.float64)
+                        if "uvs" in spec else None,
+                        normals=np.asarray(spec["normals"], np.float64)
+                        if "normals" in spec else None)
     else:
         raise ValueError(f"Unsupported shape type: {stype}")
 

@@ -1,0 +1,157 @@
+"""Analytic implicit shapes (ops/analytic.py; sphere.cpp/disk.cpp/
+cylinder.cpp counterparts): exact intersections versus closed forms, and
+the tessellation-bias removal the VERDICT asked for (analytic sphere
+render against a high-subdivision mesh oracle)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import mitsuba3_tpu as mi
+from mitsuba3_tpu.core.vec import Vec2, Vec3
+from mitsuba3_tpu.ops import analytic
+
+
+def _rows(*rows):
+    return jnp.asarray(np.stack(rows, 0).astype(np.float32))
+
+
+def _sphere_row(c, r):
+    row = np.zeros(analytic.N_COLS, np.float32)
+    row[0] = 0
+    row[1:4] = c
+    row[4:7] = [0, 0, 1]
+    row[7] = r
+    row[9:12] = [1, 0, 0]
+    row[12:15] = [0, 1, 0]
+    return row
+
+
+def test_sphere_intersection_exact():
+    table = _rows(_sphere_row([0, 0, 0], 1.0))
+    n = 64
+    ys = np.linspace(-1.5, 1.5, n).astype(np.float32)
+    o = Vec3(jnp.full(n, -5.0), jnp.asarray(ys), jnp.zeros(n))
+    d = Vec3(jnp.ones(n), jnp.zeros(n), jnp.zeros(n))
+    t, aidx, uv, valid = analytic.intersect_analytic(
+        table, o, d, jnp.full(n, 1e30, jnp.float32))
+    inside = np.abs(ys) < 1.0
+    np.testing.assert_array_equal(np.asarray(valid), inside)
+    t_exact = 5.0 - np.sqrt(np.maximum(1.0 - ys ** 2, 0.0))
+    np.testing.assert_allclose(np.asarray(t)[inside], t_exact[inside],
+                               atol=1e-4)
+
+
+def test_cylinder_and_disk_intersection():
+    disk = np.zeros(analytic.N_COLS, np.float32)
+    disk[0] = 1
+    disk[1:4] = [0, 0, 2.0]
+    disk[4:7] = [0, 0, 1]
+    disk[7] = 0.5
+    disk[9:12] = [1, 0, 0]
+    disk[12:15] = [0, 1, 0]
+    cyl = np.zeros(analytic.N_COLS, np.float32)
+    cyl[0] = 2
+    cyl[1:4] = [3, 0, -1]
+    cyl[4:7] = [0, 0, 1]
+    cyl[7] = 0.25
+    cyl[8] = 2.0
+    cyl[9:12] = [1, 0, 0]
+    cyl[12:15] = [0, 1, 0]
+    table = _rows(disk, cyl)
+    o = Vec3(jnp.asarray([0.2, 3.3, 0.0], jnp.float32),
+             jnp.asarray([0.1, 0.0, 0.0], jnp.float32),
+             jnp.asarray([-5.0, 0.0, 0.0], jnp.float32))
+    d = Vec3(jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+             jnp.asarray([0.0, 0.0, 0.0], jnp.float32),
+             jnp.asarray([1.0, 1.0, 0.0], jnp.float32))
+    t, aidx, uv, valid = analytic.intersect_analytic(
+        table, o, d, jnp.full(3, 1e30, jnp.float32))
+    # ray 0: straight up through the disk at z=2 (t=7), r=0.22 < 0.5
+    assert bool(valid[0]) and int(aidx[0]) == 0
+    np.testing.assert_allclose(float(t[0]), 7.0, atol=1e-4)
+    # ray 1: z up at (3.3, 0): hits cylinder wall? starts inside radius?
+    # |(3.3,0)-(3,0)| = 0.3 > 0.25 -> parallel to axis, no hit
+    assert not bool(valid[1])
+    # ray 2: +x from the origin: cylinder wall at x = 3 - 0.25
+    assert bool(valid[2]) and int(aidx[2]) == 1
+    np.testing.assert_allclose(float(t[2]), 3.0 - 0.25, atol=1e-4)
+
+
+def _sphere_scene(analytic_mode=True, subdiv=None):
+    d = {
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 3},
+        "sensor": {"type": "perspective", "fov": 40.0,
+                   "to_world": mi.ScalarTransform4f().look_at(
+                       origin=[0, 0, -4], target=[0, 0, 0], up=[0, 1, 0]),
+                   "film": {"width": 32, "height": 32,
+                            "rfilter": {"type": "box"}},
+                   "sampler": {"type": "independent", "sample_count": 16}},
+        "sph": {"type": "sphere", "center": [0, 0, 0], "radius": 1.0,
+                "bsdf": {"type": "diffuse",
+                         "reflectance": {"type": "rgb",
+                                         "value": [0.8, 0.4, 0.2]}}},
+        "light": {"type": "point", "position": [3, 3, -3],
+                  "intensity": {"type": "rgb", "value": [60, 60, 60]}},
+    }
+    if not analytic_mode:
+        # force tessellation by anisotropy-free trick: attach an emitter?
+        # instead build the mesh directly at high subdivision
+        from mitsuba3_tpu.shapes import make_sphere_mesh
+        m = make_sphere_mesh(subdiv_theta=subdiv, subdiv_phi=2 * subdiv)
+        d["sph"] = {"type": "mesh", "vertices": m.vertices,
+                    "faces": m.faces,
+                    "bsdf": d["sph"]["bsdf"]}
+    return mi.load_dict(d)
+
+
+def test_sphere_scene_uses_analytic_path():
+    scene = _sphere_scene()
+    assert scene.analytic_prims is not None
+    assert scene.analytic_prims.shape[0] == 1
+
+
+def test_analytic_sphere_matches_fine_mesh_oracle():
+    """The analytic render must agree with an extremely fine mesh sphere
+    (the bias-removal criterion): mean image difference well below the
+    tessellation error of the coarse (32x64) mesh used before."""
+    img_a = np.asarray(mi.render(_sphere_scene(True), spp=64, seed=1))
+    img_fine = np.asarray(mi.render(_sphere_scene(False, subdiv=256),
+                                    spp=64, seed=1))
+    img_coarse = np.asarray(mi.render(_sphere_scene(False, subdiv=8),
+                                      spp=64, seed=1))
+    err_fine = np.abs(img_a - img_fine).mean()
+    err_coarse = np.abs(img_a - img_coarse).mean()
+    assert err_fine < 0.5 * err_coarse, (err_fine, err_coarse)
+    assert err_fine < 5e-3, err_fine
+
+
+def test_analytic_sphere_casts_shadow():
+    """ray_test sees analytic shapes: the sphere shadows the floor."""
+    d = {
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 3},
+        "sensor": {"type": "perspective", "fov": 45.0,
+                   "to_world": mi.ScalarTransform4f().look_at(
+                       origin=[0, 2.5, -4], target=[0, 0, 0],
+                       up=[0, 1, 0]),
+                   "film": {"width": 24, "height": 24,
+                            "rfilter": {"type": "box"}},
+                   "sampler": {"type": "independent", "sample_count": 32}},
+        "floor": {"type": "rectangle",
+                  "to_world": mi.ScalarTransform4f()
+                  .translate([0, -1, 0]).rotate([1, 0, 0], -90).scale(4),
+                  "bsdf": {"type": "diffuse"}},
+        "sph": {"type": "sphere", "center": [0, 0, 0], "radius": 0.6,
+                "bsdf": {"type": "diffuse"}},
+        "light": {"type": "point", "position": [0, 5, 0],
+                  "intensity": {"type": "rgb", "value": [40, 40, 40]}},
+    }
+    scene = mi.load_dict(d)
+    img = np.asarray(mi.render(scene, spp=32, seed=2))
+    # floor just below the sphere silhouette (shadow) vs same rows at the
+    # image edge (lit floor)
+    shadow = img[12:16, 10:14].mean()
+    lit = img[12:16, 1:4].mean()
+    assert shadow < 0.75 * lit, (shadow, lit)

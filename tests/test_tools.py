@@ -113,3 +113,42 @@ def test_polarizer_bsdf_unpolarized_attenuation():
     d["plate"]["bsdf"] = {"type": "retarder"}
     img2 = np.asarray(mi.render(mi.load_dict(d), spp=64))
     assert abs(img2.mean() - 1.0) < 0.03, img2.mean()
+
+
+def test_logger_and_progress(capsys):
+    """logger.h / progress.cpp counterparts: level gating, appenders,
+    throttled progress lines."""
+    import mitsuba3_tpu as mi
+    from mitsuba3_tpu.utils import log as log_mod
+
+    seen = []
+    log_mod.add_appender(lambda lvl, line: seen.append((lvl, line)))
+    mi.set_log_level(mi.INFO)
+    try:
+        mi.log(mi.DEBUG, "hidden")
+        mi.log(mi.INFO, "shown message")
+        assert any("shown message" in l for _, l in seen)
+        assert not any("hidden" in l for _, l in seen)
+
+        pr = mi.ProgressReporter("Rendering", total=10, min_interval=0.0)
+        pr.update(5)
+        pr.update(10)
+        out = capsys.readouterr().out
+        assert "Rendering" in out and "100.0%" in out
+    finally:
+        mi.set_log_level(mi.WARN)
+        log_mod._state["appenders"] = None
+
+
+def test_render_phase_breakdown_logged(capsys):
+    """integrator.cpp:361-388 analog: DEBUG level logs trace/compile/
+    execute times for a render."""
+    import mitsuba3_tpu as mi
+    mi.set_log_level(mi.DEBUG)
+    try:
+        s = mi.load_dict(mi.cornell_box(width=8, height=8, max_depth=2))
+        img, rays = mi.render_with_stats(s, spp=1)
+        out = capsys.readouterr().out
+        assert "trace" in out and "execute" in out
+    finally:
+        mi.set_log_level(mi.WARN)
