@@ -15,6 +15,7 @@ from . import sensors as sensors_pkg
 from .core.transform import Transform4f
 from .integrators import config_from_dict as integrator_from_dict
 from .integrators.path import PathConfig
+from .render import texture as tex_mod
 from .render.scene import (TRI_CHUNK, TRI_PAD, FilmConfig, Scene,
                            SensorConfig, SensorData)
 
@@ -248,6 +249,11 @@ def _bsdf_row(spec: dict, textures: list, add_bsdf=None, measured=None):
             from .render.texture_io import load_texture_spec
             textures.append(load_texture_spec(cspec))
             params[tex_slot] = len(textures)
+            params[rgb_slot:rgb_slot + 3] = 0.5
+        elif isinstance(cspec, dict) and cspec.get("type") == "mesh_attribute":
+            # interpolated per-vertex color (mesh_attribute.cpp); the
+            # value rides si.vcolor, texture id -1 selects it
+            params[tex_slot] = -1
             params[rgb_slot:rgb_slot + 3] = 0.5
         else:
             params[rgb_slot:rgb_slot + 3] = _rgb(cspec, default)
@@ -615,6 +621,8 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
     f_off = 0
 
     analytic_rows: list[np.ndarray] = []
+    face_colors_l: list[np.ndarray] = []
+    any_colors = False
     for s_idx, (name, spec) in enumerate(shape_items):
         arow = _try_analytic(spec)
 
@@ -678,6 +686,11 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
             face_ns.append(mesh.normals[mesh.faces])
         else:
             face_ns.append(np.zeros((nf, 3, 3)))
+        if getattr(mesh, "colors", None) is not None:
+            face_colors_l.append(mesh.colors[mesh.faces])
+            any_colors = True
+        else:
+            face_colors_l.append(np.zeros((nf, 3, 3)))
         v_off += mesh.vertices.shape[0]
         f_off += nf
 
@@ -694,6 +707,7 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
         face_medium_rows.extend([(-2, -2)])
         face_uv.append(np.zeros((1, 3, 2)))
         face_ns.append(np.zeros((1, 3, 3)))
+        face_colors_l.append(np.zeros((1, 3, 3)))
 
     vertices = np.concatenate(all_verts, 0).astype(np.float32)
     faces = np.concatenate(all_faces, 0).astype(np.int32)
@@ -703,6 +717,7 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
     face_medium = np.asarray(face_medium_rows, np.int32).reshape(-1, 2)
     face_uv = np.concatenate(face_uv, 0).astype(np.float32)
     face_normals = np.concatenate(face_ns, 0).astype(np.float32)
+    face_colors_arr = np.concatenate(face_colors_l, 0).astype(np.float32)
 
     n_faces = faces.shape[0]
     # emitter slots: [area emitters][delta emitters][environment]
@@ -848,6 +863,8 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
         face_uv = np.concatenate([face_uv, np.zeros((pad, 3, 2), np.float32)], 0)
         face_normals = np.concatenate(
             [face_normals, np.zeros((pad, 3, 3), np.float32)], 0)
+        face_colors_arr = np.concatenate(
+            [face_colors_arr, np.zeros((pad, 3, 3), np.float32)], 0)
 
     # degenerate padding faces must reference an existing vertex; ensure the
     # first three vertex slots exist (any real scene has >= 3 vertices)
@@ -895,7 +912,16 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
         bsdf_params=jnp.asarray(np.stack(bsdf_params, 0) if bsdf_params
                                 else np.zeros((0, bsdfs_pkg.N_PARAMS),
                                               np.float32)),
-        textures=tuple(jnp.asarray(t) for t in textures),
+        textures=tuple(jnp.asarray(np.asarray(t)) for t in textures),
+        texture_meta=tuple(getattr(t, "meta",
+                                   ("repeat", "bilinear", False))
+                           for t in textures),
+        texture_mips=tuple(
+            tuple(jnp.asarray(lv) for lv in tex_mod.build_mips(t))
+            if getattr(t, "meta", (0, 0, False))[2] else ()
+            for t in textures),
+        face_colors=(jnp.asarray(face_colors_arr)
+                     if any_colors else None),
         measured_tables=tuple(measured_list),
         analytic_prims=(jnp.asarray(np.stack(analytic_rows, 0))
                         if analytic_rows else None),

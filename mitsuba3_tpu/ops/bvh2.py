@@ -56,7 +56,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.struct import pytree_dataclass, static_field
 from ..core.vec import Vec2, Vec3
 
-LEAF = 256        # triangles per supernode
+LEAF = 32         # triangles per supernode
 CHUNK = 128       # rays per serving chunk
 K_SLOTS = 8       # per-ray supernode queue depth
 N_SERVE = 4       # distinct supernode ids served per chunk per round

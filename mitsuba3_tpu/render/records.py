@@ -61,6 +61,10 @@ class SurfaceInteraction:
     shape_index: jnp.ndarray  # [N] int32, -1 = invalid/environment
     prim_index: jnp.ndarray   # [N] int32
     wavelengths: Vec3 = None  # spectral mode: the path's 3 wavelengths
+    vcolor: Vec3 = None       # interpolated mesh vertex attribute
+                              # (mesh_attribute.cpp; None when unused)
+    duv_scale: jnp.ndarray = None  # |duv|/|dp| density (mip LOD input;
+                              # the dp_du/dp_dv magnitude surrogate)
 
     def is_valid(self):
         return self.shape_index >= 0

@@ -127,6 +127,12 @@ class Scene:
     # ---- measured BSDF tables (bsdfs/measured.py; measured.cpp) ----
     measured_tables: tuple = ()
 
+    # ---- per-corner vertex colors (mesh_attribute.cpp; None = unused) --
+    face_colors: jnp.ndarray = None     # [F, 3, 3]
+
+    # ---- texture metadata / mip pyramids (bitmap.cpp wrap/filter) ----
+    texture_mips: tuple = ()            # per texture: tuple of levels
+
     # ---- analytic (implicit) shapes: sphere/disk/cylinder rows ----
     # (ops/analytic.py; sphere.cpp/disk.cpp/cylinder.cpp intersections)
     analytic_prims: jnp.ndarray = None  # [A, analytic.N_COLS]
@@ -148,6 +154,7 @@ class Scene:
     n_area_emitters: int = static_field(default=0)
     em_directional: tuple = static_field(default=())  # directionalarea slots
     spectral: bool = static_field(default=False)  # hero-wavelength variant
+    texture_meta: tuple = static_field(default=())  # (wrap, filter, mip)
 
     # ------------------------------------------------------------------
     # Geometry access
@@ -193,6 +200,11 @@ class Scene:
                 ns[:, 0, 0], ns[:, 0, 1], ns[:, 0, 2],
                 ns[:, 1, 0], ns[:, 1, 1], ns[:, 1, 2],
                 ns[:, 2, 0], ns[:, 2, 1], ns[:, 2, 2]]
+        if self.face_colors is not None:
+            vc = self.face_colors   # rows 30-38: per-corner rgb
+            rows += [vc[:, 0, 0], vc[:, 0, 1], vc[:, 0, 2],
+                     vc[:, 1, 0], vc[:, 1, 1], vc[:, 1, 2],
+                     vc[:, 2, 0], vc[:, 2, 1], vc[:, 2, 2]]
         return jnp.stack(rows, axis=0)
 
     def gather_face_attrs(self, prim):
@@ -348,10 +360,26 @@ class Scene:
                                jnp.round(rows[19]).astype(jnp.int32),
                                med_ex)
 
+        # per-face uv density |d(uv)| / |d(p)| for mip LOD selection
+        # (constant per affinely-parameterized triangle; the dp_du role
+        # of interaction.h without per-lane differentials)
+        duv1 = Vec2(a[11] - a[9], a[12] - a[10])
+        duv2 = Vec2(a[13] - a[9], a[14] - a[10])
+        uv_area = jnp.abs(duv1.x * duv2.y - duv1.y * duv2.x)
+        world_area = te1.cross(te2).norm()
+        duv_scale = jnp.sqrt(m.safe_div(uv_area, world_area))
+
+        vcolor = None
+        if self.face_colors is not None:
+            # interpolated vertex attribute (mesh_attribute.cpp eval)
+            w0c = 1.0 - b1 - b2
+            vcolor = Vec3(a[30] * w0c + a[33] * b1 + a[36] * b2,
+                          a[31] * w0c + a[34] * b1 + a[37] * b2,
+                          a[32] * w0c + a[35] * b1 + a[38] * b2)
         si = SurfaceInteraction(
             p=p, t=pi.t, n=ng, sh_frame=sh_frame, uv=uv, wi=wi,
             shape_index=shape_idx, prim_index=pi.prim_index,
-            wavelengths=ray.wl)
+            wavelengths=ray.wl, vcolor=vcolor, duv_scale=duv_scale)
         attrs = {
             "bsdf": bsdf_idx,
             "emitter": emitter_idx,

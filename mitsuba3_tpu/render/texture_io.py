@@ -6,6 +6,21 @@ from __future__ import annotations
 import numpy as np
 
 
+class TexArray(np.ndarray):
+    """ndarray + texture metadata (wrap/filter/mip — the bitmap.cpp
+    wrap_mode/filter_type props, carried to the Scene's static
+    texture_meta tuple)."""
+    meta = ("repeat", "bilinear", False)
+
+
+def _with_meta(arr, spec):
+    out = np.ascontiguousarray(arr, np.float32).view(TexArray)
+    out.meta = (str(spec.get("wrap_mode", "repeat")),
+                str(spec.get("filter_type", "bilinear")),
+                bool(spec.get("mipmap", False)))
+    return out
+
+
 def load_texture_spec(spec: dict) -> np.ndarray:
     ttype = spec.get("type")
     if ttype == "checkerboard":
@@ -22,13 +37,13 @@ def load_texture_spec(spec: dict) -> np.ndarray:
         mask = ((xx // res + yy // res) % 2) == 0
         tex[mask] = c0
         tex[~mask] = c1
-        return tex
+        return _with_meta(tex, spec)
     if ttype == "bitmap":
         if "data" in spec:  # raw array passthrough (tests, procedural)
             arr = np.asarray(spec["data"], np.float32)
             if arr.ndim == 2:
                 arr = np.repeat(arr[..., None], 3, axis=-1)
-            return arr
+            return _with_meta(arr, spec)
         filename = spec["filename"]
         from ..utils import image_io
         arr = image_io.read_image(filename)
@@ -39,5 +54,5 @@ def load_texture_spec(spec: dict) -> np.ndarray:
                            ((arr + 0.055) / 1.055) ** 2.4)
         if arr.ndim == 2:
             arr = np.repeat(arr[..., None], 3, axis=-1)
-        return arr[..., :3].astype(np.float32)
+        return _with_meta(arr[..., :3], spec)
     raise ValueError(f"Unsupported texture spec {spec!r}")

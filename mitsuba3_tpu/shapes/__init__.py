@@ -22,11 +22,13 @@ class MeshData:
 
     def __init__(self, vertices: np.ndarray, faces: np.ndarray,
                  uvs: np.ndarray | None = None,
-                 normals: np.ndarray | None = None):
+                 normals: np.ndarray | None = None,
+                 colors: np.ndarray | None = None):
         self.vertices = np.asarray(vertices, np.float64)
         self.faces = np.asarray(faces, np.int32)
         self.uvs = uvs if uvs is None else np.asarray(uvs, np.float64)
         self.normals = normals if normals is None else np.asarray(normals, np.float64)
+        self.colors = colors if colors is None else np.asarray(colors, np.float64)
 
     def transformed(self, t: Transform4f) -> "MeshData":
         v = t.transform_point(self.vertices)
@@ -35,7 +37,7 @@ class MeshData:
             n = t.transform_normal(self.normals)
             ln = np.linalg.norm(n, axis=-1, keepdims=True)
             n = n / np.maximum(ln, 1e-20)
-        return MeshData(v, self.faces, self.uvs, n)
+        return MeshData(v, self.faces, self.uvs, n, self.colors)
 
     def face_areas(self) -> np.ndarray:
         p = self.vertices[self.faces]
@@ -143,7 +145,10 @@ def build_shape(spec: dict) -> MeshData:
                         uvs=np.asarray(spec["uvs"], np.float64)
                         if "uvs" in spec else None,
                         normals=np.asarray(spec["normals"], np.float64)
-                        if "normals" in spec else None)
+                        if "normals" in spec else None,
+                        colors=np.asarray(spec["vertex_colors"],
+                                          np.float64)
+                        if "vertex_colors" in spec else None)
     else:
         raise ValueError(f"Unsupported shape type: {stype}")
 

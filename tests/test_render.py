@@ -124,3 +124,107 @@ def test_ef_cdf_total_mass_invariant():
     params["vertices"] = scene.vertices * 1.1
     scene2 = params.update()
     assert np.allclose(float(scene2.ef_cdf[-1]), expect, atol=1e-5)
+
+
+def test_texture_wrap_and_filter_modes():
+    """bitmap.cpp wrap_mode/filter_type: clamp vs repeat outside [0,1],
+    nearest keeps hard texel edges where bilinear blends."""
+    import jax.numpy as jnp
+    from mitsuba3_tpu.render.texture import eval_texture
+    from mitsuba3_tpu.core.vec import Vec2
+
+    tex = jnp.asarray(np.arange(4 * 4 * 3, dtype=np.float32)
+                      .reshape(4, 4, 3))
+    uv_out = Vec2(jnp.asarray([1.3], jnp.float32),
+                  jnp.asarray([0.4], jnp.float32))
+    rep = eval_texture(tex, uv_out, "repeat", "nearest")
+    clp = eval_texture(tex, uv_out, "clamp", "nearest")
+    mir = eval_texture(tex, uv_out, "mirror", "nearest")
+    uv_in = Vec2(jnp.asarray([0.3], jnp.float32),
+                 jnp.asarray([0.4], jnp.float32))
+    rep_in = eval_texture(tex, uv_in, "repeat", "nearest")
+    # repeat(1.3) == value at 0.3; clamp pins to the border column
+    np.testing.assert_allclose(np.asarray(rep.x), np.asarray(rep_in.x))
+    assert float(clp.x[0]) != float(rep.x[0])
+    assert np.isfinite(np.asarray(mir.x)).all()
+    # bilinear vs nearest differ off texel centers
+    bl = eval_texture(tex, uv_in, "repeat", "bilinear")
+    nr = eval_texture(tex, uv_in, "repeat", "nearest")
+    assert float(bl.x[0]) != float(nr.x[0])
+
+
+def test_mesh_attribute_texture_renders():
+    """mesh_attribute.cpp: per-vertex colors drive the reflectance."""
+    d = {
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 2},
+        "sensor": {"type": "perspective", "fov": 45.0,
+                   "to_world": mi.ScalarTransform4f().look_at(
+                       origin=[0, 0, 3], target=[0, 0, 0], up=[0, 1, 0]),
+                   "film": {"width": 16, "height": 16,
+                            "rfilter": {"type": "box"}},
+                   "sampler": {"type": "independent", "sample_count": 8}},
+        "quad": {"type": "mesh",
+                 "vertices": [[-1, -1, 0], [1, -1, 0], [1, 1, 0],
+                              [-1, 1, 0]],
+                 "faces": [[0, 1, 2], [2, 3, 0]],
+                 "vertex_colors": [[1, 0, 0], [0, 1, 0], [0, 0, 1],
+                                   [1, 1, 0]],
+                 "bsdf": {"type": "diffuse",
+                          "reflectance": {"type": "mesh_attribute",
+                                          "name": "vertex_color"}}},
+        "env": {"type": "constant", "radiance": {"type": "rgb",
+                                                 "value": 1.0}},
+    }
+    scene = mi.load_dict(d)
+    assert scene.face_colors is not None
+    img = np.asarray(mi.render(scene, spp=16, seed=1))
+    assert np.isfinite(img).all() and img.max() > 0
+    # corners carry distinct hues: red-ish bottom-left vs green-ish
+    # bottom-right (camera looks at the quad's back? use column split)
+    left = img[10:14, 1:6].mean(axis=(0, 1))
+    right = img[10:14, 10:15].mean(axis=(0, 1))
+    assert left[0] != pytest.approx(right[0], rel=0.2) or \
+        left[1] != pytest.approx(right[1], rel=0.2)
+
+
+def test_mipmap_reduces_minification_aliasing():
+    """dr::Texture mip role: with mipmap on, a distant checkered plane
+    renders with lower pixel variance than without."""
+    import numpy as np
+
+    def scene(mip):
+        checker = np.indices((512, 512)).sum(0) % 2
+        return mi.load_dict({
+            "type": "scene",
+            "integrator": {"type": "path", "max_depth": 2},
+            "sensor": {"type": "perspective", "fov": 60.0,
+                       "to_world": mi.ScalarTransform4f().look_at(
+                           origin=[0, 2.0, -8], target=[0, 0.0, 40],
+                           up=[0, 1, 0]),
+                       "film": {"width": 24, "height": 24,
+                                "rfilter": {"type": "box"}},
+                       "sampler": {"type": "independent",
+                                   "sample_count": 4}},
+            "floor": {"type": "rectangle",
+                      "to_world": mi.ScalarTransform4f()
+                      .rotate([1, 0, 0], -90).scale(120.0),
+                      "bsdf": {"type": "diffuse",
+                               "reflectance": {
+                                   "type": "bitmap",
+                                   "data": checker.astype(np.float32),
+                                   "mipmap": mip}}},
+            "env": {"type": "constant",
+                    "radiance": {"type": "rgb", "value": 1.0}},
+        })
+
+    img_no = np.asarray(mi.render(scene(False), spp=4, seed=0))
+    img_mip = np.asarray(mi.render(scene(True), spp=4, seed=0))
+    # minified floor rows: without mips the 512-texel checker aliases
+    # into near-binary speckle; trilinear mip lookups converge to the
+    # 0.5 mean
+    v_no = img_no[13:19].std()
+    v_mip = img_mip[13:19].std()
+    # MC shading noise (spp 4) is a shared floor; the texture-aliasing
+    # component drops by ~2x with the pyramid
+    assert v_mip < 0.8 * v_no, (v_mip, v_no)
