@@ -21,7 +21,8 @@ _depth_mod = types.SimpleNamespace(sample=aov_mod.depth_sample,
 
 _REGISTRY = {"path": path_mod, "direct": direct_mod, "aov": aov_mod,
              "depth": _depth_mod, "ptracer": ptracer_mod,
-             "volpath": volpath_mod, "stokes": stokes_mod}
+             "volpath": volpath_mod, "volpathmis": volpath_mod,
+             "stokes": stokes_mod}
 
 
 def _register_moment():

@@ -42,7 +42,7 @@ class VolPathConfig:
 
 def config_from_dict(spec: dict):
     return VolPathConfig(
-        type="volpath",
+        type=spec.get("type", "volpath"),
         max_depth=int(spec.get("max_depth", 8)),
         rr_depth=int(spec.get("rr_depth", 5)),
         hide_emitters=bool(spec.get("hide_emitters", False)),
@@ -62,7 +62,8 @@ def _update_medium(scene, si, attrs, d, cur_medium):
 
 
 def attenuated_visibility(scene, origin: Vec3, ds, medium0, rng, channel,
-                          active, n_segments: int):
+                          active, n_segments: int,
+                          spectral_mis: bool = False):
     """Transmittance along the NEE shadow ray: alternate medium
     ratio-tracking segments and null-surface crossings
     (volpath.cpp sample_emitter loop). Returns (Tr Vec3, rng, n_queries)."""
@@ -91,7 +92,8 @@ def attenuated_visibility(scene, origin: Vec3, ds, medium0, rng, channel,
         in_med = act & (med >= 0)
         if not no_media:
             tr_seg, rng = media.transmittance(
-                scene, med, o, ds.d, t_seg, rng, channel, in_med)
+                scene, med, o, ds.d, t_seg, rng, channel, in_med,
+                spectral_mis=spectral_mis)
             tr = tr * Vec3.where(in_med, tr_seg, Vec3.ones(n))
         # surface crossing: transmittance 0 unless the BSDF is null
         null_val = bsdfs.eval_null_transmission(scene, attrs["bsdf"], si)
@@ -161,7 +163,8 @@ def sample(scene, rng, ray: Ray, cfg: VolPathConfig, active=None):
         in_medium = s.active & (s.medium >= 0)
         if has_media:
             mei, med_w, rng = media.sample_real_interaction(
-                scene, s.medium, cur_ray, t_surf, rng, s.channel, in_medium)
+                scene, s.medium, cur_ray, t_surf, rng, s.channel, in_medium,
+                spectral_mis=(cfg.type == "volpathmis"))
             medium_scatter = in_medium & mei.is_valid()
             throughput = Vec3.where(in_medium, s.throughput * med_w,
                                     s.throughput)
@@ -220,7 +223,7 @@ def sample(scene, rng, ray: Ray, cfg: VolPathConfig, active=None):
         med_nee = jnp.where(medium_scatter, s.medium, med_nee)
         tr_nee, rng, vis_queries = attenuated_visibility(
             scene, origin, ds, med_nee, rng, s.channel, active_em,
-            cfg.shadow_segments)
+            cfg.shadow_segments, spectral_mis=(cfg.type == "volpathmis"))
         em_weight = em_weight * tr_nee
 
         wo_em_world = ds.d

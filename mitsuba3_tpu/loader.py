@@ -455,7 +455,13 @@ def _medium_row(spec: dict, grids: list, tables: list):
                 to_grid = np.asarray(inv, np.float32)[:3, :4]
         elif vol is not None and not isinstance(vol, dict):
             grid = np.asarray(vol, np.float32)
-        color = _rgb(spec.get("color"), (1.0, 1.0, 1.0))
+        cspec = spec.get("color")
+        if cspec is None and "density" in spec and \
+                isinstance(spec.get("sigma_t"), dict):
+            # heterogeneous.cpp: 'sigma_t' may be the RGB extinction color
+            # that the scalar density grid modulates
+            cspec = spec.get("sigma_t")
+        color = _rgb(cspec, (1.0, 1.0, 1.0))
         row[0:3] = color
         if grid is not None:
             if grid.ndim != 3:

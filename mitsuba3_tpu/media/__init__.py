@@ -199,7 +199,7 @@ def _track_steps(scene):
 
 
 def sample_real_interaction(scene, med_idx, ray, t_surf, rng, channel,
-                            active):
+                            active, spectral_mis: bool = False):
     """Sample the next *real* scattering event along ``ray`` inside medium
     ``med_idx``, with the nearest surface at distance ``t_surf``.
 
@@ -212,6 +212,13 @@ def sample_real_interaction(scene, med_idx, ray, t_surf, rng, channel,
       null events, times ``sigma_s / real_prob`` of the real event;
     - escape (``mei.t = inf``): the ratio-tracked transmittance up to
       ``min(t_surf, medium exit)``.
+
+    ``spectral_mis``: single-sample MIS over the three channel-sampling
+    techniques (volpathmis.cpp): the chain tracks each channel's distance
+    pdf as a ratio to the hero channel's, and the final weight multiplies
+    by 3 / sum_c(pdf_c / pdf_hero) — the balance heuristic with uniform
+    channel choice. Cuts chromatic-extinction variance (the hero-only
+    estimator leaves 1/pdf_hero spikes in the off channels).
     """
     n = ray.o.x.shape[0]
     sg = jax.lax.stop_gradient
@@ -237,7 +244,7 @@ def sample_real_interaction(scene, med_idx, ray, t_surf, rng, channel,
     done0 = ~runnable
 
     def step(carry, _):
-        t, w, real, done, rng = carry
+        t, w, r_pdf, real, done, rng = carry
         rng, u1 = sampler_mod.next_1d(rng)
         rng, u2 = sampler_mod.next_1d(rng)
         dt = jnp.minimum(-jnp.log1p(-jnp.minimum(u1, 1.0 - 1e-7)) / m_c,
@@ -252,11 +259,35 @@ def sample_real_interaction(scene, med_idx, ray, t_surf, rng, channel,
         p = ray.at(t_new)
         sigma_s, sigma_t = scattering_coefficients(scene, med_idx, params, p)
         sigma_n = (maj - sigma_t).maximum(0.0)
-        null_prob = jnp.clip((sg(sigma_n) / sg(maj.maximum(1e-20))).mean(),
-                             0.0, 1.0 - 1e-6)
+        if spectral_mis:
+            # volpathmis.cpp technique family: channel c classifies
+            # null/real with ITS coefficients (sigma_n_c / maj_c), so the
+            # per-channel chain pdfs diverge and MIS has techniques to
+            # average — with a channel-shared majorant the distance pdfs
+            # alone are identical and plain hero weighting gains nothing
+            null_prob = jnp.clip(index_spectrum(
+                sg(sigma_n) / sg(maj.maximum(1e-20)), channel),
+                1e-6, 1.0 - 1e-6)
+        else:
+            null_prob = jnp.clip(
+                (sg(sigma_n) / sg(maj.maximum(1e-20))).mean(),
+                0.0, 1.0 - 1e-6)
         is_null = u2 < null_prob
         real_prob = jnp.maximum(1.0 - null_prob, 1e-6)
-        w_null = w_step * sigma_n * (1.0 / null_prob.clip(1e-6))
+        if spectral_mis:
+            # chain-pdf ratios r_c = pdf_c / pdf_hero: distance part +
+            # the per-channel event-classification probabilities
+            step_pdf = sg(Vec3.where(esc, tr, maj * tr))
+            r_dist = step_pdf * (1.0 / jnp.maximum(pdf_c, 1e-30))
+            pn = sg(sigma_n) / sg(maj.maximum(1e-20))
+            pr = sg(sigma_t) / sg(maj.maximum(1e-20))
+            pn_h = jnp.maximum(index_spectrum(pn, channel), 1e-12)
+            pr_h = jnp.maximum(index_spectrum(pr, channel), 1e-12)
+            r_evt = Vec3.where(esc, Vec3.ones(n),
+                               Vec3.where(is_null, pn * (1.0 / pn_h),
+                                          pr * (1.0 / pr_h)))
+            r_pdf = Vec3.where(done, r_pdf, r_pdf * r_dist * r_evt)
+        w_null = w_step * sigma_n * (1.0 / null_prob)
         w_real = w_step * sigma_s * (1.0 / real_prob)
         new_real = ~done & ~esc & ~is_null
         # commit
@@ -266,12 +297,16 @@ def sample_real_interaction(scene, med_idx, ray, t_surf, rng, channel,
                                   Vec3.where(is_null, w_null, w_real)))
         real = real | new_real
         done = done | esc | new_real
-        return (t, w, real, done, rng), None
+        return (t, w, r_pdf, real, done, rng), None
 
-    (t, w, real, done, rng), _ = jax.lax.scan(
-        step, (t0, w0, real0, done0, rng), None, length=_track_steps(scene))
+    (t, w, r_pdf, real, done, rng), _ = jax.lax.scan(
+        step, (t0, w0, Vec3.ones(n), real0, done0, rng), None,
+        length=_track_steps(scene))
     # lanes whose bounded loop never terminated: treat as absorbed
     w = w.mask(done | ~runnable)
+    if spectral_mis:
+        mis_w = 3.0 / jnp.maximum(r_pdf.x + r_pdf.y + r_pdf.z, 1e-30)
+        w = Vec3.where(runnable, w * mis_w, w)
     w = Vec3.where(runnable, w, Vec3.ones(n))
     t_final = jnp.where(real & runnable, t, jnp.inf)
     mei = MediumInteraction(p=ray.at(jnp.where(jnp.isfinite(t_final), t_final,
@@ -281,7 +316,7 @@ def sample_real_interaction(scene, med_idx, ray, t_surf, rng, channel,
 
 
 def transmittance(scene, med_idx, ray_o: Vec3, ray_d: Vec3, t_end, rng,
-                  channel, active):
+                  channel, active, spectral_mis: bool = False):
     """RGB transmittance estimate over [0, t_end] of the segment inside
     medium ``med_idx``. Homogeneous media: analytic exp(-sigma_t d) (zero
     variance — an improvement over the reference's stochastic estimate).
@@ -306,7 +341,7 @@ def transmittance(scene, med_idx, ray_o: Vec3, ray_d: Vec3, t_end, rng,
     ray_at = lambda t: ray_o + ray_d * t
 
     def step(carry, _):
-        t, w, done, rng = carry
+        t, w, r_pdf, done, rng = carry
         rng, u1 = sampler_mod.next_1d(rng)
         dt = jnp.minimum(-jnp.log1p(-jnp.minimum(u1, 1.0 - 1e-7)) / m_c,
                          BIG_T)
@@ -320,17 +355,29 @@ def transmittance(scene, med_idx, ray_o: Vec3, ray_d: Vec3, t_end, rng,
         p = ray_at(t_new)
         _, sigma_t = scattering_coefficients(scene, med_idx, params, p)
         sigma_n = (maj - sigma_t).maximum(0.0)
+        if spectral_mis:
+            # ratio-tracked transmittance: each collision is a null event
+            # whose per-channel technique pdf carries sigma_n_c / maj_c
+            step_pdf = sg(Vec3.where(esc, tr, maj * tr))
+            r_dist = step_pdf * (1.0 / jnp.maximum(pdf_c, 1e-30))
+            pn = sg(sigma_n) / sg(maj.maximum(1e-20))
+            pn_h = jnp.maximum(index_spectrum(pn, channel), 1e-12)
+            r_evt = Vec3.where(esc, Vec3.ones(n), pn * (1.0 / pn_h))
+            r_pdf = Vec3.where(done, r_pdf, r_pdf * r_dist * r_evt)
         w_coll = w_step * sigma_n  # ratio-tracking null weight
         t = jnp.where(done, t, t_new)
         w = Vec3.where(done, w, Vec3.where(esc, w_step, w_coll))
         done = done | esc
-        return (t, w, done, rng), None
+        return (t, w, r_pdf, done, rng), None
 
     t0 = jnp.where(runnable, mint, maxt)
-    (_, w, done, rng), _ = jax.lax.scan(
-        step, (t0, Vec3.ones(n), ~runnable, rng), None,
+    (_, w, r_pdf, done, rng), _ = jax.lax.scan(
+        step, (t0, Vec3.ones(n), Vec3.ones(n), ~runnable, rng), None,
         length=_track_steps(scene))
     w = w.mask(done)
+    if spectral_mis:
+        mis_w = 3.0 / jnp.maximum(r_pdf.x + r_pdf.y + r_pdf.z, 1e-30)
+        w = Vec3.where(runnable, w * mis_w, w)
     types = jnp.array(scene.medium_types, jnp.int32)
     is_het = types[jnp.clip(med_idx, 0, len(scene.medium_types) - 1)] == HETEROGENEOUS
     out = Vec3.where(is_het, w, tr_homo)
