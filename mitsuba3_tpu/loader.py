@@ -20,7 +20,7 @@ from .render.scene import (TRI_CHUNK, TRI_PAD, FilmConfig, Scene,
                            SensorConfig, SensorData)
 
 _SHAPE_TYPES = ("rectangle", "cube", "sphere", "disk", "cylinder", "obj",
-                "ply", "mesh")
+                "ply", "mesh", "serialized")
 _EMITTER_TYPES = ("area", "constant", "envmap", "point")
 _BSDF_TYPES = ("diffuse", "conductor", "roughconductor", "dielectric", "measured",
                "thindielectric", "roughdielectric", "plastic",
@@ -447,12 +447,24 @@ def _medium_row(spec: dict, grids: list, tables: list):
         vol = spec.get("density", spec.get("sigma_t"))
         grid = None
         if isinstance(vol, dict) and vol.get("type") == "gridvolume":
-            grid = np.asarray(vol.get("data"), np.float32)
+            mtx = np.eye(4)
+            if "filename" in vol:
+                # .vol file (volumegrid.cpp): data + local bounding box
+                from .utils.vol_io import read_vol
+                grid, bb_lo, bb_hi = read_vol(vol["filename"])
+                if grid.ndim == 4:
+                    grid = grid.mean(axis=-1)
+                ext = np.maximum(bb_hi - bb_lo, 1e-9)
+                mtx = np.diag([ext[0], ext[1], ext[2], 1.0])
+                mtx[:3, 3] = bb_lo
+            else:
+                grid = np.asarray(vol.get("data"), np.float32)
             tw = vol.get("to_world")
             if tw is not None:
-                inv = tw.inverse().matrix if hasattr(tw, "inverse") else \
-                    np.linalg.inv(np.asarray(tw, np.float64))
-                to_grid = np.asarray(inv, np.float32)[:3, :4]
+                twm = tw.matrix if hasattr(tw, "matrix") else \
+                    np.asarray(tw, np.float64)
+                mtx = np.asarray(twm, np.float64) @ mtx
+            to_grid = np.linalg.inv(mtx).astype(np.float32)[:3, :4]
         elif vol is not None and not isinstance(vol, dict):
             grid = np.asarray(vol, np.float32)
         cspec = spec.get("color")

@@ -137,6 +137,13 @@ def build_shape(spec: dict) -> MeshData:
     elif stype in ("obj", "ply"):
         from .loaders import load_mesh_file
         mesh = load_mesh_file(spec["filename"], stype)
+    elif stype == "serialized":
+        from .serialized_io import read_serialized
+        m = read_serialized(spec["filename"],
+                            int(spec.get("shape_index", 0)))
+        mesh = MeshData(m["vertices"], m["faces"],
+                        uvs=m.get("uvs"), normals=m.get("normals"),
+                        colors=m.get("colors"))
     elif stype == "mesh":
         # raw in-memory mesh (the dict analog of the reference's
         # ``type='mesh'`` with vertex_positions/faces props)
