@@ -22,6 +22,7 @@ sigmoid-polynomial fit for saturated colors).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -155,3 +156,68 @@ def xyz_to_srgb(img):
     """[H, W, 3] XYZ -> linear sRGB (film develop for spectral mode)."""
     m = jnp.asarray(_XYZ_TO_SRGB, jnp.float32)
     return jnp.einsum("ij,hwj->hwi", m, img)
+
+
+# ---------------------------------------------------------------------------
+# True SPD evaluation (src/spectra/{regular,irregular,d65,blackbody}.cpp in
+# spectral variants: the SPD itself rides through transport instead of an
+# RGB projection + re-upsampling round trip, preserving metamerism)
+# ---------------------------------------------------------------------------
+
+SPD_N = 64  # shared regular resampling grid over [LAMBDA_MIN, LAMBDA_MAX]
+
+
+def resample_spd(wavelengths, values):
+    """Host-side: arbitrary (wl, value) samples -> [SPD_N] values on the
+    shared regular grid (linear interpolation, zero outside the data)."""
+    wl = np.asarray(wavelengths, np.float64)
+    v = np.asarray(values, np.float64)
+    order = np.argsort(wl)
+    grid = np.linspace(LAMBDA_MIN, LAMBDA_MAX, SPD_N)
+    return np.interp(grid, wl[order], v[order], left=0.0,
+                     right=0.0).astype(np.float32)
+
+
+def eval_spd(table, wl: Vec3) -> Vec3:
+    """Evaluate a [SPD_N] regular-grid SPD at the path's hero wavelengths.
+
+    Per-lane linear interpolation via one-hot compare-sums against the
+    tiny grid (TPU: dense [N, SPD_N] ops instead of per-lane gathers)."""
+    step = LAMBDA_RANGE / (SPD_N - 1)
+
+    def interp(l):
+        x = jnp.clip((l - LAMBDA_MIN) / step, 0.0, SPD_N - 1 - 1e-4)
+        i0 = x.astype(jnp.int32)
+        f = x - i0
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, SPD_N), 1)
+        v0 = jnp.sum(jnp.where(col == i0[:, None], table[None, :], 0.0),
+                     axis=1)
+        v1 = jnp.sum(jnp.where(col == i0[:, None] + 1, table[None, :],
+                               0.0), axis=1)
+        return v0 * (1.0 - f) + v1 * f
+
+    return Vec3(interp(wl.x), interp(wl.y), interp(wl.z))
+
+
+def blackbody_spd(temperature: float):
+    """Planck's law on the shared grid, scaled to peak 1 (blackbody.cpp
+    shape; absolute scale folds into the emitter's radiance value)."""
+    grid = np.linspace(LAMBDA_MIN, LAMBDA_MAX, SPD_N) * 1e-9
+    h, c, kb = 6.62607015e-34, 2.99792458e8, 1.380649e-23
+    p = (2 * h * c ** 2) / grid ** 5 / np.expm1(h * c / (grid * kb *
+                                                         temperature))
+    return (p / p.max()).astype(np.float32)
+
+
+def d65_spd():
+    """CIE D65 on the shared grid (spectrum.cpp d65 table role; smooth
+    analytic fit adequate for the 64-point grid)."""
+    # coarse tabulation of the D65 SPD (10nm CIE data, 380-760)
+    data = np.array(
+        [49.98, 54.65, 82.75, 91.49, 93.43, 86.68, 104.87, 117.01, 117.81,
+         114.86, 115.92, 108.81, 109.35, 107.80, 104.79, 107.69, 104.41,
+         104.05, 100.00, 96.33, 95.79, 88.69, 90.01, 89.60, 87.70, 83.29,
+         83.70, 80.03, 80.21, 82.28, 78.28, 69.72, 71.61, 74.35, 61.60,
+         69.89, 75.09, 63.59, 46.42], np.float64)
+    wl = np.arange(380.0, 770.0, 10.0)
+    return resample_spd(wl, data / 100.0)

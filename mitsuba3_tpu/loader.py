@@ -111,6 +111,40 @@ def _measured_tables(spec: dict):
     }
 
 
+def _spd_row(spec):
+    """Lower a spectrum spec to a [SPD_N] regular-grid SPD for the
+    spectral variant (src/spectra/{regular,irregular,blackbody,d65}.cpp
+    true-SPD path) or None when the spec is plain RGB/uniform."""
+    if not isinstance(spec, dict):
+        return None
+    from .core import spectral as sp
+    t = spec.get("type")
+    scale = float(spec.get("scale", 1.0))
+    if t == "regular":
+        lo = float(spec.get("lambda_min", 360.0))
+        hi = float(spec.get("lambda_max", 830.0))
+        vals = np.asarray(spec.get("values", spec.get("value")),
+                          np.float64)
+        wl = np.linspace(lo, hi, vals.shape[0])
+        return sp.resample_spd(wl, vals * scale)
+    if t == "irregular":
+        val = spec.get("value")
+        if isinstance(val, str):
+            pairs = [p_.split(":") for p_ in val.split(",")]
+            wl = [float(a) for a, _ in pairs]
+            vv = [float(b) for _, b in pairs]
+        else:
+            wl, vv = zip(*val)
+        return sp.resample_spd(np.asarray(wl),
+                               np.asarray(vv, np.float64) * scale)
+    if t == "blackbody":
+        return sp.blackbody_spd(float(spec.get("temperature", 5000.0))) \
+            * np.float32(scale)
+    if t == "d65":
+        return sp.d65_spd() * np.float32(scale)
+    return None
+
+
 def _try_analytic(spec: dict):
     """Lower sphere/disk/cylinder to an analytic primitive row
     (ops/analytic.py layout) when possible: no emitter attached, no
@@ -487,6 +521,17 @@ def _medium_row(spec: dict, grids: list, tables: list):
     raise ValueError(f"Unsupported medium type {mtype!r}")
 
 
+def _em_spd_array(spd_list, n_emitters):
+    from .core import spectral as sp
+    if not any(r is not None for r in spd_list):
+        return None
+    out = np.zeros((n_emitters, sp.SPD_N), np.float32)
+    for i, r in enumerate(spd_list):
+        if r is not None:
+            out[i] = r
+    return jnp.asarray(out)
+
+
 def load_dict(d: dict, spectral: bool = None) -> Scene:
     if d.get("type") != "scene":
         raise ValueError("Top-level dict must have type='scene'")
@@ -639,6 +684,7 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
     f_off = 0
 
     analytic_rows: list[np.ndarray] = []
+    em_spd_list: list = []
     face_colors_l: list[np.ndarray] = []
     any_colors = False
     for s_idx, (name, spec) in enumerate(shape_items):
@@ -677,6 +723,8 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
                 raise ValueError(f"Shape emitter type {espec['type']!r} unsupported")
             e_idx = len(em_radiance)
             em_radiance.append(_rgb(espec.get("radiance"), (1, 1, 1)))
+            if spectral:
+                em_spd_list.append(_spd_row(espec.get("radiance")))
             em_faces.append(list(range(f_off, f_off + nf)))
             em_areas.append(mesh.face_areas())
             if espec["type"] == "directionalarea":
@@ -943,6 +991,9 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
         measured_tables=tuple(measured_list),
         analytic_prims=(jnp.asarray(np.stack(analytic_rows, 0))
                         if analytic_rows else None),
+        em_spd=_em_spd_array(em_spd_list, len(em_radiance)),
+        em_spd_slots=tuple(i for i, r in enumerate(em_spd_list)
+                           if r is not None),
         sensor=sensor_data,
         medium_params=jnp.asarray(
             np.stack(medium_rows, 0) if medium_rows

@@ -127,6 +127,9 @@ class Scene:
     # ---- measured BSDF tables (bsdfs/measured.py; measured.cpp) ----
     measured_tables: tuple = ()
 
+    # ---- true emitter SPDs (spectral variant; src/spectra/*.cpp) ----
+    em_spd: jnp.ndarray = None          # [E, SPD_N] regular-grid SPDs
+
     # ---- per-corner vertex colors (mesh_attribute.cpp; None = unused) --
     face_colors: jnp.ndarray = None     # [F, 3, 3]
 
@@ -155,6 +158,7 @@ class Scene:
     em_directional: tuple = static_field(default=())  # directionalarea slots
     spectral: bool = static_field(default=False)  # hero-wavelength variant
     texture_meta: tuple = static_field(default=())  # (wrap, filter, mip)
+    em_spd_slots: tuple = static_field(default=())  # emitters w/ true SPDs
 
     # ------------------------------------------------------------------
     # Geometry access
@@ -563,9 +567,13 @@ class Scene:
         ok = pdf_sa > 0.0
         inv_pdf = jnp.where(ok, 1.0 / jnp.maximum(pdf_sa, 1e-20), 0.0)
         if getattr(si, "wavelengths", None) is not None:
-            from ..core.spectral import rgb_to_spectrum
+            from ..core.spectral import eval_spd, rgb_to_spectrum
             radiance = rgb_to_spectrum(radiance, si.wavelengths,
                                        reflectance=False)
+            for slot in self.em_spd_slots:
+                radiance = Vec3.where(
+                    em_idx == slot,
+                    eval_spd(self.em_spd[slot], si.wavelengths), radiance)
         weight = radiance * inv_pdf
 
         area_lane = (em_idx >= 0) & (em_idx < max(self.n_area_emitters,
@@ -677,9 +685,15 @@ class Scene:
         front = si.wi.z > 0.0  # local frame: cos_theta(wi) > 0
         radiance = self.gather_em_radiance(jnp.maximum(em_idx, 0))
         if si.wavelengths is not None:
-            from ..core.spectral import rgb_to_spectrum
+            from ..core.spectral import eval_spd, rgb_to_spectrum
             radiance = rgb_to_spectrum(radiance, si.wavelengths,
                                        reflectance=False)
+            # emitters carrying true SPDs evaluate them directly —
+            # metamerism preserved (regular.cpp/d65.cpp spectral path)
+            for slot in self.em_spd_slots:
+                radiance = Vec3.where(
+                    em_idx == slot,
+                    eval_spd(self.em_spd[slot], si.wavelengths), radiance)
         return radiance.mask(emissive & front)
 
     def eval_env(self, d: Vec3, wavelengths: Vec3 = None) -> Vec3:
