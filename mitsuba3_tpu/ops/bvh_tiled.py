@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.struct import pytree_dataclass, static_field
 from ..core.vec import Vec2, Vec3
 
-TILE = 256
+TILE = 1024
 KT = 128   # triangles per leaf (minor-dim tiling unit for the DMA)
 LB = 128    # SMEM slot granularity (XLA 1-D s32 tiling unit)
 LB_USE = 16  # active leaf slots per round (kernel loop trip count)
