@@ -20,7 +20,8 @@ from .render.scene import (TRI_CHUNK, TRI_PAD, FilmConfig, Scene,
                            SensorConfig, SensorData)
 
 _SHAPE_TYPES = ("rectangle", "cube", "sphere", "disk", "cylinder", "obj",
-                "ply", "mesh", "serialized")
+                "ply", "mesh", "serialized", "linearcurve", "bsplinecurve",
+                "sdfgrid")
 _EMITTER_TYPES = ("area", "constant", "envmap", "point")
 _BSDF_TYPES = ("diffuse", "conductor", "roughconductor", "dielectric", "measured",
                "thindielectric", "roughdielectric", "plastic",
@@ -684,11 +685,14 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
     f_off = 0
 
     analytic_rows: list[np.ndarray] = []
+    sdf_grid_list: list = []
+    sdf_row_list: list[np.ndarray] = []
     em_spd_list: list = []
     face_colors_l: list[np.ndarray] = []
     any_colors = False
     for s_idx, (name, spec) in enumerate(shape_items):
         arow = _try_analytic(spec)
+        is_sdf = spec.get("type") == "sdfgrid"
 
         bspec = spec.get("bsdf")
         if bspec is None:
@@ -697,6 +701,33 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
             b_idx = named_bsdf[bspec["id"]]
         else:
             b_idx = add_bsdf(bspec)
+
+        if is_sdf:
+            # SDF grid shape (ops/sdf.py; sdfgrid.cpp): grid values in
+            # the to_world-mapped unit cube, sphere-traced at render time
+            from .ops.sdf import SDF_COLS
+            if "filename" in spec:
+                from .utils.vol_io import read_vol
+                g, _, _ = read_vol(spec["filename"])
+            else:
+                g = np.asarray(spec["grid"], np.float32)
+            row = np.zeros(SDF_COLS, np.float32)
+            tw = spec.get("to_world")
+            mtx = np.eye(4)
+            if tw is not None:
+                mtx = np.asarray(tw.matrix if hasattr(tw, "matrix")
+                                 else tw, np.float64)
+            row[0:12] = np.linalg.inv(mtx)[:3, :4].reshape(-1)
+            int_spec = spec.get("interior") or spec.get("interior_medium")
+            ext_spec = spec.get("exterior") or spec.get("exterior_medium")
+            row[13] = s_idx
+            row[14] = b_idx
+            row[15] = add_medium(int_spec) if int_spec is not None else -2
+            row[16] = add_medium(ext_spec) if ext_spec is not None else -2
+            row[12] = len(sdf_grid_list)
+            sdf_grid_list.append(g)
+            sdf_row_list.append(row)
+            continue
 
         if arow is not None:
             # implicit shape: no tessellation, no faces — intersected
@@ -761,7 +792,7 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
         f_off += nf
 
     if not all_verts:
-        if not analytic_rows:
+        if not analytic_rows and not sdf_row_list:
             raise ValueError("Scene contains no shapes")
         # all-analytic scene: keep one degenerate (never-hit) triangle so
         # the SoA mesh arrays stay non-empty
@@ -991,6 +1022,9 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
         measured_tables=tuple(measured_list),
         analytic_prims=(jnp.asarray(np.stack(analytic_rows, 0))
                         if analytic_rows else None),
+        sdf_grids=tuple(jnp.asarray(g) for g in sdf_grid_list),
+        sdf_rows=(jnp.asarray(np.stack(sdf_row_list, 0))
+                  if sdf_row_list else None),
         em_spd=_em_spd_array(em_spd_list, len(em_radiance)),
         em_spd_slots=tuple(i for i, r in enumerate(em_spd_list)
                            if r is not None),

@@ -140,6 +140,10 @@ class Scene:
     # (ops/analytic.py; sphere.cpp/disk.cpp/cylinder.cpp intersections)
     analytic_prims: jnp.ndarray = None  # [A, analytic.N_COLS]
 
+    # ---- SDF grid shapes (ops/sdf.py; sdfgrid.cpp) ----
+    sdf_grids: tuple = ()               # tuple of [D, H, W] SDF values
+    sdf_rows: jnp.ndarray = None        # [S, sdf.SDF_COLS]
+
     # ---- static topology / config ----
     n_shapes: int = static_field(default=0)
     n_emitters: int = static_field(default=0)
@@ -262,6 +266,24 @@ class Scene:
                       jnp.where(better, uva.y, uv.y))
             valid = valid | better
             prim = jnp.where(valid, prim, -1)
+        if self.sdf_rows is not None and len(self.sdf_grids) > 0:
+            from ..ops import sdf as sdf_mod
+            f_count = self.faces.shape[0]
+            a_count = (self.analytic_prims.shape[0]
+                       if self.analytic_prims is not None else 0)
+            for k, grid in enumerate(self.sdf_grids):
+                row = jax.lax.stop_gradient(self.sdf_rows[k])
+                t_cap = jnp.where(valid, t, ray.maxt)
+                ts, ux, uy, vs = sdf_mod.intersect_sdf(
+                    jax.lax.stop_gradient(grid), row, ray.o, ray.d,
+                    t_cap, active=active)
+                better = vs & (~valid | (ts < t))
+                t = jnp.where(better, ts, t)
+                prim = jnp.where(better, f_count + a_count + k, prim)
+                uv = Vec2(jnp.where(better, ux, uv.x),
+                          jnp.where(better, uy, uv.y))
+                valid = valid | better
+            prim = jnp.where(valid, prim, -1)
         # shape id resolved later from the attribute bundle; store hit mask
         shape_idx = jnp.where(valid, prim, -1)
         return PreliminaryIntersection(
@@ -288,6 +310,14 @@ class Scene:
                 jax.lax.stop_gradient(self.analytic_prims), ray.o, ray.d,
                 ray.maxt, active=active, any_hit=True)
             occ = occ | va
+        if self.sdf_rows is not None and len(self.sdf_grids) > 0:
+            from ..ops import sdf as sdf_mod
+            for k, grid in enumerate(self.sdf_grids):
+                row = jax.lax.stop_gradient(self.sdf_rows[k])
+                _, _, _, vs = sdf_mod.intersect_sdf(
+                    jax.lax.stop_gradient(grid), row, ray.o, ray.d,
+                    ray.maxt, active=active)
+                occ = occ | vs
         return occ
 
     def compute_surface_interaction(self, ray: Ray,
@@ -380,6 +410,34 @@ class Scene:
             vcolor = Vec3(a[30] * w0c + a[33] * b1 + a[36] * b2,
                           a[31] * w0c + a[34] * b1 + a[37] * b2,
                           a[32] * w0c + a[35] * b1 + a[38] * b2)
+        if self.sdf_rows is not None and len(self.sdf_grids) > 0:
+            from ..ops import sdf as sdf_mod
+            f_count = self.faces.shape[0]
+            a_count = (self.analytic_prims.shape[0]
+                       if self.analytic_prims is not None else 0)
+            for k, grid in enumerate(self.sdf_grids):
+                is_sdf = valid & (pi.prim_index == f_count + a_count + k)
+                row = self.sdf_rows[k]
+                pw, nw = sdf_mod.surface_fields(grid, row, ray.o, ray.d,
+                                                pi.t, active=is_sdf)
+                p = Vec3.where(is_sdf, pw, p)
+                ng = Vec3.where(is_sdf, nw, ng)
+                ns = Vec3.where(is_sdf, nw, ns)
+                sh_frame = Frame.from_normal(ns)
+                wi = sh_frame.to_local(-ray.d)
+                shape_idx = jnp.where(
+                    is_sdf, jnp.round(row[13]).astype(jnp.int32),
+                    shape_idx)
+                bsdf_idx = jnp.where(
+                    is_sdf, jnp.round(row[14]).astype(jnp.int32),
+                    bsdf_idx)
+                emitter_idx = jnp.where(is_sdf, -1, emitter_idx)
+                inv_total_area = jnp.where(is_sdf, 0.0, inv_total_area)
+                med_in = jnp.where(
+                    is_sdf, jnp.round(row[15]).astype(jnp.int32), med_in)
+                med_ex = jnp.where(
+                    is_sdf, jnp.round(row[16]).astype(jnp.int32), med_ex)
+
         si = SurfaceInteraction(
             p=p, t=pi.t, n=ng, sh_frame=sh_frame, uv=uv, wi=wi,
             shape_index=shape_idx, prim_index=pi.prim_index,

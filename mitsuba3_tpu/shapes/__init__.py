@@ -137,6 +137,9 @@ def build_shape(spec: dict) -> MeshData:
     elif stype in ("obj", "ply"):
         from .loaders import load_mesh_file
         mesh = load_mesh_file(spec["filename"], stype)
+    elif stype in ("linearcurve", "bsplinecurve"):
+        from .curves import build_curve_mesh
+        mesh = build_curve_mesh(spec, bspline=(stype == "bsplinecurve"))
     elif stype == "serialized":
         from .serialized_io import read_serialized
         m = read_serialized(spec["filename"],

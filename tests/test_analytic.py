@@ -155,3 +155,88 @@ def test_analytic_sphere_casts_shadow():
     shadow = img[12:16, 10:14].mean()
     lit = img[12:16, 1:4].mean()
     assert shadow < 0.75 * lit, (shadow, lit)
+
+
+def _sdf_sphere_grid(res=32, r=0.3):
+    """SDF of a sphere of radius r centered in the unit cube."""
+    ax = (np.arange(res) + 0.5) / res
+    z, y, x = np.meshgrid(ax, ax, ax, indexing="ij")
+    return (np.sqrt((x - 0.5) ** 2 + (y - 0.5) ** 2 + (z - 0.5) ** 2)
+            - r).astype(np.float32)
+
+
+def test_sdfgrid_sphere_intersection():
+    """sdfgrid.cpp: sphere-traced SDF grid hits match the analytic
+    sphere within grid resolution."""
+    from mitsuba3_tpu.ops import sdf as sdf_mod
+    grid = jnp.asarray(_sdf_sphere_grid(48))
+    row = np.zeros(sdf_mod.SDF_COLS, np.float32)
+    row[0:12] = np.eye(3, 4).reshape(-1)   # world == local
+    row = jnp.asarray(row)
+    n = 64
+    ys = np.linspace(0.3, 0.7, n).astype(np.float32)
+    o = Vec3(jnp.full(n, -2.0), jnp.asarray(ys), jnp.full(n, 0.5))
+    d = Vec3(jnp.ones(n), jnp.zeros(n), jnp.zeros(n))
+    t, ux, uy, valid = sdf_mod.intersect_sdf(grid, row, o, d,
+                                             jnp.full(n, 1e30))
+    inside = np.abs(ys - 0.5) < 0.28
+    assert np.asarray(valid)[inside].all()
+    t_exact = 2.5 - np.sqrt(np.maximum(0.3 ** 2 - (ys - 0.5) ** 2, 0.0))
+    err = np.abs(np.asarray(t)[inside] - t_exact[inside])
+    assert err.max() < 0.03, err.max()
+
+
+def test_sdfgrid_scene_renders_and_shadows():
+    scene = mi.load_dict({
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 3},
+        "sensor": {"type": "perspective", "fov": 40.0,
+                   "to_world": mi.ScalarTransform4f().look_at(
+                       origin=[0.5, 0.5, -2.0], target=[0.5, 0.5, 0.5],
+                       up=[0, 1, 0]),
+                   "film": {"width": 16, "height": 16,
+                            "rfilter": {"type": "box"}},
+                   "sampler": {"type": "independent", "sample_count": 8}},
+        "blob": {"type": "sdfgrid", "grid": _sdf_sphere_grid(32),
+                 "bsdf": {"type": "diffuse",
+                          "reflectance": {"type": "rgb",
+                                          "value": [0.8, 0.3, 0.2]}}},
+        "light": {"type": "point", "position": [2, 3, -2],
+                  "intensity": {"type": "rgb", "value": [40, 40, 40]}},
+        "env": {"type": "constant", "radiance": {"type": "rgb",
+                                                 "value": 0.2}},
+    })
+    assert len(scene.sdf_grids) == 1
+    img = np.asarray(mi.render(scene, spp=8, seed=1))
+    assert np.isfinite(img).all()
+    # the blob is visible (red-dominant center vs gray-ish border)
+    c = img[6:10, 6:10].mean(axis=(0, 1))
+    assert c[0] > 1.2 * c[2], c
+
+
+def test_sdfgrid_gradient_moves_surface():
+    """The SDF grid values are differentiable: pushing the iso-surface
+    outward (more negative SDF) changes the rendered silhouette."""
+    base = _sdf_sphere_grid(24)
+    scene = mi.load_dict({
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 2},
+        "sensor": {"type": "perspective", "fov": 40.0,
+                   "to_world": mi.ScalarTransform4f().look_at(
+                       origin=[0.5, 0.5, -2.0], target=[0.5, 0.5, 0.5],
+                       up=[0, 1, 0]),
+                   "film": {"width": 8, "height": 8,
+                            "rfilter": {"type": "box"}},
+                   "sampler": {"type": "independent", "sample_count": 4}},
+        "blob": {"type": "sdfgrid", "grid": base,
+                 "bsdf": {"type": "diffuse"}},
+        "light": {"type": "point", "position": [2, 3, -2],
+                  "intensity": {"type": "rgb", "value": [40, 40, 40]}},
+    })
+
+    def loss(offset):
+        s = scene.replace(sdf_grids=(scene.sdf_grids[0] + offset,))
+        return mi.render(s, spp=4, seed=0).mean()
+
+    g = float(jax.grad(loss)(jnp.float32(0.0)))
+    assert np.isfinite(g) and g != 0.0, g

@@ -228,3 +228,59 @@ def test_mipmap_reduces_minification_aliasing():
     # MC shading noise (spp 4) is a shared floor; the texture-aliasing
     # component drops by ~2x with the pyramid
     assert v_mip < 0.8 * v_no, (v_mip, v_no)
+
+
+def test_hair_renders_on_curve_geometry(tmp_path):
+    """linearcurve/bsplinecurve shapes (curve file format of
+    linearcurve.cpp): hair fibers as swept tubes carry the fiber uv
+    parameterization the hair BSDF needs (VERDICT item #5)."""
+    import os
+    rng = np.random.default_rng(4)
+    lines = []
+    for k in range(12):
+        x = -0.8 + 0.15 * k
+        pts = [(x + 0.05 * rng.standard_normal(), -1.0 + 0.25 * i,
+                0.1 * rng.standard_normal()) for i in range(8)]
+        for p in pts:
+            lines.append(f"{p[0]} {p[1]} {p[2]} 0.02")
+        lines.append("")
+    fn = os.path.join(str(tmp_path), "hair.txt")
+    with open(fn, "w") as f:
+        f.write("\n".join(lines))
+
+    for ctype in ("linearcurve", "bsplinecurve"):
+        scene = mi.load_dict({
+            "type": "scene",
+            "integrator": {"type": "path", "max_depth": 3},
+            "sensor": {"type": "perspective", "fov": 45.0,
+                       "to_world": mi.ScalarTransform4f().look_at(
+                           origin=[0, 0, -3], target=[0, 0, 0],
+                           up=[0, 1, 0]),
+                       "film": {"width": 12, "height": 12,
+                                "rfilter": {"type": "box"}},
+                       "sampler": {"type": "independent",
+                                   "sample_count": 8}},
+            "hair": {"type": ctype, "filename": fn,
+                     "bsdf": {"type": "hair"}},
+            "light": {"type": "point", "position": [2, 2, -3],
+                      "intensity": {"type": "rgb", "value": [30, 30, 30]}},
+            "env": {"type": "constant",
+                    "radiance": {"type": "rgb", "value": 0.1}},
+        })
+        img = np.asarray(mi.render(scene, spp=8, seed=1))
+        assert np.isfinite(img).all() and img.max() > 0, ctype
+        # fibers occlude the background somewhere in the center strip
+        assert img[:, 4:8].mean() != img[:, 0:2].mean(), ctype
+
+
+def test_curve_uv_parameterization():
+    """Tube uv: y encodes the cross-fiber offset (h = 2 uv.y - 1 in
+    [-1,1]); x is the arc-length parameter in [0, 1]."""
+    from mitsuba3_tpu.shapes.curves import curve_to_tube
+    pts = np.stack([np.zeros(5), np.linspace(0, 1, 5), np.zeros(5)], -1)
+    v, f, uv, n = curve_to_tube(pts, np.full(5, 0.1), n_sides=8)
+    assert uv[:, 0].min() == 0 and abs(uv[:, 0].max() - 1) < 1e-9
+    assert uv[:, 1].min() >= 0 and uv[:, 1].max() <= 1
+    # normals are unit and radial (perpendicular to the +y axis)
+    assert np.allclose(np.linalg.norm(n, axis=1), 1, atol=1e-9)
+    assert np.abs(n[:, 1]).max() < 1e-6
