@@ -14,6 +14,7 @@ from . import path as path_mod
 from . import stokes as stokes_mod
 from . import ptracer as ptracer_mod
 from . import volpath as volpath_mod
+from . import volprim as volprim_mod
 from .path import PathConfig
 
 _depth_mod = types.SimpleNamespace(sample=aov_mod.depth_sample,
@@ -22,7 +23,7 @@ _depth_mod = types.SimpleNamespace(sample=aov_mod.depth_sample,
 _REGISTRY = {"path": path_mod, "direct": direct_mod, "aov": aov_mod,
              "depth": _depth_mod, "ptracer": ptracer_mod,
              "volpath": volpath_mod, "volpathmis": volpath_mod,
-             "stokes": stokes_mod}
+             "stokes": stokes_mod, "volprim_rf_basic": volprim_mod}
 
 
 def _register_moment():
@@ -87,6 +88,8 @@ def config_from_dict(spec: dict):
         return aov_mod.config_from_dict(spec)
     if itype == "stokes":
         return stokes_mod.config_from_dict(spec)
+    if itype == "volprim_rf_basic":
+        return volprim_mod.config_from_dict(spec)
     if itype == "moment":
         _register_moment()
         return _REGISTRY["moment"].config_from_dict(spec)

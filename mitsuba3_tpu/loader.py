@@ -21,7 +21,7 @@ from .render.scene import (TRI_CHUNK, TRI_PAD, FilmConfig, Scene,
 
 _SHAPE_TYPES = ("rectangle", "cube", "sphere", "disk", "cylinder", "obj",
                 "ply", "mesh", "serialized", "linearcurve", "bsplinecurve",
-                "sdfgrid")
+                "sdfgrid", "ellipsoids")
 _EMITTER_TYPES = ("area", "constant", "envmap", "point")
 _BSDF_TYPES = ("diffuse", "conductor", "roughconductor", "dielectric", "measured",
                "thindielectric", "roughdielectric", "plastic",
@@ -627,10 +627,29 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
         elif vtype in ("perspective", "thinlens", "orthographic",
                        "radiancemeter", "irradiancemeter", "distant"):
             film_spec = val.get("film", {})
+            srfs = ()
+            if film_spec.get("type") == "specfilm":
+                # specfilm.cpp: named nested spectra become the channel
+                # sensor response functions
+                srf_rows = []
+                for fk, fv in film_spec.items():
+                    if isinstance(fv, dict) and fv.get("type") in (
+                            "regular", "irregular", "d65", "blackbody",
+                            "uniform"):
+                        if fv.get("type") == "uniform":
+                            from .core import spectral as sp_mod
+                            r = np.full(sp_mod.SPD_N,
+                                        float(fv.get("value", 1.0)),
+                                        np.float32)
+                        else:
+                            r = _spd_row(fv)
+                        srf_rows.append(tuple(float(x) for x in r))
+                srfs = tuple(srf_rows)
             film_cfg = FilmConfig(
                 width=int(film_spec.get("width", 256)),
                 height=int(film_spec.get("height", 256)),
-                rfilter=(film_spec.get("rfilter", {}) or {}).get("type", "gaussian"))
+                rfilter=(film_spec.get("rfilter", {}) or {}).get("type", "gaussian"),
+                srfs=srfs)
             sampler_spec = val.get("sampler", {}) or {}
             spp = int(sampler_spec.get("sample_count", 64))
             sampler_type = sampler_spec.get("type", "independent")
@@ -690,7 +709,30 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
     em_spd_list: list = []
     face_colors_l: list[np.ndarray] = []
     any_colors = False
+    gaussians = None
     for s_idx, (name, spec) in enumerate(shape_items):
+        if spec.get("type") == "ellipsoids":
+            # Gaussian-splat primitive cloud (ellipsoids.cpp data rows:
+            # center, scale, quaternion + attributes); consumed by the
+            # volprim_rf_basic integrator
+            g = int(np.asarray(spec["means"]).shape[0])
+            gaussians = {
+                "means": jnp.asarray(np.asarray(spec["means"],
+                                                np.float32)),
+                "quats": jnp.asarray(np.asarray(
+                    spec.get("quats", np.tile([1.0, 0, 0, 0], (g, 1))),
+                    np.float32)),
+                "scales": jnp.asarray(np.asarray(
+                    spec.get("scales", np.full((g, 3), 0.1)), np.float32)),
+                "opacity": jnp.asarray(np.asarray(
+                    spec.get("opacities", spec.get("opacity",
+                                                   np.full(g, 0.5))),
+                    np.float32).reshape(-1)),
+                "color": jnp.asarray(np.asarray(
+                    spec.get("colors", np.full((g, 3), 0.5)),
+                    np.float32)),
+            }
+            continue
         arow = _try_analytic(spec)
         is_sdf = spec.get("type") == "sdfgrid"
 
@@ -792,7 +834,7 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
         f_off += nf
 
     if not all_verts:
-        if not analytic_rows and not sdf_row_list:
+        if not analytic_rows and not sdf_row_list and gaussians is None:
             raise ValueError("Scene contains no shapes")
         # all-analytic scene: keep one degenerate (never-hit) triangle so
         # the SoA mesh arrays stay non-empty
@@ -1022,6 +1064,7 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
         measured_tables=tuple(measured_list),
         analytic_prims=(jnp.asarray(np.stack(analytic_rows, 0))
                         if analytic_rows else None),
+        gaussians=gaussians,
         sdf_grids=tuple(jnp.asarray(g) for g in sdf_grid_list),
         sdf_rows=(jnp.asarray(np.stack(sdf_row_list, 0))
                   if sdf_row_list else None),

@@ -83,7 +83,16 @@ def render_pass(scene, pass_seed, sppc: int, pixel_offset=0, n_pixels=None,
 
     integrator = get_integrator(scene.integrator)
     L, valid, rng, n_rays = integrator.sample(scene, rng, ray, scene.integrator)
-    if scene.spectral and hasattr(L, "to_array"):
+    if scene.spectral and hasattr(L, "to_array") and scene.film.srfs:
+        # specfilm.cpp: channel i = MC estimate of ∫ L(λ) SRF_i(λ) dλ
+        from ..core import spectral as spectral_mod
+        chans = []
+        for srf in scene.film.srfs:
+            tbl = jnp.asarray(srf, jnp.float32)
+            r = spectral_mod.eval_spd(tbl, ray.wl)
+            chans.append(L.dot(r) * (spectral_mod.LAMBDA_RANGE / 3.0))
+        L = jnp.stack(chans, axis=-1)
+    elif scene.spectral and hasattr(L, "to_array"):
         from ..core import spectral as spectral_mod
         L = spectral_mod.spectral_to_xyz(L, ray.wl)  # film stores XYZ
     if hasattr(L, "to_array"):
@@ -110,6 +119,8 @@ def _render_jit(scene, seed, sppc: int, n_passes: int):
 
     from ..integrators import get_integrator as _gi
     nch = getattr(_gi(scene.integrator), "n_channels", lambda cfg: 3)(scene.integrator)
+    if scene.spectral and scene.film.srfs:
+        nch = len(scene.film.srfs)      # specfilm channel count
 
     def body(i, acc):
         image, weight, rays = acc
@@ -127,7 +138,7 @@ def _render_jit(scene, seed, sppc: int, n_passes: int):
     else:
         image, weight, rays = jax.lax.fori_loop(0, n_passes, body, init)
     out = film_mod.develop(image, weight)
-    if scene.spectral:
+    if scene.spectral and not scene.film.srfs:
         # the film accumulated CIE XYZ; convert to linear sRGB
         from ..core import spectral as spectral_mod
         out = spectral_mod.xyz_to_srgb(out)

@@ -52,6 +52,9 @@ class FilmConfig:
     rfilter: str = "gaussian"  # 'box' | 'gaussian'
     rfilter_radius: float = 2.0
     rfilter_std: float = 0.5
+    # specfilm.cpp: per-channel sensor response functions, each a tuple
+    # of SPD_N floats on the shared spectral grid; () = hdrfilm behavior
+    srfs: tuple = ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -143,6 +146,10 @@ class Scene:
     # ---- SDF grid shapes (ops/sdf.py; sdfgrid.cpp) ----
     sdf_grids: tuple = ()               # tuple of [D, H, W] SDF values
     sdf_rows: jnp.ndarray = None        # [S, sdf.SDF_COLS]
+
+    # ---- Gaussian-splat primitives (ellipsoids.cpp; integrators/
+    # volprim.py) — dict pytree or None ----
+    gaussians: Any = None
 
     # ---- static topology / config ----
     n_shapes: int = static_field(default=0)

@@ -117,3 +117,53 @@ def test_true_spd_preserves_metamerism():
     chroma_n = c_n / max(c_n.sum(), 1e-9)
     chroma_f = c_f / max(c_f.sum(), 1e-9)
     assert np.abs(chroma_n - chroma_f).max() > 0.1
+
+
+def test_specfilm_channel_binning():
+    """specfilm.cpp: custom per-channel sensor responses. A narrowband
+    SRF at the emitter's wavelength responds strongly; a disjoint one
+    responds ~zero; a uniform SRF integrates everything."""
+    from mitsuba3_tpu.core import spectral as sp
+
+    grid = np.linspace(sp.LAMBDA_MIN, sp.LAMBDA_MAX, sp.SPD_N)
+
+    def srf(center, width=15.0):
+        return {"type": "regular", "lambda_min": float(grid[0]),
+                "lambda_max": float(grid[-1]),
+                "values": [float(v) for v in
+                           np.exp(-0.5 * ((grid - center) / width) ** 2)]}
+
+    d = {
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 2},
+        "sensor": {"type": "perspective", "fov": 40.0,
+                   "to_world": mi.ScalarTransform4f().look_at(
+                       origin=[0, 0, -3], target=[0, 0, 0],
+                       up=[0, 1, 0]),
+                   "film": {"type": "specfilm", "width": 6, "height": 6,
+                            "rfilter": {"type": "box"},
+                            "band1": srf(540.0),
+                            "band2": srf(680.0),
+                            "all": {"type": "uniform", "value": 1.0}},
+                   "sampler": {"type": "independent",
+                               "sample_count": 64}},
+        "light": {"type": "rectangle",
+                  "to_world": mi.ScalarTransform4f().translate([0, 0, 1])
+                  .rotate([0, 1, 0], 180).scale(1.5),
+                  "emitter": {"type": "area",
+                              "radiance": {
+                                  "type": "regular",
+                                  "lambda_min": float(grid[0]),
+                                  "lambda_max": float(grid[-1]),
+                                  "values": [float(v) for v in np.exp(
+                                      -0.5 * ((grid - 540.0) / 10.0)
+                                      ** 2)]}}},
+    }
+    scene = mi.load_dict(d, spectral=True)
+    assert len(scene.film.srfs) == 3
+    img = np.asarray(mi.render(scene, spp=256, seed=2))
+    assert img.shape[-1] == 3
+    c = img[2:4, 2:4].mean(axis=(0, 1))
+    # 540nm band sees the 540nm emitter; 680nm band sees ~nothing
+    assert c[0] > 20 * max(c[1], 1e-7), c
+    assert c[2] > c[0] * 0.5, c  # uniform response integrates it all
