@@ -118,3 +118,58 @@ def build_sunsky_envmap(spec: dict, height: int = 128):
     rgb[iy, ix] += sun_radiance * (omega_sun / max(omega_texel, 1e-9)) \
         * sun_scale
     return rgb.astype(np.float32)
+
+
+def solar_position(year, month, day, hour, minute=0.0, second=0.0,
+                   latitude=35.6894, longitude=139.6917, timezone=9.0):
+    """Sun direction (unit, +Y up, +X east, -Z north-ish like the
+    envmap frame) from date/time/location — the timed_sunsky emitter's
+    astronomical core (sunsky.h / timed_sunsky.cpp role; Preetham et al.
+    appendix solar position formulae)."""
+    t = hour + minute / 60.0 + second / 3600.0 - timezone
+    # Julian date (Preetham A.6)
+    if month <= 2:
+        month += 12
+        year -= 1
+    a = int(year / 100)
+    b = 2 - a + int(a / 4)
+    jd = (int(365.25 * (year + 4716)) + int(30.6001 * (month + 1))
+          + day + b - 1524.5 + t / 24.0)
+    d = jd - 2451545.0
+    # solar coordinates (low-precision NOAA/Preetham)
+    g = np.deg2rad((357.529 + 0.98560028 * d) % 360.0)
+    q = (280.459 + 0.98564736 * d) % 360.0
+    lam = np.deg2rad(q + 1.915 * np.sin(g) + 0.020 * np.sin(2 * g))
+    e = np.deg2rad(23.439 - 0.00000036 * d)
+    ra = np.arctan2(np.cos(e) * np.sin(lam), np.cos(lam))
+    dec = np.arcsin(np.sin(e) * np.sin(lam))
+    # local hour angle
+    gmst = (18.697374558 + 24.06570982441908 * d) % 24.0
+    lmst = np.deg2rad((gmst * 15.0 + longitude) % 360.0)
+    ha = lmst - ra
+    lat = np.deg2rad(latitude)
+    elev = np.arcsin(np.sin(lat) * np.sin(dec)
+                     + np.cos(lat) * np.cos(dec) * np.cos(ha))
+    az = np.arctan2(-np.sin(ha),
+                    np.tan(dec) * np.cos(lat) - np.sin(lat) * np.cos(ha))
+    # to the renderer's frame: y = up, azimuth measured from north (-z)
+    ce = np.cos(elev)
+    return np.array([ce * np.sin(az), np.sin(elev), -ce * np.cos(az)])
+
+
+def build_timed_sunsky_envmap(spec: dict, height: int = 128):
+    """timed_sunsky: sun position from time/date/location properties
+    (timed_sunsky.cpp), baked through the same sun+sky model."""
+    sun = solar_position(
+        int(spec.get("year", 2010)), int(spec.get("month", 7)),
+        int(spec.get("day", 10)), float(spec.get("hour", 15.0)),
+        float(spec.get("minute", 0.0)), float(spec.get("second", 0.0)),
+        float(spec.get("latitude", 35.6894)),
+        float(spec.get("longitude", 139.6917)),
+        float(spec.get("timezone", 9.0)))
+    sub = {k: v for k, v in spec.items()
+           if k not in ("year", "month", "day", "hour", "minute",
+                        "second", "latitude", "longitude", "timezone",
+                        "type")}
+    sub["sun_direction"] = [float(x) for x in sun]
+    return build_sunsky_envmap(sub, height)

@@ -682,7 +682,7 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
                 shape_items.append((f"{key}_{gi}", member))
         elif vtype in _SHAPE_TYPES:
             shape_items.append((key, val))
-        elif vtype in ("constant", "envmap", "sunsky"):
+        elif vtype in ("constant", "envmap", "sunsky", "timed_sunsky"):
             env_spec = val
         elif vtype in ("point", "spot", "directional", "projector"):
             delta_specs.append(val)
@@ -954,6 +954,9 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
         elif env_spec["type"] == "sunsky":
             from .emitters.sunsky import build_sunsky_envmap
             env_data = build_sunsky_envmap(env_spec)
+        elif env_spec["type"] == "timed_sunsky":
+            from .emitters.sunsky import build_timed_sunsky_envmap
+            env_data = build_timed_sunsky_envmap(env_spec)
         else:
             if "filename" in env_spec or "data" in env_spec:
                 env_data = load_texture_spec(
