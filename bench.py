@@ -119,12 +119,59 @@ def main():
     dt = time.perf_counter() - t0
 
     mrays = total_rays / dt / 1e6
-    print(json.dumps({
+
+    # ---- secondary metric (VERDICT round-1 #1): forward render of a
+    # 64k-triangle terrain through the BVH path, Mrays/s
+    terrain_mrays = None
+    try:
+        import sys as _sys
+        _sys.path.insert(0, "benchmarks")
+        from bench_bvh import make_terrain
+
+        p0n, e1n, e2n = make_terrain(int(np.sqrt(65536 / 2)) + 1)
+        v = np.concatenate([p0n, p0n + e1n, p0n + e2n], 0)
+        f = np.arange(len(p0n) * 3).reshape(3, -1).T
+        dt_scene = {
+            "type": "scene",
+            "integrator": {"type": "path", "max_depth": 4},
+            "sensor": {"type": "perspective", "fov": 55.0,
+                       "to_world": mi.ScalarTransform4f().look_at(
+                           origin=[0, -14, 8], target=[0, 0, 0],
+                           up=[0, 0, 1]),
+                       "film": {"width": 512, "height": 512},
+                       "sampler": {"type": "independent",
+                                   "sample_count": 4}},
+            "terrain": {"type": "mesh", "vertices": v, "faces": f,
+                        "bsdf": {"type": "diffuse"}},
+            "sun": {"type": "directional",
+                    "direction": [0.3, 0.3, -1.0],
+                    "irradiance": {"type": "rgb", "value": [3, 3, 3]}},
+            "env": {"type": "constant",
+                    "radiance": {"type": "rgb", "value": 0.3}},
+        }
+        tscene = mi.load_dict(dt_scene)
+        img, rays0 = render_with_stats(tscene, seed=0, spp=4)
+        jax.block_until_ready(img)
+        t0 = time.perf_counter()
+        reps = 3
+        tot = 0.0
+        for i in range(reps):
+            img, r = render_with_stats(tscene, seed=i + 1, spp=4)
+            tot += float(r)
+        jax.block_until_ready(img)
+        terrain_mrays = tot / (time.perf_counter() - t0) / 1e6
+    except Exception as exc:  # noqa: BLE001 — secondary metric is best-effort
+        print(f"# terrain metric failed: {exc}")
+
+    out = {
         "metric": "cornell_512_spp64_fwd_plus_prb_bwd_mrays_per_chip",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
-    }))
+    }
+    if terrain_mrays is not None:
+        out["terrain64k_fwd_mrays"] = round(terrain_mrays, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

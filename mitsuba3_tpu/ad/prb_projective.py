@@ -38,5 +38,6 @@ def config_from_dict(spec: dict):
         rr_depth=int(spec.get("rr_depth", 5)),
         hide_emitters=bool(spec.get("hide_emitters", False)),
         sppp=int(spec.get("sppp", 4)),
+        sppi=int(spec.get("sppi", 4)),
         boundary_depth=int(spec.get("boundary_depth",
                                     min(max_depth, 4))))

@@ -228,6 +228,7 @@ class ProjectiveConfig:
     rr_depth: int = 5
     hide_emitters: bool = False
     sppp: int = 4               # primary-silhouette samples (× pixels)
+    sppi: int = 4               # indirect boundary samples (0 = off)
     boundary_depth: int = 4     # path depth for the ΔL estimates
 
 
@@ -334,6 +335,11 @@ def _make_boundary_fn(cfg: ProjectiveConfig, n_samples: int, h: int, w: int):
         theta, scene, seed = res
         g = primary_boundary_grad(theta, scene, d_image, seed, n_samples,
                                   cfg)
+        if cfg.sppi > 0:
+            gi = indirect_boundary_grad(theta, scene, d_image,
+                                        seed ^ jnp.uint32(0xAA11),
+                                        n_samples * 2, cfg)
+            g = jax.tree_util.tree_map(jnp.add, g, gi)
         zero_scene = jax.tree_util.tree_map(jnp.zeros_like, scene)
         return g, zero_scene, jnp.zeros_like(seed)
 
@@ -353,3 +359,147 @@ def boundary_image(scene, seed):
     fn = _make_boundary_fn(cfg, n_samples, h, w)
     theta = prb_mod.extract_theta(scene)
     return fn(theta, scene, jnp.uint32(seed))
+
+
+# ---------------------------------------------------------------------------
+# Indirectly observed silhouettes (shadow edges and the like):
+# ProjectiveDetail.eval_indirect_integrand (projective.py:533-609) with
+# uniform boundary-space sampling (guiding='none'; the reference's
+# sphere-direction encoding) and the depth-2 importance connection of
+# direct_projective.sample_importance (direct_projective.py:239-270).
+# ---------------------------------------------------------------------------
+
+def sample_indirect_silhouette(scene, topo, s1, s2, s3: Vec2):
+    """Boundary-space sample -> silhouette sample with a direction
+    (Mesh::sample_silhouette, mesh.cpp:1753-1840): edge by length-weighted
+    CDF, point along it, direction uniform on the sphere; the pdf is
+    zeroed for directions where the edge is NOT a silhouette (the two
+    face normals agree in sign, and the edge is interior)."""
+    sg = jax.lax.stop_gradient
+    twin, ev0, ev1, ev2, edge_face, edge_corner = topo
+    v = sg(scene.vertices)
+    f = scene.faces
+    p0f = v[f[:, 0]]
+    n_face = jnp.cross(v[f[:, 1]] - p0f, v[f[:, 2]] - p0f)
+    n_face = n_face / jnp.maximum(
+        jnp.linalg.norm(n_face, axis=-1, keepdims=True), 1e-20)
+
+    movable = jnp.repeat(scene.face_shape >= 0, 3)
+    # one representative per undirected edge
+    once = (twin < 0) | (jnp.arange(twin.shape[0]) < twin)
+    lens = jnp.linalg.norm(v[ev1] - v[ev0], axis=-1)
+    w = jnp.where(movable & once, lens, 0.0)
+    cdf = jnp.cumsum(w)
+    total = cdf[-1]
+    e = jnp.clip(jnp.searchsorted(cdf, s1 * total), 0, w.shape[0] - 1) \
+        .astype(jnp.int32)
+    pmf = w[e] / jnp.maximum(total, 1e-30)
+
+    p0 = Vec3.from_array(v[ev0[e]])
+    p1 = Vec3.from_array(v[ev1[e]])
+    p2 = Vec3.from_array(v[ev2[e]])
+    t = s2
+    p = p0 * (1.0 - t) + p1 * t
+    edge_len = (p1 - p0).norm()
+    sil_d = (p1 - p0) * (1.0 / jnp.maximum(edge_len, 1e-20))
+
+    # uniform sphere direction (warp.h square_to_uniform_sphere)
+    z = 1.0 - 2.0 * s3.y
+    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    phi = 2.0 * jnp.pi * s3.x
+    d = Vec3(r * jnp.cos(phi), r * jnp.sin(phi), z)
+    pdf_dir = 1.0 / (4.0 * jnp.pi)
+
+    n_curr = Vec3.from_array(n_face[edge_face[e]])
+    has_opp = twin[e] >= 0
+    opp_face = edge_face[jnp.maximum(twin[e], 0)]
+    n_opp = Vec3.from_array(n_face[opp_face])
+    # silhouette validity for this direction (mesh.cpp:1831-1834)
+    sil_ok = (~has_opp) | (n_curr.dot(d) * n_opp.dot(d) < 0.0)
+
+    pdf = jnp.where(sil_ok, pdf_dir * pmf
+                    / jnp.maximum(edge_len, 1e-20), 0.0)
+    nrm = d.cross(sil_d)
+    nrm = nrm * (1.0 / jnp.maximum(nrm.norm(), 1e-20))
+    nrm = Vec3.where(nrm.dot(p2 - p) > 0.0, -nrm, nrm)
+
+    corner = edge_corner[e]
+    b1 = jnp.where(corner == 0, t, jnp.where(corner == 1, 1.0 - t, 0.0))
+    b2 = jnp.where(corner == 0, 0.0, jnp.where(corner == 1, t, 1.0 - t))
+    fore = sil_d.cross(d).norm()
+    ss = SilhouetteSample(
+        p=p, d=d, n=nrm, sil_d=sil_d, dist=jnp.ones_like(t), pdf=pdf,
+        prim_index=edge_face[e], b1=b1, b2=b2, t_edge=t, v0=ev0[e],
+        v1=ev1[e], valid=(total > 0) & (pdf > 0))
+    return ss, fore
+
+
+def indirect_boundary_grad(theta, scene, d_image, seed, n_samples: int,
+                           cfg: ProjectiveConfig):
+    """∂⟨d_image, I⟩/∂θ of indirectly observed silhouettes (shadow edges
+    etc.): boundary segment -> importance connection to the sensor
+    through one receiver vertex (direct_projective.sample_importance) x
+    radiance difference across the edge x edge motion."""
+    from .. import bsdfs
+    from ..integrators.ptracer import _sensor_direction
+    from . import prb as prb_mod
+    sg = jax.lax.stop_gradient
+    scene_det = jax.tree_util.tree_map(sg, scene)
+    topo = edge_arrays(scene_det)
+
+    rng = sampler_mod.seed(seed ^ jnp.uint32(0x51DE), n_samples)
+    rng, u1 = sampler_mod.next_1d(rng)
+    rng, u2 = sampler_mod.next_1d(rng)
+    rng, u3 = sampler_mod.next_2d(rng)
+    ss, fore = sample_indirect_silhouette(scene_det, topo, u1, u2, u3)
+
+    # ---- importance side: receiver surface along -d, connected to the
+    # sensor (one-bounce importance; deeper sensor-side paths are the
+    # guiding-structure follow-up)
+    n = ss.pdf.shape[0]
+    eps = 1e-4 * jnp.maximum(jnp.float32(1.0), ss.p.abs().max_component())
+    ray_imp = Ray.make(ss.p + ss.n * eps - ss.d * eps, -ss.d)
+    pi_r = scene_det.ray_intersect_preliminary(ray_imp, active=ss.valid)
+    si_r, attrs_r = scene_det.compute_surface_interaction(ray_imp, pi_r)
+    act = ss.valid & si_r.is_valid()
+
+    uv_cam, d_cam, dist_cam, w_cam, on_film = _sensor_direction(scene_det,
+                                                               si_r.p)
+    act = act & on_film
+    vis_ray = Ray(o=si_r.offset_p(-d_cam), d=-d_cam,
+                  maxt=dist_cam * (1.0 - 1e-3))
+    act = act & ~scene_det.ray_test(vis_ray, active=act)
+    wo_cam = si_r.to_local(-d_cam)
+    f_r, _ = bsdfs.eval_pdf(scene_det, attrs_r["bsdf"], si_r, wo_cam)
+    # the (edge-length x sphere) parameterization's measure conversions
+    # cancel the boundary-segment 1/r^2 (eval_indirect_integrand uses
+    # exactly fS * fB * fE / pdf with fS = bsdf x sensor importance)
+    f_s = f_r * w_cam
+
+    # ---- radiance difference across the edge from direction d
+    dL, rng = _radiance_difference(scene_det, rng, ss,
+                                   depth=cfg.boundary_depth)
+
+    w, h = scene_det.film.width, scene_det.film.height
+    ix = jnp.clip((uv_cam.x * w).astype(jnp.int32), 0, w - 1)
+    iy = jnp.clip((uv_cam.y * h).astype(jnp.int32), 0, h - 1)
+    delta = d_image[iy, ix]
+    inv_pdf = jnp.where(ss.pdf > 0, 1.0 / jnp.maximum(ss.pdf, 1e-30), 0.0)
+    # _sensor_direction's importance is per unit uv AREA; the per-pixel
+    # estimate carries the w*h factor (ptracer.py:221 normalization)
+    coef = jnp.where(act, fore * inv_pdf * jnp.float32(w * h)
+                     / jnp.float32(n_samples), 0.0)
+    weight = (delta[:, 0] * f_s.x * dL.x + delta[:, 1] * f_s.y * dL.y
+              + delta[:, 2] * f_s.z * dL.z) * coef
+
+    def contrib(th):
+        scene_t = prb_mod.substitute_theta(scene, th)
+        vt = scene_t.vertices
+        q0 = vt[ss.v0]
+        q1 = vt[ss.v1]
+        pt = q0 * (1.0 - ss.t_edge[:, None]) + q1 * ss.t_edge[:, None]
+        motion = (pt[:, 0] * ss.n.x + pt[:, 1] * ss.n.y
+                  + pt[:, 2] * ss.n.z)
+        return jnp.sum(weight * motion)
+
+    return jax.grad(contrib)(theta)

@@ -131,3 +131,78 @@ def test_projective_primal_matches_prb():
     b = np.asarray(mi.render(_occluder_scene("prb_projective"), spp=8,
                              seed=2))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_indirect_shadow_gradient_vs_fd():
+    """Indirectly observed silhouette (shadow edge): the camera sees only
+    the FLOOR; an off-screen occluder's shadow moves with it. Plain PRB
+    and the primary boundary term both miss this gradient — the indirect
+    term (eval_indirect_integrand counterpart) must recover it."""
+    def make(itype, sppi=16):
+        d = {
+            "type": "scene",
+            "integrator": {"type": itype, "max_depth": 3, "sppp": 4,
+                           "sppi": sppi, "boundary_depth": 2},
+            "sensor": {"type": "perspective", "fov": 35.0,
+                       # camera looks straight DOWN at the floor; the
+                       # occluder sits behind the camera plane (never
+                       # primarily visible)
+                       "to_world": mi.ScalarTransform4f().look_at(
+                           origin=[0, 3.0, 0], target=[0, 0, 0],
+                           up=[0, 0, 1]),
+                       "film": {"width": 12, "height": 12,
+                                "rfilter": {"type": "box"}},
+                       "sampler": {"type": "independent",
+                                   "sample_count": 32}},
+            "floor": {"type": "rectangle",
+                      "to_world": mi.ScalarTransform4f()
+                      .rotate([1, 0, 0], -90).scale(1.2),
+                      "bsdf": {"type": "diffuse"}},
+            # small light high up; occluder halfway, off-frame
+            "light": {"type": "rectangle",
+                      "to_world": mi.ScalarTransform4f()
+                      .translate([0, 8.0, 0]).rotate([1, 0, 0], 90)
+                      .scale(0.8),
+                      "emitter": {"type": "area",
+                                  "radiance": {"type": "rgb",
+                                               "value": [60, 60, 60]}}},
+            "occluder": {"type": "rectangle",
+                         "to_world": mi.ScalarTransform4f()
+                         .translate([0.45, 5.5, 0])
+                         .rotate([1, 0, 0], -90).scale(0.5),
+                         "bsdf": {"type": "diffuse",
+                                  "reflectance": {"type": "rgb",
+                                                  "value": [0, 0, 0]}}},
+        }
+        return mi.load_dict(d)
+
+    scene = make("prb_projective")
+    nv = scene.vertices.shape[0]
+
+    def loss(x, seed):
+        shift = jnp.zeros((nv, 3), jnp.float32).at[nv - 4:, 0].set(x)
+        s = scene.replace(vertices=scene.vertices + shift)
+        return mi.render(s, spp=32, seed=seed).mean()
+
+    lf = jax.jit(loss)
+    gf = jax.jit(jax.grad(loss))
+    eps = 3e-2
+    seeds = range(10)
+    fd = np.mean([(float(lf(jnp.float32(eps), s))
+                   - float(lf(jnp.float32(-eps), s))) / (2 * eps)
+                  for s in seeds])
+    g = np.mean([float(gf(jnp.float32(0.0), s)) for s in seeds])
+    assert abs(fd) > 1e-4, fd
+    assert abs(g - fd) < 0.35 * abs(fd), (g, fd)
+
+    # control: with the indirect term off the gradient mostly vanishes
+    scene0 = make("prb_projective", sppi=0)
+
+    def loss0(x, seed):
+        shift = jnp.zeros((nv, 3), jnp.float32).at[nv - 4:, 0].set(x)
+        s = scene0.replace(vertices=scene0.vertices + shift)
+        return mi.render(s, spp=32, seed=seed).mean()
+
+    g0 = np.mean([float(jax.jit(jax.grad(loss0))(jnp.float32(0.0), s))
+                  for s in range(4)])
+    assert abs(g0) < 0.3 * abs(fd), (g0, fd)
