@@ -51,6 +51,7 @@ PRINCIPLED = 12
 HAIR = 13
 POLARIZER = 14
 MEASURED = 15
+PPLASTIC = 16
 N_PARAMS = 16  # bsdf_params row width
 
 _REGISTRY = {}
@@ -162,8 +163,9 @@ register(BLEND, blendbsdf)
 register(NORMALMAP, normalmap)
 register(PRINCIPLED, principled)
 
-from . import hair, measured, polarizer  # noqa: E402
+from . import hair, measured, polarizer, pplastic  # noqa: E402
 
 register(HAIR, hair)
 register(POLARIZER, polarizer)
 register(MEASURED, measured)
+register(PPLASTIC, pplastic)

@@ -203,8 +203,13 @@ def sample(scene, rng, ray: Ray, cfg: StokesConfig, active=None):
             b_out_el = Vec3.where(is_filter, b_plate, b_out_el)
 
         # polarized specular Fresnel for smooth conductor delta lobes
-        if bsdfs.CONDUCTOR in scene.bsdf_types:
-            is_cond = lane_type == bsdfs.CONDUCTOR
+        # (and pplastic's dielectric specular lobe, pplastic.cpp)
+        has_pp = bsdfs.PPLASTIC in scene.bsdf_types
+        if bsdfs.CONDUCTOR in scene.bsdf_types or has_pp:
+            is_cond = (lane_type == bsdfs.CONDUCTOR) | (
+                (lane_type == bsdfs.PPLASTIC)
+                & ((bs.sampled_type & bsdfs.DELTA) != 0)
+                if has_pp else (lane_type == bsdfs.CONDUCTOR))
             cos_i = jnp.abs(si.wi.z)
             # per-channel eta -> per-channel Fresnel Mueller
             m_cond = []

@@ -25,7 +25,7 @@ _SHAPE_TYPES = ("rectangle", "cube", "sphere", "disk", "cylinder", "obj",
 _EMITTER_TYPES = ("area", "constant", "envmap", "point")
 _BSDF_TYPES = ("diffuse", "conductor", "roughconductor", "dielectric", "measured",
                "thindielectric", "roughdielectric", "plastic",
-               "roughplastic", "twosided", "null", "mask", "blendbsdf",
+               "roughplastic", "pplastic", "twosided", "null", "mask", "blendbsdf",
                "normalmap", "bumpmap", "principled", "principledthin", "hair",
                "polarizer", "retarder", "circular")
 _MEDIUM_TYPES = ("homogeneous", "heterogeneous")
@@ -303,6 +303,14 @@ def _bsdf_row(spec: dict, textures: list, add_bsdf=None, measured=None):
     if btype == "diffuse":
         color_or_texture(spec.get("reflectance"), (0.5, 0.5, 0.5), 0, 3)
         return bsdfs_pkg.DIFFUSE, params
+    if btype == "pplastic":
+        color_or_texture(spec.get("diffuse_reflectance"),
+                         (0.5, 0.5, 0.5), 0, 3)
+        int_ior = float(spec.get("int_ior", 1.49))
+        ext_ior = float(spec.get("ext_ior", 1.000277))
+        params[4] = int_ior / ext_ior
+        params[8:11] = _rgb(spec.get("specular_reflectance"), (1, 1, 1))
+        return bsdfs_pkg.PPLASTIC, params
     if btype == "measured":
         if measured is None:
             raise ValueError("measured BSDF requires table registration")

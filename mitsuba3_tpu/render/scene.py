@@ -788,3 +788,46 @@ class Scene:
         oh = jax.nn.one_hot(med_idx, m_count, axis=0, dtype=jnp.float32)
         return jnp.matmul(self.medium_params.T, oh,
                           precision=jax.lax.Precision.HIGHEST)  # [P, N]
+
+
+def eval_parameterization(scene, shape_index: int, uv):
+    """Inverse uv lookup on one shape (Shape::eval_parameterization,
+    shape.h:804): find the triangle of `shape_index` whose per-corner uv
+    chart contains each query `uv` and return the corresponding surface
+    point and normal. Dense one-hot search over the shape's faces (the
+    reference traces a ray against a uv-unwrapped copy of the mesh).
+
+    Returns (p Vec3, ng Vec3, prim [N] i32 (-1 = not found))."""
+    f = scene.faces
+    mine = scene.face_shape == shape_index
+    uvf = scene.face_uv                      # [F, 3, 2]
+    a_uv = uvf[:, 0]
+    e1_uv = uvf[:, 1] - uvf[:, 0]
+    e2_uv = uvf[:, 2] - uvf[:, 0]
+    det = e1_uv[:, 0] * e2_uv[:, 1] - e1_uv[:, 1] * e2_uv[:, 0]
+    inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
+    du = uv.x[:, None] - a_uv[None, :, 0]    # [N, F]
+    dv = uv.y[:, None] - a_uv[None, :, 1]
+    b1 = (du * e2_uv[None, :, 1] - dv * e2_uv[None, :, 0]) * inv_det[None]
+    b2 = (dv * e1_uv[None, :, 0] - du * e1_uv[None, :, 1]) * inv_det[None]
+    inside = ((b1 >= -1e-5) & (b2 >= -1e-5) & (b1 + b2 <= 1.0 + 1e-5)
+              & mine[None, :] & (jnp.abs(det) > 1e-12)[None, :])
+    col = jax.lax.broadcasted_iota(jnp.int32, inside.shape, 1)
+    prim = jnp.max(jnp.where(inside, col, -1), axis=1)
+    found = prim >= 0
+    prim_c = jnp.clip(prim, 0, f.shape[0] - 1)
+    sel = col == prim_c[:, None]
+    b1s = jnp.sum(jnp.where(sel, b1, 0.0), axis=1)
+    b2s = jnp.sum(jnp.where(sel, b2, 0.0), axis=1)
+    v = scene.vertices
+    tp = v[f]                                 # [F, 3, 3]
+    p0 = jnp.take(tp[:, 0], prim_c, axis=0)
+    e1 = jnp.take(tp[:, 1] - tp[:, 0], prim_c, axis=0)
+    e2 = jnp.take(tp[:, 2] - tp[:, 0], prim_c, axis=0)
+    p = p0 + e1 * b1s[:, None] + e2 * b2s[:, None]
+    ngv = jnp.cross(e1, e2)
+    ngv = ngv / jnp.maximum(jnp.linalg.norm(ngv, axis=-1, keepdims=True),
+                            1e-20)
+    return (Vec3(p[:, 0], p[:, 1], p[:, 2]),
+            Vec3(ngv[:, 0], ngv[:, 1], ngv[:, 2]),
+            jnp.where(found, prim, -1))

@@ -182,3 +182,143 @@ def load_file(path: str, **params):
     """mi.load_file analog (src/core/python/parser.cpp:469)."""
     from ..loader import load_dict
     return load_dict(parse_file(path, params))
+
+
+# ---------------------------------------------------------------------------
+# Scene write-back (parser.h:434-448 write_file): emit the nested-dict
+# scene representation as Mitsuba XML, round-trippable through parse_file.
+# ---------------------------------------------------------------------------
+
+_SPECTRUM_TYPES = ("rgb", "uniform", "d65", "srgb", "blackbody", "regular",
+                   "irregular", "rawconstant")
+
+
+def _emit_value(parent, name, value):
+    if isinstance(value, bool):
+        ET.SubElement(parent, "boolean",
+                      {"name": name, "value": str(value).lower()})
+    elif isinstance(value, int):
+        ET.SubElement(parent, "integer",
+                      {"name": name, "value": str(value)})
+    elif isinstance(value, float):
+        ET.SubElement(parent, "float", {"name": name, "value": repr(value)})
+    elif isinstance(value, str):
+        ET.SubElement(parent, "string", {"name": name, "value": value})
+    elif isinstance(value, Transform4f):
+        t = ET.SubElement(parent, "transform", {"name": name})
+        mtx = " ".join(repr(float(x))
+                       for x in np.asarray(value.matrix).reshape(-1))
+        ET.SubElement(t, "matrix", {"value": mtx})
+    elif isinstance(value, (list, tuple, np.ndarray)):
+        arr = np.asarray(value)
+        if arr.ndim == 1 and arr.size in (1, 3):
+            ET.SubElement(parent, "rgb", {
+                "name": name,
+                "value": ", ".join(repr(float(x)) for x in arr.reshape(-1))
+            })
+        else:
+            raise ValueError(
+                f"write_file: cannot serialize array property {name!r} "
+                f"of shape {arr.shape} (in-memory data has no file form)")
+    elif isinstance(value, dict):
+        _emit_dict(parent, value, name)
+    else:
+        raise ValueError(f"write_file: unsupported property {name!r}: "
+                         f"{type(value)}")
+
+
+def _emit_dict(parent, d: dict, name=None):
+    dtype = d.get("type")
+    if dtype == "ref":
+        attrs = {"id": d["id"]}
+        if name:
+            attrs["name"] = name
+        ET.SubElement(parent, "ref", attrs)
+        return
+    if dtype == "rgb":
+        v = np.asarray(d.get("value", 0.5), np.float64).reshape(-1)
+        attrs = {"value": ", ".join(repr(float(x)) for x in v)}
+        if name:
+            attrs["name"] = name
+        ET.SubElement(parent, "rgb", attrs)
+        return
+    if dtype in _SPECTRUM_TYPES:
+        attrs = {"type": dtype}
+        if name:
+            attrs["name"] = name
+        node = ET.SubElement(parent, "spectrum", attrs)
+        for k, v in d.items():
+            if k != "type":
+                _emit_value(node, k, v)
+        return
+    tag_by_type = {
+        "perspective": "sensor", "thinlens": "sensor",
+        "orthographic": "sensor", "radiancemeter": "sensor",
+        "irradiancemeter": "sensor", "distant": "sensor", "batch": "sensor",
+        "area": "emitter", "point": "emitter", "constant": "emitter",
+        "envmap": "emitter", "spot": "emitter", "projector": "emitter",
+        "directional": "emitter", "directionalarea": "emitter",
+        "sunsky": "emitter", "timed_sunsky": "emitter",
+        "independent": "sampler", "stratified": "sampler",
+        "multijitter": "sampler", "ldsampler": "sampler",
+        "orthogonal": "sampler",
+        "hdrfilm": "film", "specfilm": "film",
+        "homogeneous": "medium", "heterogeneous": "medium",
+        "gridvolume": "volume", "constvolume": "volume",
+    }
+    from ..loader import _BSDF_TYPES, _SHAPE_TYPES
+    if dtype in _SHAPE_TYPES:
+        tag = "shape"
+    elif dtype in _BSDF_TYPES:
+        tag = "bsdf"
+    elif dtype in ("isotropic", "hg", "rayleigh", "sggx", "tabphase",
+                   "blendphase"):
+        tag = "phase"
+    elif dtype in ("bitmap", "checkerboard", "mesh_attribute"):
+        tag = "texture"
+    else:
+        tag = tag_by_type.get(dtype, "integrator" if name == "integrator"
+                              or dtype in ("path", "direct", "volpath",
+                                           "volpathmis", "prb",
+                                           "prbvolpath", "aov", "depth",
+                                           "moment", "stokes", "ptracer",
+                                           "prb_projective",
+                                           "direct_projective",
+                                           "volprim_rf_basic")
+                              else None)
+    if tag is None:
+        raise ValueError(f"write_file: unknown node type {dtype!r}")
+    attrs = {"type": dtype}
+    if name and tag in ("bsdf", "texture", "medium", "volume", "phase",
+                        "film", "sampler"):
+        attrs["name"] = name
+    node = ET.SubElement(parent, tag, attrs)
+    for k, v in d.items():
+        if k == "type":
+            continue
+        if k == "film" and isinstance(v, dict) and "type" not in v:
+            v = {"type": "hdrfilm", **v}
+        if k == "rfilter" and isinstance(v, dict):
+            ET.SubElement(node, "rfilter", {"type": v.get("type", "box")})
+            continue
+        _emit_value(node, k, v)
+
+
+def write_file(scene_dict: dict, path: str):
+    """Serialize a scene dict as Mitsuba XML (the parser.write_file
+    round-trip role; in-memory array payloads are rejected since XML has
+    no representation for them)."""
+    if scene_dict.get("type") != "scene":
+        raise ValueError("write_file expects a scene dict")
+    root = ET.Element("scene", {"version": "3.0.0"})
+    for key, val in scene_dict.items():
+        if key == "type" or not isinstance(val, dict):
+            continue
+        before = len(root)
+        _emit_dict(root, val, key if key == "integrator" else None)
+        # top-level nodes keep their dict key as the id (ref targets)
+        if len(root) > before:
+            root[-1].set("id", key)
+    tree = ET.ElementTree(root)
+    ET.indent(tree)
+    tree.write(path, encoding="unicode", xml_declaration=True)

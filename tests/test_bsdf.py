@@ -284,3 +284,26 @@ def test_hair_furnace_and_chi2():
     passed, msg = chi2_test(sample_fn, pdf_fn, SphericalDomain(),
                             sample_count=300_000, res=(32, 16), ires=48)
     assert passed, msg
+
+
+def test_pplastic_consistency_and_furnace_bound():
+    """pplastic.cpp: sample/eval/pdf consistency of the diffuse lobe and
+    Fresnel-bounded energy of the specular one."""
+    scene = _scene_with_bsdf({"type": "pplastic",
+                              "diffuse_reflectance": {"type": "rgb",
+                                                      "value": [0.5, 0.5,
+                                                                0.5]}})
+    n = 20_000
+    s1, u, v = _uniform(n, 9)
+    wi = jnp.array([0.3, 0.0, np.sqrt(1 - 0.09)], jnp.float32)
+    si = _make_si(wi, n)
+    bs, w = bsdfs.sample(scene, jnp.zeros(n, jnp.int32), si, s1, Vec2(u, v))
+    assert np.asarray(w.to_array()).max() <= 1.0 + 1e-4
+    diffuse = np.asarray((bs.sampled_type & bsdfs.DIFFUSE_REFLECTION) != 0)
+    val, pdf = bsdfs.eval_pdf(scene, jnp.zeros(n, jnp.int32), si, bs.wo)
+    keep = diffuse & (np.asarray(bs.pdf) > 0)
+    lhs = (np.asarray(w.to_array()) * np.asarray(bs.pdf)[:, None])[keep]
+    rhs = np.asarray(val.to_array())[keep]
+    np.testing.assert_allclose(lhs, rhs, rtol=2e-3, atol=1e-5)
+    # energy conservation: mean weight below 1 (white furnace bound)
+    assert np.asarray(w.to_array()).mean() < 1.0

@@ -128,3 +128,46 @@ def test_radiancemeter_single_direction():
     img = np.asarray(mi.render(mi.load_dict(d), spp=256))
     flat = img.reshape(-1, 3)
     assert np.allclose(flat, flat.mean(axis=0), rtol=0.15), flat.std(axis=0)
+
+
+def test_write_file_round_trip(tmp_path):
+    """parser.h write_file role: dict -> XML -> dict -> identical render."""
+    import os
+    from mitsuba3_tpu.utils.xml import write_file
+
+    d = mi.cornell_box(width=12, height=12, max_depth=3)
+    fn = os.path.join(str(tmp_path), "scene.xml")
+    write_file(d, fn)
+    scene_a = mi.load_dict(d)
+    scene_b = mi.load_file(fn)
+    img_a = np.asarray(mi.render(scene_a, spp=4, seed=3))
+    img_b = np.asarray(mi.render(scene_b, spp=4, seed=3))
+    np.testing.assert_allclose(img_a, img_b, atol=1e-5)
+
+
+def test_eval_parameterization():
+    """Shape::eval_parameterization: uv -> surface point on a rectangle
+    (uv chart [0,1]^2 spans [-1,1]^2 in the plane)."""
+    import jax.numpy as jnp
+    from mitsuba3_tpu.core.vec import Vec2
+    from mitsuba3_tpu.render.scene import eval_parameterization
+
+    scene = mi.load_dict({
+        "type": "scene",
+        "integrator": {"type": "path"},
+        "sensor": {"type": "perspective",
+                   "to_world": mi.ScalarTransform4f().look_at(
+                       origin=[0, 0, -3], target=[0, 0, 0], up=[0, 1, 0]),
+                   "film": {"width": 4, "height": 4},
+                   "sampler": {"type": "independent", "sample_count": 1}},
+        "quad": {"type": "rectangle", "bsdf": {"type": "diffuse"}},
+    })
+    uv = Vec2(jnp.asarray([0.25, 0.75, 0.5], jnp.float32),
+              jnp.asarray([0.25, 0.75, 0.5], jnp.float32))
+    p, ng, prim = eval_parameterization(scene, 0, uv)
+    assert (np.asarray(prim) >= 0).all()
+    np.testing.assert_allclose(np.asarray(p.x), [-0.5, 0.5, 0.0],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p.y), [-0.5, 0.5, 0.0],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.abs(np.asarray(ng.z)), 1.0, atol=1e-6)
