@@ -164,3 +164,98 @@ class IrregularContinuousDistribution:
                          (v0 + (v1 - v0) * t) * safe_div(1.0,
                                                          self.integral),
                          0.0)
+
+
+@pytree_dataclass
+class ConditionalContinuousDistribution:
+    """Piecewise-linear pdf over x conditioned on one parameter
+    (distr_1d_cond.h, new in 3.9; the sunsky sampling tables' backbone).
+
+    S condition slices share a regular x-grid; queries interpolate
+    between the two neighboring slices STOCHASTICALLY when sampling (the
+    lane picks a slice with the interpolation weight as probability) and
+    deterministically when evaluating — the same exact-consistency
+    scheme as core/distr2d.SlicedMarginal2D."""
+    cond_values: jnp.ndarray   # [S] sorted condition grid
+    pdf: jnp.ndarray           # [S, N] values at nodes
+    cdf: jnp.ndarray           # [S, N-1] per-slice cumulative segments
+    range_min: jnp.ndarray
+    range_max: jnp.ndarray
+
+    @staticmethod
+    def from_pdf(cond_values, pdf, range_min, range_max):
+        pdf = jnp.asarray(pdf, jnp.float32)
+        s, n = pdf.shape
+        interval = (range_max - range_min) / (n - 1)
+        seg = 0.5 * (pdf[:, :-1] + pdf[:, 1:]) * interval
+        return ConditionalContinuousDistribution(
+            cond_values=jnp.asarray(cond_values, jnp.float32),
+            pdf=pdf, cdf=jnp.cumsum(seg, axis=1),
+            range_min=jnp.asarray(range_min, jnp.float32),
+            range_max=jnp.asarray(range_max, jnp.float32))
+
+    def _slice_weights(self, cond):
+        s = self.cond_values.shape[0]
+        below = jnp.sum((self.cond_values[None, :]
+                         <= cond[:, None]).astype(jnp.int32), axis=1)
+        j = jnp.clip(below - 1, 0, max(s - 2, 0))
+        col = jnp.arange(s)[None, :]
+        cj = jnp.sum(jnp.where(col == j[:, None],
+                               self.cond_values[None, :], 0.0), axis=1)
+        cj1 = jnp.sum(jnp.where(col == j[:, None] + 1,
+                                self.cond_values[None, :], 0.0), axis=1)
+        w = jnp.clip(safe_div(cond - cj, cj1 - cj), 0.0, 1.0)
+        if s == 1:
+            return jnp.zeros_like(j), jnp.zeros_like(w)
+        return j, w
+
+    def sample(self, cond, xi, xi_slice):
+        """cond [N] condition, xi [N] position sample, xi_slice [N]
+        slice-selection sample -> positions."""
+        s, n = self.pdf.shape
+        j, w = self._slice_weights(cond)
+        k = j + (xi_slice < w).astype(jnp.int32)
+        cdf_k = jnp.take(self.cdf, k, axis=0)        # [N, n-1] row gather
+        pdf_k = jnp.take(self.pdf, k, axis=0)
+        total = cdf_k[:, -1]
+        value = xi * total
+        idx = jnp.minimum(jnp.sum((cdf_k < value[:, None]).astype(
+            jnp.int32), axis=1), n - 2)
+        col = jnp.arange(n - 1)[None, :]
+        prev = jnp.sum(jnp.where(col == idx[:, None] - 1, cdf_k, 0.0),
+                       axis=1)
+        coln = jnp.arange(n)[None, :]
+        v0 = jnp.sum(jnp.where(coln == idx[:, None], pdf_k, 0.0), axis=1)
+        v1 = jnp.sum(jnp.where(coln == idx[:, None] + 1, pdf_k, 0.0),
+                     axis=1)
+        interval = (self.range_max - self.range_min) / (n - 1)
+        rem = (value - prev) / interval
+        a = 0.5 * (v1 - v0)
+        disc = jnp.maximum(v0 * v0 + 4.0 * a * rem, 0.0)
+        t = jnp.where(jnp.abs(a) < 1e-6 * (v0 + v1 + 1e-12),
+                      safe_div(rem, v0),
+                      safe_div(-v0 + jnp.sqrt(disc), 2.0 * a))
+        return self.range_min + (idx + jnp.clip(t, 0.0, 1.0)) * interval
+
+    def eval_pdf_normalized(self, cond, x):
+        """Mixture pdf matching `sample`'s stochastic interpolation."""
+        s, n = self.pdf.shape
+        j, w = self._slice_weights(cond)
+
+        def one(k):
+            pdf_k = jnp.take(self.pdf, k, axis=0)
+            cdf_k = jnp.take(self.cdf, k, axis=0)
+            interval = (self.range_max - self.range_min) / (n - 1)
+            tg = (x - self.range_min) / interval
+            idx = jnp.clip(tg.astype(jnp.int32), 0, n - 2)
+            frac = tg - idx
+            coln = jnp.arange(n)[None, :]
+            v0 = jnp.sum(jnp.where(coln == idx[:, None], pdf_k, 0.0),
+                         axis=1)
+            v1 = jnp.sum(jnp.where(coln == idx[:, None] + 1, pdf_k, 0.0),
+                         axis=1)
+            inside = (x >= self.range_min) & (x <= self.range_max)
+            return jnp.where(inside, (v0 + (v1 - v0) * frac)
+                             * safe_div(1.0, cdf_k[:, -1]), 0.0)
+
+        return (1.0 - w) * one(j) + w * one(j + 1)

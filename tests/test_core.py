@@ -205,3 +205,34 @@ def test_irregular_continuous_distribution():
     for nd in nodes:
         keep &= ~((edges[:-1] < nd) & (nd < edges[1:]))
     assert np.abs(hist[keep] - ref[keep]).max() < 0.05
+
+
+def test_conditional_continuous_distribution():
+    """distr_1d_cond.h: conditioned sampling follows the mixture pdf and
+    shifts with the condition."""
+    import jax.numpy as jnp
+    from mitsuba3_tpu.core.distr import ConditionalContinuousDistribution
+
+    xs = np.linspace(0.0, 1.0, 33)
+    conds = np.array([0.0, 1.0], np.float32)
+    # slice 0 peaks left, slice 1 peaks right
+    pdf = np.stack([np.exp(-((xs - 0.25) / 0.1) ** 2),
+                    np.exp(-((xs - 0.75) / 0.1) ** 2)]).astype(np.float32)
+    d = ConditionalContinuousDistribution.from_pdf(conds, pdf, 0.0, 1.0)
+    n = 60000
+    rng = np.random.default_rng(0)
+    xi = jnp.asarray(rng.random(n), jnp.float32)
+    xs_slice = jnp.asarray(rng.random(n), jnp.float32)
+    for cond, mean_expect in ((0.0, 0.25), (1.0, 0.75), (0.5, 0.5)):
+        c = jnp.full(n, cond, jnp.float32)
+        samples = np.asarray(d.sample(c, xi, xs_slice))
+        assert abs(samples.mean() - mean_expect) < 0.02, (cond,
+                                                          samples.mean())
+        # histogram vs claimed pdf
+        hist, edges = np.histogram(samples, bins=16, range=(0, 1),
+                                   density=True)
+        centers = 0.5 * (edges[:-1] + edges[1:])
+        ref = np.asarray(d.eval_pdf_normalized(
+            jnp.full(16, cond, jnp.float32),
+            jnp.asarray(centers, jnp.float32)))
+        assert np.abs(hist - ref).max() < 0.25, cond
