@@ -21,7 +21,7 @@ from .render.scene import (TRI_CHUNK, TRI_PAD, FilmConfig, Scene,
 
 _SHAPE_TYPES = ("rectangle", "cube", "sphere", "disk", "cylinder", "obj",
                 "ply", "mesh", "serialized", "linearcurve", "bsplinecurve",
-                "sdfgrid", "ellipsoids")
+                "sdfgrid", "ellipsoids", "ellipsoidsmesh")
 _EMITTER_TYPES = ("area", "constant", "envmap", "point")
 _BSDF_TYPES = ("diffuse", "conductor", "roughconductor", "dielectric", "measured",
                "thindielectric", "roughdielectric", "plastic",
@@ -688,7 +688,20 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
                     Transform4f(np.asarray(t_inst, np.float64))
                 member["to_world"] = t_i @ t_m
                 shape_items.append((f"{key}_{gi}", member))
+        elif vtype == "merge":
+            # merge.cpp: container that collapses child meshes; here all
+            # meshes flatten into one global SoA buffer anyway, so the
+            # children are simply inlined
+            for ck, cv in val.items():
+                if isinstance(cv, dict) and cv.get("type") in _SHAPE_TYPES:
+                    shape_items.append((f"{key}_{ck}", cv))
         elif vtype in _SHAPE_TYPES:
+            if vtype == "ellipsoidsmesh" and "bsdf" not in val:
+                # shell geometry defaults to its per-primitive colors
+                val = dict(val)
+                val["bsdf"] = {"type": "diffuse",
+                               "reflectance": {"type": "mesh_attribute",
+                                               "name": "vertex_color"}}
             shape_items.append((key, val))
         elif vtype in ("constant", "envmap", "sunsky", "timed_sunsky"):
             env_spec = val
@@ -723,6 +736,10 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
             # Gaussian-splat primitive cloud (ellipsoids.cpp data rows:
             # center, scale, quaternion + attributes); consumed by the
             # volprim_rf_basic integrator
+            if "centers" in spec and "means" not in spec:
+                spec = dict(spec, means=spec["centers"])
+            if "quaternions" in spec and "quats" not in spec:
+                spec = dict(spec, quats=spec["quaternions"])
             g = int(np.asarray(spec["means"]).shape[0])
             gaussians = {
                 "means": jnp.asarray(np.asarray(spec["means"],

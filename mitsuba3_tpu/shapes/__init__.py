@@ -147,6 +147,8 @@ def build_shape(spec: dict) -> MeshData:
         mesh = MeshData(m["vertices"], m["faces"],
                         uvs=m.get("uvs"), normals=m.get("normals"),
                         colors=m.get("colors"))
+    elif stype == "ellipsoidsmesh":
+        mesh = make_ellipsoids_mesh(spec)
     elif stype == "mesh":
         # raw in-memory mesh (the dict analog of the reference's
         # ``type='mesh'`` with vertex_positions/faces props)
@@ -204,3 +206,67 @@ def make_cylinder(subdiv: int = 64) -> MeshData:
         faces.append([i, j, subdiv + i])
         faces.append([j, subdiv + j, subdiv + i])
     return MeshData(verts, np.array(faces, np.int32), uvs, normals)
+
+
+def _quat_to_rot(q: np.ndarray) -> np.ndarray:
+    """[N,4] (w,x,y,z) unit quaternions -> [N,3,3] rotation matrices."""
+    q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    return np.stack([
+        np.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                  2 * (x * z + w * y)], -1),
+        np.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                  2 * (y * z - w * x)], -1),
+        np.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
+                  1 - 2 * (x * x + y * y)], -1)], 1)
+
+
+def make_ellipsoids_mesh(spec: dict) -> MeshData:
+    """Gaussian-cloud shell geometry (src/shapes/ellipsoidsmesh.cpp):
+    one shell mesh instanced per ellipsoid with the extent-scaled
+    ellipsoid transform baked, per-vertex colors carrying the primitive
+    color (rendered via a mesh_attribute reflectance). The reference
+    ray-traces instanced shells for volumetric-primitive integrators;
+    here the baked mesh is standard path-traceable geometry and the
+    volumetric path uses the `ellipsoids` shape + volprim integrator."""
+    centers = np.asarray(spec.get("centers", spec.get("means")),
+                         np.float64)
+    n = centers.shape[0]
+    scales = np.asarray(spec.get("scales", np.full((n, 3), 0.1)),
+                        np.float64).reshape(n, -1)
+    if scales.shape[1] == 1:
+        scales = np.tile(scales, (1, 3))
+    quats = np.asarray(spec.get("quaternions",
+                                spec.get("quats",
+                                         np.tile([1.0, 0, 0, 0], (n, 1)))),
+                       np.float64)
+    colors = np.asarray(spec.get("colors", np.full((n, 3), 0.5)),
+                        np.float64)
+    extent = float(spec.get("extent", 3.0))
+    shell = spec.get("shell", "default")
+    if shell in ("default", "ico_sphere", "uv_sphere"):
+        proto = make_sphere_mesh(subdiv_theta=6, subdiv_phi=8)
+    elif shell == "box":
+        proto = make_cube()
+    else:
+        raise ValueError(f"Unsupported shell type {shell!r}")
+    pv, pf = proto.vertices, proto.faces
+    rot = _quat_to_rot(quats)                       # [N,3,3]
+    lin = rot * (scales * extent)[:, None, :]       # R @ diag(s*e)
+    verts = np.einsum("nij,vj->nvi", lin, pv) + centers[:, None, :]
+    nv = pv.shape[0]
+    faces = (pf[None, :, :] + (np.arange(n) * nv)[:, None, None])
+    vcols = np.repeat(colors[:, None, :], nv, axis=1)
+    normals = None
+    if proto.normals is not None:
+        # normals transform by inverse-transpose of the linear part
+        it = np.linalg.inv(lin).transpose(0, 2, 1)
+        nrm = np.einsum("nij,vj->nvi", it, proto.normals)
+        nrm /= np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True),
+                          1e-12)
+        normals = nrm.reshape(-1, 3)
+    uvs = (np.tile(proto.uvs, (n, 1))
+           if proto.uvs is not None else None)
+    return MeshData(verts.reshape(-1, 3), faces.reshape(-1, 3),
+                    uvs=uvs, normals=normals,
+                    colors=vcols.reshape(-1, 3))

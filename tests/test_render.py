@@ -326,3 +326,52 @@ def test_volprim_rf_gaussians_render_and_optimize():
         assert np.isfinite(arr).all(), k
         if k != "quats":
             assert (arr != 0).any(), k
+
+
+def test_ellipsoidsmesh_and_merge():
+    """ellipsoidsmesh.cpp: Gaussian-cloud shells render as colored
+    surface geometry; merge.cpp: children of a merge node are inlined."""
+    import mitsuba3_tpu as mi
+
+    centers = np.array([[-0.6, 0.0, 0.0], [0.6, 0.0, 0.0]], np.float32)
+    colors = np.array([[1.0, 0.1, 0.1], [0.1, 0.1, 1.0]], np.float32)
+    d = {
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 2},
+        "sensor": {"type": "perspective", "fov": 45.0,
+                   "to_world": mi.ScalarTransform4f().look_at(
+                       origin=[0, 0, -4], target=[0, 0, 0], up=[0, 1, 0]),
+                   "film": {"width": 32, "height": 32,
+                            "rfilter": {"type": "box"}},
+                   "sampler": {"type": "independent", "sample_count": 16}},
+        "cloud": {"type": "ellipsoidsmesh",
+                  "centers": centers,
+                  "scales": np.full((2, 3), 0.15, np.float32),
+                  "extent": 3.0,
+                  "colors": colors},
+        "group": {"type": "merge",
+                  "floor": {"type": "rectangle",
+                            "to_world": mi.ScalarTransform4f()
+                            .translate([0, -1.2, 0]).rotate([1, 0, 0], -90)
+                            .scale(3.0),
+                            "bsdf": {"type": "diffuse"}},
+                  "back": {"type": "rectangle",
+                           "to_world": mi.ScalarTransform4f()
+                           .translate([0, 0, 2.0]).rotate([0, 1, 0], 180)
+                           .scale(3.0),
+                           "bsdf": {"type": "diffuse"}}},
+        "light": {"type": "point", "position": [0, 1.5, -3],
+                  "intensity": {"type": "rgb", "value": [40, 40, 40]}},
+    }
+    scene = mi.load_dict(d)
+    img = np.asarray(mi.render(scene, spp=16))
+    assert np.isfinite(img).all()
+    # camera on -z looking toward +z mirrors x: world +x (blue) lands on
+    # image left, world -x (red) on image right
+    left = img[12:20, 4:14]
+    right = img[12:20, 18:28]
+    assert left[..., 2].max() > 2.0 * left[..., 0].max(), (
+        left[..., 2].max(), left[..., 0].max())
+    assert right[..., 0].max() > 2.0 * right[..., 2].max()
+    # merge children exist: floor visible (nonzero bottom rows)
+    assert img[28:, :, :].mean() > 0.01
