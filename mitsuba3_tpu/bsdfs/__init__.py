@@ -52,6 +52,7 @@ HAIR = 13
 POLARIZER = 14
 MEASURED = 15
 PPLASTIC = 16
+MEASURED_POLARIZED = 17
 N_PARAMS = 16  # bsdf_params row width
 
 _REGISTRY = {}
@@ -163,9 +164,11 @@ register(BLEND, blendbsdf)
 register(NORMALMAP, normalmap)
 register(PRINCIPLED, principled)
 
-from . import hair, measured, polarizer, pplastic  # noqa: E402
+from . import (hair, measured, measured_polarized,  # noqa: E402
+               polarizer, pplastic)
 
 register(HAIR, hair)
 register(POLARIZER, polarizer)
 register(MEASURED, measured)
 register(PPLASTIC, pplastic)
+register(MEASURED_POLARIZED, measured_polarized)

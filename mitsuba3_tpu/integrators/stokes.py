@@ -230,6 +230,51 @@ def sample(scene, rng, ray: Ray, cfg: StokesConfig, active=None):
             b_in_el = Vec3.where(is_cond, b_sp, b_in_el)
             b_out_el = Vec3.where(is_cond, b_sp, b_out_el)
 
+        # measured polarized BSDF: tabulated Mueller matrix in the
+        # reflection-plane Stokes frames (measured_polarized.cpp:228-300)
+        if bsdfs.MEASURED_POLARIZED in scene.bsdf_types:
+            from ..bsdfs import measured_polarized as mp_mod
+            is_mp = lane_type == bsdfs.MEASURED_POLARIZED
+
+            def rotz(v, ang):
+                c, s_ = jnp.cos(ang), jnp.sin(ang)
+                return Vec3(c * v.x - s_ * v.y, s_ * v.x + c * v.y, v.z)
+
+            def safe_dir(v, fb):
+                ln = v.norm()
+                return Vec3.where(ln > 1e-6,
+                                  v * (1.0 / jnp.maximum(ln, 1e-20)), fb)
+
+            # Radiance mode: light arrives along -wo_hat, leaves +wi_hat
+            wo_hat, wi_hat = bs.wo, si.wi
+            phi_std = jnp.arctan2(wi_hat.y, wi_hat.x)
+            wo_std = rotz(wo_hat, -phi_std)
+            wi_std = rotz(wi_hat, -phi_std)
+            pd, th, td = mp_mod.rusinkiewicz(wo_std, wi_std)
+            mm = jnp.zeros((n, 3, 4, 4), jnp.float32)
+            for is_slot, tbl in mp_mod._tables(scene, params):
+                mval = mp_mod.eval_mueller(tbl, pd, td, th)
+                mm = jnp.where(is_slot[:, None, None, None], mval, mm)
+            mm = mm.at[:, :, 0, 0].set(jnp.maximum(mm[:, :, 0, 0], 0.0))
+            # reflection-plane Stokes frames (Figure 4)
+            fallback = stokes_basis(Vec3(-wo_std.x, -wo_std.y, -wo_std.z))
+            zo_s = -wo_std
+            to_s = safe_dir((wo_std - wi_std).cross(zo_s), fallback)
+            yo_s = safe_dir(to_s.cross(zo_s), fallback)
+            xo_s = yo_s.cross(zo_s)
+            zi_s = wi_std
+            ti_s = safe_dir((wi_std - wo_std).cross(zi_s), fallback)
+            yi_s = safe_dir(ti_s.cross(zi_s), fallback)
+            xi_s = yi_s.cross(zi_s)
+            b_in_mp = si.to_world(rotz(xo_s, phi_std))
+            b_out_mp = si.to_world(rotz(xi_s, phi_std))
+            # scale so the S0 element reproduces the sampled weight
+            f00 = jnp.maximum(mm[:, :, 0, 0], 1e-12)
+            mm = mm * (w3 / f00)[:, :, None, None]
+            m_el = jnp.where(is_mp[:, None, None, None], mm, m_el)
+            b_in_el = Vec3.where(is_mp, b_in_mp, b_in_el)
+            b_out_el = Vec3.where(is_mp, b_out_mp, b_out_el)
+
         r_in = _rotator_between(p_in, stokes_basis(p_in), b_in_el)
         r_out = _rotator_between(p_out, b_out_el, stokes_basis(p_out))
         m_vertex = _mm(r_out[:, None], _mm(m_el, r_in[:, None]))

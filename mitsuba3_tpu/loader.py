@@ -27,7 +27,7 @@ _BSDF_TYPES = ("diffuse", "conductor", "roughconductor", "dielectric", "measured
                "thindielectric", "roughdielectric", "plastic",
                "roughplastic", "pplastic", "twosided", "null", "mask", "blendbsdf",
                "normalmap", "bumpmap", "principled", "principledthin", "hair",
-               "polarizer", "retarder", "circular")
+               "polarizer", "retarder", "circular", "measured_polarized")
 _MEDIUM_TYPES = ("homogeneous", "heterogeneous")
 _PHASE_IDS = {"isotropic": 0, "hg": 1, "rayleigh": 2, "sggx": 3,
               "tabphase": 4, "blendphase": 5}
@@ -109,6 +109,47 @@ def _measured_tables(spec: dict):
         "spectra": jnp.asarray(spectra),
         "ndf": jnp.asarray(ndf[None]),
         "sigma": jnp.asarray(sigma[None]),
+    }
+
+
+def _pbsdf_tables(spec: dict):
+    """Lower a measured_polarized spec to device Mueller tables
+    (measured_polarized.cpp:111-176 constructor). Accepts
+    {'filename': tensor file} or {'tables': {field: array}} with fields
+    theta_h/theta_d/phi_d [1,G], wvls [Nw], M [Npd,Ntd,Nth,Nw,4,4].
+    Wavelengths are CIE-projected to RGB on the host (the TPU table is
+    per-channel; see bsdfs/measured_polarized.py)."""
+    if "filename" in spec:
+        from .utils import tensor_io
+        fields = tensor_io.read(spec["filename"])
+    else:
+        fields = spec["tables"]
+    th = np.asarray(fields["theta_h"], np.float32).reshape(-1)
+    td = np.asarray(fields["theta_d"], np.float32).reshape(-1)
+    pd = np.asarray(fields["phi_d"], np.float32).reshape(-1)
+    wvls = np.asarray(fields["wvls"], np.float32).reshape(-1)
+    mtab = np.asarray(fields["M"], np.float32)
+    npd, ntd, nth, nw = pd.size, td.size, th.size, wvls.size
+    mtab = mtab.reshape(npd, ntd, nth, nw, 4, 4)
+    if nw == 3:
+        # already RGB-resolved
+        m_rgb = np.transpose(mtab, (0, 1, 2, 3, 4, 5))
+    else:
+        # CIE-weighted projection wavelengths -> XYZ -> linear sRGB
+        from .core.spectrum import _XYZ_TO_SRGB, cie1931_xyz_bar
+        xb, yb, zb = (np.asarray(v) for v in cie1931_xyz_bar(
+            jnp.asarray(wvls)))
+        w = np.stack([xb, yb, zb], 0)                  # [3, Nw]
+        w = w / np.maximum(w.sum(axis=1, keepdims=True), 1e-9)
+        xyz = np.einsum("cw,pthwij->pthcij", w, mtab)
+        m_rgb = np.einsum("rc,pthcij->pthrij",
+                          np.asarray(_XYZ_TO_SRGB), xyz)
+    return {
+        "phi_d": jnp.asarray(pd),
+        "theta_d": jnp.asarray(td),
+        "theta_h": jnp.asarray(th),
+        "m_rgb": jnp.asarray(
+            m_rgb.reshape(npd * ntd * nth, 3, 4, 4).astype(np.float32)),
     }
 
 
@@ -218,7 +259,8 @@ def _try_analytic(spec: dict):
     return row
 
 
-def _bsdf_row(spec: dict, textures: list, add_bsdf=None, measured=None):
+def _bsdf_row(spec: dict, textures: list, add_bsdf=None, measured=None,
+              pbsdf=None):
     """Lower a BSDF spec -> (type_id, params row [N_PARAMS]).
 
     `textures` is the scene-level texture list; bitmap/checkerboard color
@@ -297,7 +339,8 @@ def _bsdf_row(spec: dict, textures: list, add_bsdf=None, measured=None):
         inner = spec.get("bsdf") or next(
             v for v in spec.values() if isinstance(v, dict) and "type" in v
             and v["type"] in _BSDF_TYPES)
-        tid, params = _bsdf_row(inner, textures, add_bsdf, measured)
+        tid, params = _bsdf_row(inner, textures, add_bsdf, measured,
+                                pbsdf)
         params[7] = 1.0  # two-sided flag (honored by smooth BSDFs)
         return tid, params
     if btype == "diffuse":
@@ -317,6 +360,14 @@ def _bsdf_row(spec: dict, textures: list, add_bsdf=None, measured=None):
         params[0] = len(measured)
         measured.append(_measured_tables(spec))
         return bsdfs_pkg.MEASURED, params
+    if btype == "measured_polarized":
+        if pbsdf is None:
+            raise ValueError("measured_polarized requires table "
+                             "registration")
+        params[0] = len(pbsdf)
+        pbsdf.append(_pbsdf_tables(spec))
+        params[5] = float(spec.get("alpha_sample", 0.1))
+        return bsdfs_pkg.MEASURED_POLARIZED, params
     if btype in ("conductor", "roughconductor"):
         from .render.fresnel import CONDUCTOR_IOR
         mat = spec.get("material", "none")
@@ -355,7 +406,7 @@ def _bsdf_row(spec: dict, textures: list, add_bsdf=None, measured=None):
         params[4:7] = _rgb(spec.get("specular_reflectance"), (1, 1, 1))
         params[7:10] = _rgb(spec.get("specular_transmittance"), (1, 1, 1))
         return bsdfs_pkg.ROUGH_DIELECTRIC, params
-    if btype in ("polarizer", "retarder", "circular"):
+    if btype in ("polarizer", "retarder", "circular", "measured_polarized"):
         params[0:3] = _rgb(spec.get("transmittance"), (1.0, 1.0, 1.0))
         params[8] = float(spec.get("theta", {}).get("value", 0.0)
                           if isinstance(spec.get("theta"), dict)
@@ -562,11 +613,13 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
 
     textures: list = []
     measured_list: list = []
+    pbsdf_list: list = []
 
     def add_bsdf(spec, name=None):
         if spec.get("type") == "ref":
             return named_bsdf[spec["id"]]
-        tid, row = _bsdf_row(spec, textures, add_bsdf, measured_list)
+        tid, row = _bsdf_row(spec, textures, add_bsdf, measured_list,
+                             pbsdf_list)
         idx = len(bsdf_types)
         bsdf_types.append(tid)
         bsdf_params.append(row)
@@ -1090,6 +1143,7 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
         face_colors=(jnp.asarray(face_colors_arr)
                      if any_colors else None),
         measured_tables=tuple(measured_list),
+        pbsdf_tables=tuple(pbsdf_list),
         analytic_prims=(jnp.asarray(np.stack(analytic_rows, 0))
                         if analytic_rows else None),
         gaussians=gaussians,

@@ -129,6 +129,7 @@ class Scene:
 
     # ---- measured BSDF tables (bsdfs/measured.py; measured.cpp) ----
     measured_tables: tuple = ()
+    pbsdf_tables: tuple = ()    # measured_polarized Mueller tables
 
     # ---- true emitter SPDs (spectral variant; src/spectra/*.cpp) ----
     em_spd: jnp.ndarray = None          # [E, SPD_N] regular-grid SPDs
