@@ -1134,7 +1134,8 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
                                               np.float32)),
         textures=tuple(jnp.asarray(np.asarray(t)) for t in textures),
         texture_meta=tuple(getattr(t, "meta",
-                                   ("repeat", "bilinear", False))
+                                   ("repeat", "bilinear", False,
+                                    (1.0, 1.0, 0.0, 0.0)))
                            for t in textures),
         texture_mips=tuple(
             tuple(jnp.asarray(lv) for lv in tex_mod.build_mips(t))

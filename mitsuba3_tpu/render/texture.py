@@ -108,9 +108,14 @@ def eval_color(scene, base_rgb: Vec3, tex_id_f, si, raw: bool = False) -> Vec3:
     metas = getattr(scene, "texture_meta", ()) or ()
     mips = getattr(scene, "texture_mips", ()) or ()
     for k, tex in enumerate(scene.textures):
-        wrap, filt, mip = metas[k] if k < len(metas) \
+        meta = metas[k] if k < len(metas) \
             else ("repeat", "bilinear", False)
-        val = eval_texture(tex, si.uv, wrap, filt)
+        wrap, filt, mip = meta[0], meta[1], meta[2]
+        sx, sy, ox, oy = meta[3] if len(meta) > 3 else (1.0, 1.0, 0.0,
+                                                        0.0)
+        uv_k = si.uv if (sx, sy, ox, oy) == (1.0, 1.0, 0.0, 0.0) else \
+            Vec2(si.uv.x * sx + ox, si.uv.y * sy + oy)
+        val = eval_texture(tex, uv_k, wrap, filt)
         if mip and k < len(mips) and len(mips[k]):
             lod = _footprint_lod(scene, si, tex.shape[0])
             n_lv = len(mips[k])
@@ -118,7 +123,7 @@ def eval_color(scene, base_rgb: Vec3, tex_id_f, si, raw: bool = False) -> Vec3:
             acc = val
             prev_mask = None
             for li, mtex in enumerate(mips[k]):
-                v_l = eval_texture(mtex, si.uv, wrap, filt)
+                v_l = eval_texture(mtex, uv_k, wrap, filt)
                 lo = float(li)
                 f = jnp.clip(lvl - lo, 0.0, 1.0)
                 acc = Vec3.where(lvl > lo, acc * (1.0 - f) + v_l * f, acc)

@@ -10,14 +10,26 @@ class TexArray(np.ndarray):
     """ndarray + texture metadata (wrap/filter/mip — the bitmap.cpp
     wrap_mode/filter_type props, carried to the Scene's static
     texture_meta tuple)."""
-    meta = ("repeat", "bilinear", False)
+    meta = ("repeat", "bilinear", False, (1.0, 1.0, 0.0, 0.0))
+
+
+def _uv_transform(spec):
+    """'to_uv' prop -> (sx, sy, ox, oy) (bitmap.cpp m_transform; only
+    axis-aligned scale+offset — the upgrade path's uoffset/uscale)."""
+    t = spec.get("to_uv")
+    if t is None:
+        return (1.0, 1.0, 0.0, 0.0)
+    m = np.asarray(t.matrix if hasattr(t, "matrix") else t, np.float64)
+    return (float(m[0, 0]), float(m[1, 1]), float(m[0, 3]),
+            float(m[1, 3]))
 
 
 def _with_meta(arr, spec):
     out = np.ascontiguousarray(arr, np.float32).view(TexArray)
     out.meta = (str(spec.get("wrap_mode", "repeat")),
                 str(spec.get("filter_type", "bilinear")),
-                bool(spec.get("mipmap", False)))
+                bool(spec.get("mipmap", False)),
+                _uv_transform(spec))
     return out
 
 

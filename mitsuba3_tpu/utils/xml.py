@@ -167,7 +167,58 @@ def parse_file(path: str, params: dict | None = None) -> dict:
     d["type"] = "scene"
     # resolve filename-relative resources
     _absolutize_filenames(d, base_dir)
+    # legacy-version upgrade pass (parser.cpp:transform_upgrade)
+    ver = (root.get("version") or "3.0.0").split(".")
+    try:
+        major = int(ver[0])
+    except ValueError:
+        major = 3
+    if major < 2:
+        _upgrade_v1(d)
     return d
+
+
+def _camel_to_underscore(name: str) -> str:
+    """camelCase -> underscore_case (parser.cpp:1166); runs of capitals
+    collapse to one lowercase group."""
+    out = []
+    i = 0
+    while i < len(name):
+        c = name[i]
+        if i > 0 and name[i - 1].islower() and c.isupper():
+            out.append("_")
+            out.append(c.lower())
+            while i + 1 < len(name) and name[i + 1].isupper():
+                i += 1
+                out.append(name[i].lower())
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _upgrade_v1(d: dict):
+    """Upgrade a parsed node dict from scene version < 2.0
+    (parser.cpp:upgrade_from_v1): camelCase property names,
+    diffuse_reflectance -> reflectance on diffuse BSDFs, and
+    uoffset/voffset/uscale/vscale -> a to_uv transform."""
+    for key in list(d.keys()):
+        nk = _camel_to_underscore(key)
+        if nk != key and nk not in d:
+            d[nk] = d.pop(key)
+    if d.get("type") == "diffuse" and "diffuse_reflectance" in d:
+        d["reflectance"] = d.pop("diffuse_reflectance")
+    if any(k in d for k in ("uoffset", "voffset", "uscale", "vscale")):
+        from ..core.transform import Transform4f
+        ox = float(d.pop("uoffset", 0.0))
+        oy = float(d.pop("voffset", 0.0))
+        sx = float(d.pop("uscale", 1.0))
+        sy = float(d.pop("vscale", 1.0))
+        d["to_uv"] = (Transform4f().scale([sx, sy, 1.0])
+                      @ Transform4f().translate([ox, oy, 0.0]))
+    for v in d.values():
+        if isinstance(v, dict):
+            _upgrade_v1(v)
 
 
 def _absolutize_filenames(d, base_dir):

@@ -171,3 +171,49 @@ def test_eval_parameterization():
     np.testing.assert_allclose(np.asarray(p.y), [-0.5, 0.5, 0.0],
                                atol=1e-5)
     np.testing.assert_allclose(np.abs(np.asarray(ng.z)), 1.0, atol=1e-6)
+
+
+def test_xml_v1_upgrade_and_to_uv(tmp_path):
+    """Version <2.0 scenes upgrade: camelCase props, diffuseReflectance
+    rename, uoffset/uscale -> to_uv (parser.cpp:upgrade_from_v1), and the
+    to_uv transform shifts texture lookups."""
+    xml = """<scene version="0.6.0">
+      <integrator type="path"><integer name="maxDepth" value="3"/></integrator>
+      <sensor type="perspective">
+        <float name="focalLength" value="50"/>
+        <film type="hdrfilm">
+          <integer name="width" value="16"/><integer name="height" value="16"/>
+          <rfilter type="box"/>
+        </film>
+        <sampler type="independent"><integer name="sampleCount" value="8"/></sampler>
+      </sensor>
+      <shape type="rectangle">
+        <bsdf type="diffuse">
+          <texture name="diffuseReflectance" type="checkerboard">
+            <float name="uscale" value="2.0"/>
+            <float name="uoffset" value="0.25"/>
+          </texture>
+        </bsdf>
+      </shape>
+      <emitter type="constant"/>
+    </scene>"""
+    f = tmp_path / "legacy.xml"
+    f.write_text(xml)
+    from mitsuba3_tpu.utils.xml import parse_file
+    d = parse_file(str(f))
+    integ = next(v for v in d.values()
+                 if isinstance(v, dict) and v.get("type") == "path")
+    assert integ["max_depth"] == 3
+    shape = next(v for v in d.values()
+                 if isinstance(v, dict) and v.get("type") == "rectangle")
+    bsdf = shape["bsdf"]
+    assert "reflectance" in bsdf, bsdf.keys()
+    tex = bsdf["reflectance"]
+    assert "to_uv" in tex
+    m = np.asarray(tex["to_uv"].matrix)
+    assert m[0, 0] == 2.0 and abs(m[0, 3] - 0.5) < 1e-6  # scale*translate
+    # loads and renders
+    import mitsuba3_tpu as mi
+    scene = mi.load_dict(d)
+    img = np.asarray(mi.render(scene, spp=8))
+    assert np.isfinite(img).all()
