@@ -53,6 +53,7 @@ POLARIZER = 14
 MEASURED = 15
 PPLASTIC = 16
 MEASURED_POLARIZED = 17
+PRINCIPLED_THIN = 18
 N_PARAMS = 16  # bsdf_params row width
 
 _REGISTRY = {}
@@ -165,10 +166,11 @@ register(NORMALMAP, normalmap)
 register(PRINCIPLED, principled)
 
 from . import (hair, measured, measured_polarized,  # noqa: E402
-               polarizer, pplastic)
+               polarizer, pplastic, principledthin)
 
 register(HAIR, hair)
 register(POLARIZER, polarizer)
 register(MEASURED, measured)
 register(PPLASTIC, pplastic)
 register(MEASURED_POLARIZED, measured_polarized)
+register(PRINCIPLED_THIN, principledthin)

@@ -436,7 +436,19 @@ def _bsdf_row(spec: dict, textures: list, add_bsdf=None, measured=None,
             ph_a = np.array([0.187, 0.4, 1.05])
             params[4:7] = eu * eu_a + ph * ph_a
         return bsdfs_pkg.HAIR, params
-    if btype in ("principled", "principledthin"):
+    if btype == "principledthin":
+        color_or_texture(spec.get("base_color"), (0.5, 0.5, 0.5), 0, 3)
+        params[4] = float(spec.get("spec_trans", 0.0))
+        params[5] = float(spec.get("roughness", 0.5))
+        params[6] = float(spec.get("anisotropic", 0.0))
+        params[7] = float(spec.get("eta", 1.5))
+        params[8] = float(spec.get("spec_tint", 0.0))
+        params[9] = float(spec.get("sheen", 0.0))
+        params[10] = float(spec.get("sheen_tint", 0.0))
+        params[11] = float(spec.get("diff_trans", 0.0))
+        params[12] = float(spec.get("flatness", 0.0))
+        return bsdfs_pkg.PRINCIPLED_THIN, params
+    if btype in ("principled",):
         color_or_texture(spec.get("base_color"), (0.5, 0.5, 0.5), 0, 3)
         params[4] = float(spec.get("metallic", 0.0))
         params[5] = float(spec.get("roughness", 0.5))
@@ -448,8 +460,6 @@ def _bsdf_row(spec: dict, textures: list, add_bsdf=None, measured=None,
         params[12] = float(spec.get("clearcoat_gloss", 0.0))
         params[13] = float(spec.get("specular", 0.5))
         params[14] = float(spec.get("flatness", 0.0))
-        if btype == "principledthin":
-            params[7] = 1.0  # thin surfaces are two-sided
         return bsdfs_pkg.PRINCIPLED, params
     if btype in ("plastic", "roughplastic"):
         int_ior = float(spec.get("int_ior", 1.49))  # polypropylene (ior.h)

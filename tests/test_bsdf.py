@@ -307,3 +307,124 @@ def test_pplastic_consistency_and_furnace_bound():
     np.testing.assert_allclose(lhs, rhs, rtol=2e-3, atol=1e-5)
     # energy conservation: mean weight below 1 (white furnace bound)
     assert np.asarray(w.to_array()).mean() < 1.0
+
+
+def test_principledthin_consistency_and_transmission():
+    """principledthin.cpp: sample weight == eval/pdf across all four
+    lobes; transmission lobes put energy on the back side; total energy
+    bounded by 1 (white furnace)."""
+    import jax.numpy as jnp
+    import mitsuba3_tpu as mi
+    from mitsuba3_tpu import bsdfs
+    from mitsuba3_tpu.bsdfs import principledthin as pt
+    from mitsuba3_tpu.core.vec import Vec2, Vec3
+
+    d = {
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 2},
+        "sensor": {"type": "perspective", "fov": 45.0,
+                   "film": {"width": 8, "height": 8}},
+        "sheet": {"type": "rectangle",
+                  "bsdf": {"type": "principledthin",
+                           "base_color": {"type": "rgb",
+                                          "value": [0.7, 0.5, 0.3]},
+                           "roughness": 0.4, "spec_trans": 0.5,
+                           "diff_trans": 0.6, "eta": 1.4,
+                           "spec_tint": 0.3, "sheen": 0.4,
+                           "sheen_tint": 0.5, "flatness": 0.2}},
+        "light": {"type": "constant"},
+    }
+    scene = mi.load_dict(d)
+    assert bsdfs.PRINCIPLED_THIN in scene.bsdf_types
+
+    n = 4096
+    rng = np.random.default_rng(0)
+    wi = rng.normal(size=(n, 3))
+    wi[:, 2] = np.abs(wi[:, 2]) + 0.05
+    wi /= np.linalg.norm(wi, axis=1, keepdims=True)
+
+    class SI:
+        pass
+    si = SI()
+    si.wi = Vec3(jnp.asarray(wi[:, 0], jnp.float32),
+                 jnp.asarray(wi[:, 1], jnp.float32),
+                 jnp.asarray(wi[:, 2], jnp.float32))
+    si.uv = Vec2(jnp.full(n, 0.5), jnp.full(n, 0.5))
+    si.wavelengths = None
+    bidx = jnp.zeros(n, jnp.int32)
+    s1 = jnp.asarray(rng.random(n), jnp.float32)
+    s2 = Vec2(jnp.asarray(rng.random(n), jnp.float32),
+              jnp.asarray(rng.random(n), jnp.float32))
+    bs, w = pt.sample(scene, bidx, si, s1, s2)
+    val, pdf = pt.eval_pdf(scene, bidx, si, bs.wo)
+    ok = np.asarray(bs.pdf) > 1e-6
+    assert ok.sum() > n * 0.9
+    for a, b in ((w.x, val.x), (w.y, val.y), (w.z, val.z)):
+        lhs = np.asarray(a)[ok]
+        rhs = (np.asarray(b) / np.maximum(np.asarray(pdf), 1e-12))[ok]
+        np.testing.assert_allclose(lhs, rhs, rtol=3e-3, atol=1e-4)
+
+    # transmission present: a healthy share of samples end up on the
+    # opposite side of wi
+    trans_frac = (np.asarray(bs.wo.z)[ok] * wi[ok, 2] < 0).mean()
+    assert trans_frac > 0.3, trans_frac
+
+    # white-furnace bound: integral of weight <= 1 per channel
+    for c in (w.x, w.y, w.z):
+        mean_w = np.asarray(c)[ok].mean() * ok.mean()
+        assert mean_w < 1.05, mean_w
+
+    # symmetric: same sampling from below the sheet
+    si2 = SI()
+    si2.wi = Vec3(si.wi.x, si.wi.y, -si.wi.z)
+    si2.uv = si.uv
+    si2.wavelengths = None
+    bs2, w2 = pt.sample(scene, bidx, si2, s1, s2)
+    np.testing.assert_allclose(np.asarray(w2.x), np.asarray(w.x),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(bs2.wo.z),
+                               -np.asarray(bs.wo.z), atol=1e-6)
+
+
+def test_principledthin_renders_backlit():
+    """A thin sheet with diff_trans in front of a light: the camera on
+    the dark side sees transmitted light; with diff_trans=0 and
+    spec_trans=0 it sees (almost) nothing."""
+    import mitsuba3_tpu as mi
+
+    def make(dt, st):
+        d = {
+            "type": "scene",
+            "integrator": {"type": "path", "max_depth": 3},
+            "sensor": {"type": "perspective", "fov": 45.0,
+                       "to_world": mi.ScalarTransform4f().look_at(
+                           origin=[0, 0, -3], target=[0, 0, 0],
+                           up=[0, 1, 0]),
+                       "film": {"width": 16, "height": 16,
+                                "rfilter": {"type": "box"}},
+                       "sampler": {"type": "independent",
+                                   "sample_count": 32}},
+            "sheet": {"type": "rectangle",
+                      "bsdf": {"type": "principledthin",
+                               "base_color": {"type": "rgb",
+                                              "value": [0.8, 0.8, 0.8]},
+                               "roughness": 0.3, "spec_trans": st,
+                               "diff_trans": dt, "eta": 1.5}},
+            # light behind the sheet (camera at -z, light at +z)
+            "light": {"type": "rectangle",
+                      "to_world": mi.ScalarTransform4f()
+                      .translate([0, 0, 2.0]).rotate([0, 1, 0], 180)
+                      .scale(1.5),
+                      "emitter": {"type": "area",
+                                  "radiance": {"type": "rgb",
+                                               "value": [10, 10, 10]}}},
+        }
+        return mi.load_dict(d)
+
+    img_t = np.asarray(mi.render(make(1.2, 0.0), spp=64, seed=0))
+    img_o = np.asarray(mi.render(make(0.0, 0.0), spp=64, seed=0))
+    img_s = np.asarray(mi.render(make(0.0, 0.9), spp=64, seed=0))
+    center = (slice(6, 10), slice(6, 10))
+    assert img_t[center].mean() > 5.0 * max(img_o[center].mean(), 1e-4), (
+        img_t[center].mean(), img_o[center].mean())
+    assert img_s[center].mean() > 5.0 * max(img_o[center].mean(), 1e-4)
