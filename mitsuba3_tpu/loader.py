@@ -327,6 +327,37 @@ def _bsdf_row(spec: dict, textures: list, add_bsdf=None, measured=None,
             textures.append(load_texture_spec(cspec))
             params[tex_slot] = len(textures)
             params[rgb_slot:rgb_slot + 3] = 0.5
+        elif isinstance(cspec, dict) and cspec.get("type") == "volume":
+            # 3D texture adapter (src/textures/volume.cpp): nested
+            # gridvolume/constvolume sampled at the world hit point
+            from .render.texture_io import TexArray
+            vol = cspec.get("volume") or next(
+                v for v in cspec.values()
+                if isinstance(v, dict) and v.get("type") in (
+                    "gridvolume", "constvolume"))
+            if vol.get("type") == "constvolume":
+                g = np.tile(_rgb(vol.get("value"), (0.75,) * 3),
+                            (2, 2, 2, 1)).astype(np.float32)
+            elif "filename" in vol:
+                from .utils.vol_io import read_vol
+                g, _, _ = read_vol(vol["filename"])
+                g = np.asarray(g, np.float32)
+            else:
+                g = np.asarray(vol["grid"], np.float32)
+            if g.ndim == 3:
+                g = np.repeat(g[..., None], 3, axis=-1)
+            tw = vol.get("to_world")
+            mtx = np.eye(4)
+            if tw is not None:
+                mtx = np.asarray(tw.matrix if hasattr(tw, "matrix")
+                                 else tw, np.float64)
+            w2l = tuple(float(v) for v in
+                        np.linalg.inv(mtx)[:3, :4].reshape(-1))
+            arr = np.ascontiguousarray(g, np.float32).view(TexArray)
+            arr.meta = ("3d", "trilinear", False, w2l)
+            textures.append(arr)
+            params[tex_slot] = len(textures)
+            params[rgb_slot:rgb_slot + 3] = 0.5
         elif isinstance(cspec, dict) and cspec.get("type") == "mesh_attribute":
             # interpolated per-vertex color (mesh_attribute.cpp); the
             # value rides si.vcolor, texture id -1 selects it

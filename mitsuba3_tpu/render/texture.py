@@ -111,6 +111,18 @@ def eval_color(scene, base_rgb: Vec3, tex_id_f, si, raw: bool = False) -> Vec3:
         meta = metas[k] if k < len(metas) \
             else ("repeat", "bilinear", False)
         wrap, filt, mip = meta[0], meta[1], meta[2]
+        if wrap == "3d":
+            # `volume` texture adapter: 3D grid sampled at the world hit
+            # point mapped through the volume's world->local transform
+            # (src/textures/volume.cpp; meta[3] is the 3x4 matrix)
+            a = meta[3]
+            pl = Vec3(
+                a[0] * si.p.x + a[1] * si.p.y + a[2] * si.p.z + a[3],
+                a[4] * si.p.x + a[5] * si.p.y + a[6] * si.p.z + a[7],
+                a[8] * si.p.x + a[9] * si.p.y + a[10] * si.p.z + a[11])
+            val = eval_texture3d(tex, pl)
+            out = Vec3.where(tex_id == (k + 1), val, out)
+            continue
         sx, sy, ox, oy = meta[3] if len(meta) > 3 else (1.0, 1.0, 0.0,
                                                         0.0)
         uv_k = si.uv if (sx, sy, ox, oy) == (1.0, 1.0, 0.0, 0.0) else \
@@ -135,3 +147,36 @@ def eval_color(scene, base_rgb: Vec3, tex_id_f, si, raw: bool = False) -> Vec3:
         from ..core.spectral import rgb_to_spectrum
         out = rgb_to_spectrum(out, si.wavelengths, reflectance=True)
     return out
+
+
+def eval_texture3d(grid, p: Vec3) -> Vec3:
+    """Trilinear sample of a [D, H, W, 3] grid at local coordinates in
+    [0,1]^3 (gridvolume.cpp trilinear path; used by the `volume` texture
+    adapter, src/textures/volume.cpp). Outside the unit cube clamps to
+    the boundary (the reference's default wrap)."""
+    d, h, w = grid.shape[0], grid.shape[1], grid.shape[2]
+    flat = grid.reshape(-1, 3)
+    x = jnp.clip(p.x, 0.0, 1.0) * (w - 1)
+    y = jnp.clip(p.y, 0.0, 1.0) * (h - 1)
+    z = jnp.clip(p.z, 0.0, 1.0) * (d - 1)
+    x0 = jnp.clip(x.astype(jnp.int32), 0, w - 1)
+    y0 = jnp.clip(y.astype(jnp.int32), 0, h - 1)
+    z0 = jnp.clip(z.astype(jnp.int32), 0, d - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    z1 = jnp.minimum(z0 + 1, d - 1)
+    tx = (x - x0)[:, None]
+    ty = (y - y0)[:, None]
+    tz = (z - z0)[:, None]
+
+    def at(zi, yi, xi):
+        return jnp.take(flat, (zi * h + yi) * w + xi, axis=0)
+
+    c00 = at(z0, y0, x0) * (1 - tx) + at(z0, y0, x1) * tx
+    c01 = at(z0, y1, x0) * (1 - tx) + at(z0, y1, x1) * tx
+    c10 = at(z1, y0, x0) * (1 - tx) + at(z1, y0, x1) * tx
+    c11 = at(z1, y1, x0) * (1 - tx) + at(z1, y1, x1) * tx
+    c0 = c00 * (1 - ty) + c01 * ty
+    c1 = c10 * (1 - ty) + c11 * ty
+    out = c0 * (1 - tz) + c1 * tz
+    return Vec3(out[:, 0], out[:, 1], out[:, 2])

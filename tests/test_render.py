@@ -375,3 +375,46 @@ def test_ellipsoidsmesh_and_merge():
     assert right[..., 0].max() > 2.0 * right[..., 2].max()
     # merge children exist: floor visible (nonzero bottom rows)
     assert img[28:, :, :].mean() > 0.01
+
+
+def test_volume_3d_texture():
+    """volume texture adapter (src/textures/volume.cpp): a rectangle
+    textured by a 3D gradient grid shows the gradient across world x."""
+    import mitsuba3_tpu as mi
+    # [D,H,W,3] grid: red ramps with x, blue with y
+    d_, h_, w_ = 2, 8, 8
+    g = np.zeros((d_, h_, w_, 3), np.float32)
+    g[..., 0] = np.linspace(0, 1, w_)[None, None, :]
+    g[..., 2] = np.linspace(0, 1, h_)[None, :, None]
+    d = {
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 2},
+        "sensor": {"type": "perspective", "fov": 45.0,
+                   "to_world": mi.ScalarTransform4f().look_at(
+                       origin=[0, 0, 3], target=[0, 0, 0], up=[0, 1, 0]),
+                   "film": {"width": 16, "height": 16,
+                            "rfilter": {"type": "box"}},
+                   "sampler": {"type": "independent", "sample_count": 16}},
+        "quad": {"type": "rectangle",
+                 "bsdf": {"type": "diffuse",
+                          "reflectance": {
+                              "type": "volume",
+                              "volume": {
+                                  "type": "gridvolume", "grid": g,
+                                  # volume local frame spans [-1,1]^2 of
+                                  # the rectangle
+                                  "to_world": mi.ScalarTransform4f()
+                                  .translate([-1, -1, -1]).scale(2.0)}}}},
+        "light": {"type": "constant"},
+    }
+    scene = mi.load_dict(d)
+    img = np.asarray(mi.render(scene, spp=32))
+    assert np.isfinite(img).all()
+    # camera on +z: world +x maps to image right; red increases right
+    left_r = img[6:10, 2:6, 0].mean()
+    right_r = img[6:10, 10:14, 0].mean()
+    assert right_r > 2.0 * left_r, (left_r, right_r)
+    # blue ramps with y: bottom rows (world -y -> image bottom) darker
+    top_b = img[2:6, 6:10, 2].mean()
+    bot_b = img[10:14, 6:10, 2].mean()
+    assert top_b > 2.0 * bot_b, (top_b, bot_b)
