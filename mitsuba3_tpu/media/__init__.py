@@ -287,7 +287,10 @@ def sample_real_interaction(scene, med_idx, ray, t_surf, rng, channel,
                                Vec3.where(is_null, pn * (1.0 / pn_h),
                                           pr * (1.0 / pr_h)))
             r_pdf = Vec3.where(done, r_pdf, r_pdf * r_dist * r_evt)
-        w_null = w_step * sigma_n * (1.0 / null_prob)
+        # clamp the division: null_prob can be exactly 0 (homogeneous
+        # media have sigma_n == 0); the unclamped 0 * inf NaNs gradients
+        # through the inactive where-branch
+        w_null = w_step * sigma_n * (1.0 / null_prob.clip(1e-6))
         w_real = w_step * sigma_s * (1.0 / real_prob)
         new_real = ~done & ~esc & ~is_null
         # commit
