@@ -33,6 +33,16 @@ class PathConfig:
     hide_emitters: bool = False
 
 
+# Wavefront compaction is EXPERIMENTAL and off by default: the
+# cond(scan, scan) structure triples the bounce-body instances in the
+# program and XLA compile time explodes (>40 min on a 64k-face scene vs
+# ~4 min uncompacted). Runtime-exact (bit-identical images, see
+# tests/test_render.py::test_wavefront_compaction_is_exact); the
+# round-3 plan is python-level pass splitting instead of lax.cond.
+COMPACTION = False
+COMPACT_MIN_LANES = 1 << 17  # below this the sorts aren't worth it
+
+
 def mis_weight(pdf_a, pdf_b):
     """Power heuristic (beta=2), detached (path.cpp:mis_weight)."""
     pdf_a = pdf_a * pdf_a
@@ -203,7 +213,71 @@ def sample(scene, rng, ray: Ray, cfg: PathConfig, active=None, pi0=None):
                   + jnp.sum(active_em.astype(jnp.float32)))
         return new_state, n_rays
 
-    state, ray_counts = jax.lax.scan(
-        bounce, state, jnp.arange(cfg.max_depth, dtype=jnp.int32))
+    # -------------------- wavefront compaction --------------------
+    # The reference compacts its wavefront with reorder_threads
+    # (prb.py:317-322); on TPU, scatter-based compaction is dead but
+    # multi-payload lax.sort is ~2ms at 512k lanes. After COMPACT_AT
+    # bounces, occupancy has typically decayed below 50% (escaped +
+    # absorbed lanes), yet every remaining bounce still pays all N
+    # lanes of traversal and shading. So: sort lanes by activity,
+    # continue the loop on the first N/2 only, and restore the original
+    # lane order with a second sort. A lax.cond falls back to the
+    # uncompacted loop when more than N/2 lanes are still active (open
+    # scenes decay fast; closed boxes take the fallback).
+    COMPACT_AT = 2
+    compactable = (COMPACTION and n >= COMPACT_MIN_LANES and n % 2 == 0
+                   and cfg.max_depth >= COMPACT_AT + 2)
+    if not compactable:
+        state, ray_counts = jax.lax.scan(
+            bounce, state, jnp.arange(cfg.max_depth, dtype=jnp.int32))
+        L = state.result.mask(state.valid_ray)
+        return L, state.valid_ray, state.rng, jnp.sum(ray_counts)
+
+    state, counts_a = jax.lax.scan(
+        bounce, state, jnp.arange(COMPACT_AT, dtype=jnp.int32))
+    ks_rest = jnp.arange(COMPACT_AT, cfg.max_depth, dtype=jnp.int32)
+    half = n // 2
+
+    def full_branch(state):
+        state, counts = jax.lax.scan(bounce, state, ks_rest)
+        return state, jnp.sum(counts)
+
+    def compact_branch(state):
+        leaves, treedef = jax.tree_util.tree_flatten(state)
+        lane = [i for i, a in enumerate(leaves) if a.shape == (n,)]
+        key = (~state.active).astype(jnp.int32)  # actives first (stable)
+        orig = jnp.arange(n, dtype=jnp.int32)
+        sorted_ops = jax.lax.sort(
+            (key, orig, *[leaves[i] for i in lane]), num_keys=1,
+            is_stable=True)
+        orig_s = sorted_ops[1]
+        lane_s = list(sorted_ops[2:])
+
+        def rebuild(lane_leaves, slc):
+            out = list(leaves)
+            for i, a in zip(lane, lane_leaves):
+                out[i] = a[slc] if slc is not None else a
+            return jax.tree_util.tree_unflatten(treedef, out)
+
+        head = rebuild(lane_s, slice(0, half))
+        head, counts = jax.lax.scan(bounce, head, ks_rest)
+        head_leaves = jax.tree_util.tree_flatten(head)[0]
+        merged = [jnp.concatenate([head_leaves[i], a[half:]], axis=0)
+                  for i, a in zip(lane, lane_s)]
+        restored = jax.lax.sort((orig_s, *merged), num_keys=1)
+        out = list(leaves)
+        # non-lane leaves (scalar sampler counters) take the head's
+        # advanced values — they are lane-independent
+        for i in range(len(out)):
+            if i not in lane:
+                out[i] = head_leaves[i]
+        for i, a in zip(lane, restored[1:]):
+            out[i] = a
+        state = jax.tree_util.tree_unflatten(treedef, out)
+        return state, jnp.sum(counts)
+
+    state, counts_b = jax.lax.cond(
+        jnp.sum(state.active.astype(jnp.int32)) <= half,
+        compact_branch, full_branch, state)
     L = state.result.mask(state.valid_ray)
-    return L, state.valid_ray, state.rng, jnp.sum(ray_counts)
+    return L, state.valid_ray, state.rng, jnp.sum(counts_a) + counts_b

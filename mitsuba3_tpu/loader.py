@@ -16,8 +16,8 @@ from .core.transform import Transform4f
 from .integrators import config_from_dict as integrator_from_dict
 from .integrators.path import PathConfig
 from .render import texture as tex_mod
-from .render.scene import (TRI_CHUNK, TRI_PAD, FilmConfig, Scene,
-                           SensorConfig, SensorData)
+from .render.scene import (TRI_CHUNK, TRI_PAD, FilmConfig, HybridAccel,
+                           Scene, SensorConfig, SensorData)
 
 _SHAPE_TYPES = ("rectangle", "cube", "sphere", "disk", "cylinder", "obj",
                 "ply", "mesh", "serialized", "linearcurve", "bsplinecurve",
@@ -1147,11 +1147,18 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
             from .ops import bvh_xla
             accel = bvh_xla.build(p0w, e1w, e2w)
         else:
-            # TPU: sorted tiles + frustum-culled fixed-trip MT kernel
-            # (per-lane gathers are pathologically slow on TPU; serial
-            # in-kernel tree walks pay microseconds per node pop)
+            # TPU hybrid: uniform-grid DDA (ops/grid.py) for CLOSEST
+            # queries — measured ~2x the sorted-tile kernel on the
+            # incoherent bounce rays that dominate path tracing — and
+            # the sorted-tile kernel (ops/bvh_tiled.py) for ray_test —
+            # shadow rays converge on shared light directions, exactly
+            # the coherence its per-tile frustum cull needs (measured
+            # 6-10x the grid there).
             from .ops import bvh_tiled
-            accel = bvh_tiled.build(p0w, e1w, e2w)
+            from .ops import grid as grid_mod
+            accel = grid_mod.build(p0w, e1w, e2w)
+            accel = HybridAccel(closest=accel,
+                                anyhit=bvh_tiled.build(p0w, e1w, e2w))
 
     return Scene(
         vertices=jnp.asarray(vertices),

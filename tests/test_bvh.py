@@ -77,3 +77,45 @@ def test_bvh_traversal_matches_naive(np_rng):
     occ2 = np.asarray(bvh_pallas.occluded_bvh(bvh, ov, dv,
                                               jnp.full(n_ray, 2.0)))
     assert (occ1 == occ2).all()
+
+
+def test_grid_matches_oracle():
+    """Uniform-grid DDA (ops/grid.py) vs the stackless-BVH oracle:
+    closest hit and any-hit must agree exactly, including chained
+    (overflow) cells, empty-space skips, and short rays."""
+    import jax.numpy as jnp
+    from mitsuba3_tpu.ops import bvh_xla
+    from mitsuba3_tpu.ops import grid as grid_mod
+    from mitsuba3_tpu.core.vec import Vec3
+
+    rng = np.random.default_rng(7)
+    F = 2500
+    p0 = rng.random((F, 3)).astype(np.float32)
+    e1 = (rng.random((F, 3)) - 0.5).astype(np.float32) * 0.1
+    e2 = (rng.random((F, 3)) - 0.5).astype(np.float32) * 0.1
+    # dense cluster -> chained cells
+    p0[:500] = 0.5 + (rng.random((500, 3)).astype(np.float32) - 0.5) * 0.05
+    g = grid_mod.build(p0, e1, e2)
+    bx = bvh_xla.build(p0, e1, e2)
+    n = 2048
+    o = rng.random((n, 3)).astype(np.float32) * 2.0 - 0.5
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[::53] = [0, -1, 0]
+    d[1::53] = [1, 0, 0]
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ov = Vec3(*[jnp.asarray(o[:, i]) for i in range(3)])
+    dv = Vec3(*[jnp.asarray(d[:, i]) for i in range(3)])
+    for mt in (100.0, 0.6):
+        maxt = jnp.full(n, mt)
+        t_g, p_g, uv_g, v_g = grid_mod.intersect_grid(g, ov, dv, maxt)
+        t_n, p_n, uv_n, v_n = bvh_xla.intersect_bvh(bx, ov, dv, maxt)
+        v_g, v_n = np.asarray(v_g), np.asarray(v_n)
+        np.testing.assert_array_equal(v_g, v_n)
+        both = v_g & v_n
+        np.testing.assert_allclose(np.asarray(t_g)[both],
+                                   np.asarray(t_n)[both], atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(p_g)[both],
+                                      np.asarray(p_n)[both])
+        occ_g = np.asarray(grid_mod.occluded_grid(g, ov, dv, maxt))
+        occ_n = np.asarray(bvh_xla.occluded_bvh(bx, ov, dv, maxt))
+        np.testing.assert_array_equal(occ_g, occ_n)

@@ -418,3 +418,41 @@ def test_volume_3d_texture():
     top_b = img[2:6, 6:10, 2].mean()
     bot_b = img[10:14, 6:10, 2].mean()
     assert top_b > 2.0 * bot_b, (top_b, bot_b)
+
+
+def test_wavefront_compaction_is_exact():
+    """Sort-compaction of the path wavefront (reorder_threads analog)
+    must be bit-exact: per-lane streams ride the sort unchanged."""
+    import mitsuba3_tpu.integrators.path as path_mod
+
+    d = {
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 5},
+        "sensor": {"type": "perspective", "fov": 50.0,
+                   "to_world": mi.ScalarTransform4f().look_at(
+                       origin=[0, 1.2, -2], target=[0, 0, 0],
+                       up=[0, 1, 0]),
+                   "film": {"width": 32, "height": 32,
+                            "rfilter": {"type": "box"}},
+                   "sampler": {"type": "independent", "sample_count": 8}},
+        # open scene: many lanes escape -> the compact branch is taken
+        "floor": {"type": "rectangle",
+                  "to_world": mi.ScalarTransform4f()
+                  .rotate([1, 0, 0], -90).scale(1.5),
+                  "bsdf": {"type": "diffuse"}},
+        "env": {"type": "constant", "radiance": {"type": "rgb",
+                                                 "value": 1.0}},
+    }
+    scene = mi.load_dict(d)
+    saved = path_mod.COMPACT_MIN_LANES
+    try:
+        path_mod.COMPACTION = True
+        path_mod.COMPACT_MIN_LANES = 1024   # force compaction at 8k lanes
+        img_c = np.asarray(mi.render(scene, spp=8, seed=3))
+        path_mod.COMPACTION = False
+        img_n = np.asarray(mi.render(scene, spp=8, seed=3))
+    finally:
+        path_mod.COMPACTION = False
+        path_mod.COMPACT_MIN_LANES = saved
+    np.testing.assert_array_equal(img_c, img_n)
+    assert np.isfinite(img_c).all() and img_c.max() > 0
