@@ -33,12 +33,15 @@ class PathConfig:
     hide_emitters: bool = False
 
 
-# Wavefront compaction is EXPERIMENTAL and off by default: the
-# cond(scan, scan) structure triples the bounce-body instances in the
-# program and XLA compile time explodes (>40 min on a 64k-face scene vs
-# ~4 min uncompacted). Runtime-exact (bit-identical images, see
-# tests/test_render.py::test_wavefront_compaction_is_exact); the
-# round-3 plan is python-level pass splitting instead of lax.cond.
+# Wavefront compaction is EXPERIMENTAL and off by default: any
+# structure that instantiates the bounce body at a second lane width
+# (lax.cond fallback, or the branchless two-half-scan here) makes XLA
+# compile time explode on large scenes (>50 min on 64k faces vs ~4 min
+# uncompacted — the nested traversal while_loops get re-optimized per
+# instance). Runtime-exact when on (bit-identical images,
+# tests/test_render.py::test_wavefront_compaction_is_exact) and
+# differentiable. Round-3 plan: forward-only host-level pass splitting
+# so only the taken width ever compiles.
 COMPACTION = False
 COMPACT_MIN_LANES = 1 << 17  # below this the sorts aren't worth it
 
@@ -216,14 +219,16 @@ def sample(scene, rng, ray: Ray, cfg: PathConfig, active=None, pi0=None):
     # -------------------- wavefront compaction --------------------
     # The reference compacts its wavefront with reorder_threads
     # (prb.py:317-322); on TPU, scatter-based compaction is dead but
-    # multi-payload lax.sort is ~2ms at 512k lanes. After COMPACT_AT
-    # bounces, occupancy has typically decayed below 50% (escaped +
-    # absorbed lanes), yet every remaining bounce still pays all N
-    # lanes of traversal and shading. So: sort lanes by activity,
-    # continue the loop on the first N/2 only, and restore the original
-    # lane order with a second sort. A lax.cond falls back to the
-    # uncompacted loop when more than N/2 lanes are still active (open
-    # scenes decay fast; closed boxes take the fallback).
+    # multi-payload lax.sort is ~2-5ms at 512k lanes. After COMPACT_AT
+    # bounces, occupancy has typically decayed well below 50% (escaped
+    # + absorbed lanes). Sort lanes by activity and run the remaining
+    # bounces as TWO half-width scans: the head is active-dense; the
+    # tail is (usually) all-done, so the traversal while_loops inside
+    # its bounce body exit after zero iterations — the expensive part
+    # of a dead lane's bounce vanishes. No conditional is needed: if
+    # more than half the lanes are still active (closed scenes), the
+    # overflow actives simply run in the tail scan at full cost.
+    # Bit-exact either way (tests/test_render.py A/B test).
     COMPACT_AT = 2
     compactable = (COMPACTION and n >= COMPACT_MIN_LANES and n % 2 == 0
                    and cfg.max_depth >= COMPACT_AT + 2)
@@ -238,46 +243,39 @@ def sample(scene, rng, ray: Ray, cfg: PathConfig, active=None, pi0=None):
     ks_rest = jnp.arange(COMPACT_AT, cfg.max_depth, dtype=jnp.int32)
     half = n // 2
 
-    def full_branch(state):
-        state, counts = jax.lax.scan(bounce, state, ks_rest)
-        return state, jnp.sum(counts)
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    lane = [i for i, a in enumerate(leaves) if a.shape == (n,)]
+    key = (~state.active).astype(jnp.int32)      # actives first (stable)
+    orig = jnp.arange(n, dtype=jnp.int32)
+    sorted_ops = jax.lax.sort(
+        (key, orig, *[leaves[i] for i in lane]), num_keys=1,
+        is_stable=True)
+    orig_s = sorted_ops[1]
+    lane_s = list(sorted_ops[2:])
 
-    def compact_branch(state):
-        leaves, treedef = jax.tree_util.tree_flatten(state)
-        lane = [i for i, a in enumerate(leaves) if a.shape == (n,)]
-        key = (~state.active).astype(jnp.int32)  # actives first (stable)
-        orig = jnp.arange(n, dtype=jnp.int32)
-        sorted_ops = jax.lax.sort(
-            (key, orig, *[leaves[i] for i in lane]), num_keys=1,
-            is_stable=True)
-        orig_s = sorted_ops[1]
-        lane_s = list(sorted_ops[2:])
-
-        def rebuild(lane_leaves, slc):
-            out = list(leaves)
-            for i, a in zip(lane, lane_leaves):
-                out[i] = a[slc] if slc is not None else a
-            return jax.tree_util.tree_unflatten(treedef, out)
-
-        head = rebuild(lane_s, slice(0, half))
-        head, counts = jax.lax.scan(bounce, head, ks_rest)
-        head_leaves = jax.tree_util.tree_flatten(head)[0]
-        merged = [jnp.concatenate([head_leaves[i], a[half:]], axis=0)
-                  for i, a in zip(lane, lane_s)]
-        restored = jax.lax.sort((orig_s, *merged), num_keys=1)
+    def run_slice(slc):
         out = list(leaves)
-        # non-lane leaves (scalar sampler counters) take the head's
-        # advanced values — they are lane-independent
-        for i in range(len(out)):
-            if i not in lane:
-                out[i] = head_leaves[i]
-        for i, a in zip(lane, restored[1:]):
-            out[i] = a
-        state = jax.tree_util.tree_unflatten(treedef, out)
-        return state, jnp.sum(counts)
+        for i, a in zip(lane, lane_s):
+            out[i] = a[slc]
+        st = jax.tree_util.tree_unflatten(treedef, out)
+        st, counts = jax.lax.scan(bounce, st, ks_rest)
+        return jax.tree_util.tree_flatten(st)[0], jnp.sum(counts)
 
-    state, counts_b = jax.lax.cond(
-        jnp.sum(state.active.astype(jnp.int32)) <= half,
-        compact_branch, full_branch, state)
+    head_leaves, counts_h = run_slice(slice(0, half))
+    tail_leaves, counts_t = run_slice(slice(half, n))
+    merged = list(leaves)
+    for i in range(len(merged)):
+        if i in lane:
+            pass
+        else:
+            merged[i] = head_leaves[i]  # lane-independent (scalar) leaves
+    lane_merged = [jnp.concatenate([h, t], axis=0)
+                   for h, t in ((head_leaves[i], tail_leaves[i])
+                                for i in lane)]
+    restored = jax.lax.sort((orig_s, *lane_merged), num_keys=1)
+    for i, a in zip(lane, restored[1:]):
+        merged[i] = a
+    state = jax.tree_util.tree_unflatten(treedef, merged)
     L = state.result.mask(state.valid_ray)
-    return L, state.valid_ray, state.rng, jnp.sum(counts_a) + counts_b
+    return (L, state.valid_ray, state.rng,
+            jnp.sum(counts_a) + counts_h + counts_t)
