@@ -151,15 +151,22 @@ def _rebuild_geometry_derived(scene):
         scene = scene.replace(ef_cdf=jnp.asarray(cdf))
     scene = scene.replace(face_inv_total_area=jnp.asarray(inv_total))
     if scene.accel is not None:
-        # rebuild with the same accel type the loader chose (loader.py:705):
-        # bvh_xla on CPU, bvh_tiled on TPU — mixing types would feed the
-        # wrong traversal (scene.py:210 dispatches by isinstance)
-        from ..ops import bvh_tiled, bvh_xla
+        # rebuild with the same accel type the loader chose: bvh_xla on
+        # CPU, grid+tiled hybrid on TPU — mixing types would feed the
+        # wrong traversal (scene.py dispatches by isinstance)
+        from ..ops import bvh_tiled, bvh_xla, grid as grid_mod
+        from ..render.scene import HybridAccel
         p0 = p[:, 0]
         e1 = p[:, 1] - p0
         e2 = p[:, 2] - p0
         if isinstance(scene.accel, bvh_xla.BVHXLA):
             scene = scene.replace(accel=bvh_xla.build(p0, e1, e2))
+        elif isinstance(scene.accel, HybridAccel):
+            scene = scene.replace(accel=HybridAccel(
+                closest=grid_mod.build(p0, e1, e2),
+                anyhit=bvh_tiled.build(p0, e1, e2)))
+        elif isinstance(scene.accel, grid_mod.GridAccel):
+            scene = scene.replace(accel=grid_mod.build(p0, e1, e2))
         else:
             scene = scene.replace(accel=bvh_tiled.build(p0, e1, e2))
     return scene
