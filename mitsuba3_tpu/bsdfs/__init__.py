@@ -106,6 +106,18 @@ def eval_pdf(scene, bsdf_idx, si, wo):
     return _dispatch(scene, bsdf_idx, "eval_pdf", si, wo)
 
 
+def flip_for_twosided(params, si):
+    """Adapter two-sided handling (twosided.cpp wrapping an adapter):
+    when the adapter row carries the two-sided flag ([7]) and the query
+    is on the back side, mirror the frame for the nested calls and let
+    the caller mirror sampled directions back with ``sgn``."""
+    import dataclasses as _dc
+    from ..core.vec import Vec3
+    sgn = jnp.where((params[7] > 0.5) & (si.wi.z < 0.0), -1.0, 1.0)
+    si_f = _dc.replace(si, wi=Vec3(si.wi.x, si.wi.y, si.wi.z * sgn))
+    return si_f, sgn
+
+
 # Adapter BSDFs (mask/blendbsdf/normalmap) wrap a nested BSDF slot. Their
 # nested calls dispatch over the *non-adapter* types only, which bounds the
 # recursion at one level (the reference nests arbitrarily via vcalls;

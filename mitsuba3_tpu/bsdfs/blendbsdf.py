@@ -23,11 +23,12 @@ def _weight(scene, params, si):
 
 
 def sample(scene, bsdf_idx, si, s1, s2):
-    from . import dispatch_nested
+    from . import dispatch_nested, flip_for_twosided
     params = scene.gather_bsdf_params(bsdf_idx)
     w = _weight(scene, params, si)
     n0 = jnp.round(params[14]).astype(jnp.int32)
     n1 = jnp.round(params[15]).astype(jnp.int32)
+    si, sgn = flip_for_twosided(params, si)
 
     pick1 = s1 <= w
     s1_0 = jnp.clip(m.safe_div(s1 - w, 1.0 - w), 0.0, 1.0 - 1e-7)
@@ -49,6 +50,7 @@ def sample(scene, bsdf_idx, si, s1, s2):
 
     pdf = jnp.where(pick1, pdf_b1, pdf_b0)
     wo = Vec3.where(pick1, bs1.wo, bs0.wo)
+    wo = Vec3(wo.x, wo.y, wo.z * sgn)
     weight = Vec3.where(pick1, res1, res0)
     bs = BSDFSample(
         wo=wo, pdf=jnp.where(pdf > 0.0, pdf, 0.0),
@@ -60,11 +62,13 @@ def sample(scene, bsdf_idx, si, s1, s2):
 
 
 def eval_pdf(scene, bsdf_idx, si, wo):
-    from . import dispatch_nested
+    from . import dispatch_nested, flip_for_twosided
     params = scene.gather_bsdf_params(bsdf_idx)
     w = _weight(scene, params, si)
     n0 = jnp.round(params[14]).astype(jnp.int32)
     n1 = jnp.round(params[15]).astype(jnp.int32)
+    si, sgn = flip_for_twosided(params, si)
+    wo = Vec3(wo.x, wo.y, wo.z * sgn)
     v0, p0 = dispatch_nested(scene, n0, "eval_pdf", si, wo)
     v1, p1 = dispatch_nested(scene, n1, "eval_pdf", si, wo)
     return v0 * (1.0 - w) + v1 * w, p0 * (1.0 - w) + p1 * w

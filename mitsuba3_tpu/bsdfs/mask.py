@@ -28,14 +28,17 @@ def _nested_idx(params):
 
 
 def sample(scene, bsdf_idx, si, s1, s2):
-    from . import dispatch_nested
+    from . import dispatch_nested, flip_for_twosided
     params = scene.gather_bsdf_params(bsdf_idx)
     op = _opacity(scene, params, si)
     nested = _nested_idx(params)
+    si_n, sgn = flip_for_twosided(params, si)
 
     pick_nested = s1 < op
     s1_r = jnp.clip(m.safe_div(s1, op), 0.0, 1.0 - 1e-7)
-    bs_n, w_n = dispatch_nested(scene, nested, "sample", si, s1_r, s2)
+    bs_n, w_n = dispatch_nested(scene, nested, "sample", si_n, s1_r, s2)
+    bs_n = __import__("dataclasses").replace(
+        bs_n, wo=Vec3(bs_n.wo.x, bs_n.wo.y, bs_n.wo.z * sgn))
 
     n = si.t.shape
     wo = Vec3.where(pick_nested, bs_n.wo, -si.wi)
@@ -56,11 +59,13 @@ def sample(scene, bsdf_idx, si, s1, s2):
 
 
 def eval_pdf(scene, bsdf_idx, si, wo):
-    from . import dispatch_nested
+    from . import dispatch_nested, flip_for_twosided
     params = scene.gather_bsdf_params(bsdf_idx)
     op = _opacity(scene, params, si)
     nested = _nested_idx(params)
-    val, pdf = dispatch_nested(scene, nested, "eval_pdf", si, wo)
+    si_n, sgn = flip_for_twosided(params, si)
+    wo_n = Vec3(wo.x, wo.y, wo.z * sgn)
+    val, pdf = dispatch_nested(scene, nested, "eval_pdf", si_n, wo_n)
     return val * op, pdf * op
 
 

@@ -33,9 +33,10 @@ def _perturbed_si(scene, params, si):
 
 
 def sample(scene, bsdf_idx, si, s1, s2):
-    from . import dispatch_nested
+    from . import dispatch_nested, flip_for_twosided
     params = scene.gather_bsdf_params(bsdf_idx)
     nested = jnp.round(params[15]).astype(jnp.int32)
+    si, sgn = flip_for_twosided(params, si)
     si_p, frame = _perturbed_si(scene, params, si)
     bs, w = dispatch_nested(scene, nested, "sample", si_p, s1, s2)
     # map wo back to the original shading frame
@@ -43,14 +44,17 @@ def sample(scene, bsdf_idx, si, s1, s2):
     wo = si.sh_frame.to_local(wo_world)
     # reject samples bent below the geometric surface
     ok = (wo.z * si.wi.z > 0.0) & (bs.pdf > 0.0)
+    wo = Vec3(wo.x, wo.y, wo.z * sgn)
     bs = dataclasses.replace(bs, wo=wo, pdf=jnp.where(ok, bs.pdf, 0.0))
     return bs, w.mask(ok)
 
 
 def eval_pdf(scene, bsdf_idx, si, wo):
-    from . import dispatch_nested
+    from . import dispatch_nested, flip_for_twosided
     params = scene.gather_bsdf_params(bsdf_idx)
     nested = jnp.round(params[15]).astype(jnp.int32)
+    si, sgn = flip_for_twosided(params, si)
+    wo = Vec3(wo.x, wo.y, wo.z * sgn)
     si_p, frame = _perturbed_si(scene, params, si)
     wo_p = frame.to_local(si.sh_frame.to_world(wo))
     val, pdf = dispatch_nested(scene, nested, "eval_pdf", si_p, wo_p)

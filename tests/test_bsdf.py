@@ -428,3 +428,38 @@ def test_principledthin_renders_backlit():
     assert img_t[center].mean() > 5.0 * max(img_o[center].mean(), 1e-4), (
         img_t[center].mean(), img_o[center].mean())
     assert img_s[center].mean() > 5.0 * max(img_o[center].mean(), 1e-4)
+
+
+def test_twosided_adapter_nesting():
+    """twosided around an adapter BSDF (mask) must reflect the nested
+    lobe from BOTH sides (VERDICT r1 weak #9: the flag used to stop at
+    the adapter row)."""
+    import mitsuba3_tpu as mi
+
+    def mk(bsdf):
+        return mi.load_dict({
+            "type": "scene",
+            "integrator": {"type": "path", "max_depth": 3},
+            "sensor": {"type": "perspective", "fov": 45.0,
+                       "to_world": mi.ScalarTransform4f().look_at(
+                           origin=[0, 0, -3], target=[0, 0, 0],
+                           up=[0, 1, 0]),
+                       "film": {"width": 16, "height": 16}},
+            "quad": {"type": "rectangle", "bsdf": bsdf},
+            "env": {"type": "constant"},
+        })
+
+    nd = {"type": "diffuse",
+          "reflectance": {"type": "rgb", "value": [0.7, 0.2, 0.2]}}
+    mask = {"type": "mask", "opacity": {"type": "rgb", "value": 0.6},
+            "nested": dict(nd)}
+    # camera sees the BACK of the one-sided rectangle
+    img_ts = np.asarray(mi.render(
+        mk({"type": "twosided", "bsdf": dict(mask)}), spp=32, seed=1))
+    img_bare = np.asarray(mi.render(mk(dict(mask)), spp=32, seed=1))
+    c_ts = img_ts[8, 8]
+    c_bare = img_bare[8, 8]
+    # two-sided: red reflectance visible (r >> g); bare: transmission
+    # only (grey)
+    assert c_ts[0] > 1.4 * c_ts[1], c_ts
+    assert abs(c_bare[0] - c_bare[1]) < 0.02, c_bare
