@@ -9,9 +9,9 @@ integrator is projective (``ad/projective.py:boundary_image``).
 
 ``direct_projective`` is the max_depth=2 specialization, matching the
 reference's statement that it is functionally equivalent to prb_projective
-at depth 2 (direct_projective.py:76-78). Indirectly-observed silhouettes
-(grid/octree-guided boundary paths, ad/guiding.py) are not yet ported —
-gradients of visibility seen through mirrors/indirect bounces are missing.
+at depth 2 (direct_projective.py:76-78). Indirect silhouettes use the
+length-weighted edge CDF with optional grid guiding over the boundary
+sample space (ad/guiding.py; guiding='grid').
 """
 from __future__ import annotations
 
@@ -40,4 +40,7 @@ def config_from_dict(spec: dict):
         sppp=int(spec.get("sppp", 4)),
         sppi=int(spec.get("sppi", 4)),
         boundary_depth=int(spec.get("boundary_depth",
-                                    min(max_depth, 4))))
+                                    min(max_depth, 4))),
+        guiding=str(spec.get("guiding", "none")),
+        guiding_res=int(spec.get("guiding_res", 12)),
+        guiding_warmup=int(spec.get("guiding_warmup", 4096)))

@@ -222,7 +222,7 @@ def _screen_jacobian(scene, ss: SilhouetteSample):
 @dataclasses.dataclass(frozen=True)
 class ProjectiveConfig:
     """prb_projective configuration (sppp/guiding knobs of the reference's
-    PSIntegrator, common.py:792-860; indirect guiding not yet ported)."""
+    PSIntegrator, common.py:792-860)."""
     type: str = "prb_projective"
     max_depth: int = 8
     rr_depth: int = 5
@@ -230,6 +230,9 @@ class ProjectiveConfig:
     sppp: int = 4               # primary-silhouette samples (× pixels)
     sppi: int = 4               # indirect boundary samples (0 = off)
     boundary_depth: int = 4     # path depth for the ΔL estimates
+    guiding: str = "none"       # 'none' | 'grid' (ad/guiding.py)
+    guiding_res: int = 12       # cells per boundary-sample-space axis
+    guiding_warmup: int = 4096  # uniform samples that seed the grid
 
 
 def _radiance_difference(scene, rng, ss: SilhouetteSample, depth: int):
@@ -369,12 +372,16 @@ def boundary_image(scene, seed):
 # direct_projective.sample_importance (direct_projective.py:239-270).
 # ---------------------------------------------------------------------------
 
-def sample_indirect_silhouette(scene, topo, s1, s2, s3: Vec2):
-    """Boundary-space sample -> silhouette sample with a direction
-    (Mesh::sample_silhouette, mesh.cpp:1753-1840): edge by length-weighted
-    CDF, point along it, direction uniform on the sphere; the pdf is
-    zeroed for directions where the edge is NOT a silhouette (the two
-    face normals agree in sign, and the edge is interior)."""
+def sample_indirect_silhouette(scene, topo, s1, s3: Vec2, s2=None):
+    """Boundary-space sample (x, (y, z)) -> silhouette sample with a
+    direction (Mesh::sample_silhouette, mesh.cpp:1753-1840): x picks the
+    edge by length-weighted CDF AND the point along it (the fractional
+    CDF position within the chosen segment — the reference's joint
+    encoding, which makes the boundary sample space exactly [0,1]^3 for
+    the guiding distributions); (y, z) map to a uniform sphere
+    direction. The pdf is zeroed for directions where the edge is NOT a
+    silhouette (the two face normals agree in sign and the edge is
+    interior). ``s2`` optionally overrides the point parameter."""
     sg = jax.lax.stop_gradient
     twin, ev0, ev1, ev2, edge_face, edge_corner = topo
     v = sg(scene.vertices)
@@ -398,7 +405,13 @@ def sample_indirect_silhouette(scene, topo, s1, s2, s3: Vec2):
     p0 = Vec3.from_array(v[ev0[e]])
     p1 = Vec3.from_array(v[ev1[e]])
     p2 = Vec3.from_array(v[ev2[e]])
-    t = s2
+    if s2 is None:
+        # fractional CDF position within the segment (uniform on [0,1))
+        prev = cdf[e] - w[e]
+        t = jnp.clip((s1 * total - prev)
+                     / jnp.maximum(w[e], 1e-30), 0.0, 1.0 - 1e-6)
+    else:
+        t = s2
     p = p0 * (1.0 - t) + p1 * t
     edge_len = (p1 - p0).norm()
     sil_d = (p1 - p0) * (1.0 / jnp.maximum(edge_len, 1e-20))
@@ -434,29 +447,18 @@ def sample_indirect_silhouette(scene, topo, s1, s2, s3: Vec2):
     return ss, fore
 
 
-def indirect_boundary_grad(theta, scene, d_image, seed, n_samples: int,
-                           cfg: ProjectiveConfig):
-    """∂⟨d_image, I⟩/∂θ of indirectly observed silhouettes (shadow edges
-    etc.): boundary segment -> importance connection to the sensor
-    through one receiver vertex (direct_projective.sample_importance) x
-    radiance difference across the edge x edge motion."""
+def indirect_integrand(scene_det, topo, rng, u1, u3: Vec2, d_image,
+                       cfg: ProjectiveConfig):
+    """Per-lane UNNORMALIZED indirect boundary integrand estimate
+    ⟨δ, fS·fB·fE⟩·fore/pdf·(W·H) for boundary-space samples (u1, u3) —
+    shared by the gradient estimator and the guiding warmup (the
+    reference's eval_indirect_integrand, common.py:1094-1180)."""
     from .. import bsdfs
     from ..integrators.ptracer import _sensor_direction
-    from . import prb as prb_mod
-    sg = jax.lax.stop_gradient
-    scene_det = jax.tree_util.tree_map(sg, scene)
-    topo = edge_arrays(scene_det)
-
-    rng = sampler_mod.seed(seed ^ jnp.uint32(0x51DE), n_samples)
-    rng, u1 = sampler_mod.next_1d(rng)
-    rng, u2 = sampler_mod.next_1d(rng)
-    rng, u3 = sampler_mod.next_2d(rng)
-    ss, fore = sample_indirect_silhouette(scene_det, topo, u1, u2, u3)
+    ss, fore = sample_indirect_silhouette(scene_det, topo, u1, u3)
 
     # ---- importance side: receiver surface along -d, connected to the
-    # sensor (one-bounce importance; deeper sensor-side paths are the
-    # guiding-structure follow-up)
-    n = ss.pdf.shape[0]
+    # sensor (one-bounce importance, direct_projective.sample_importance)
     eps = 1e-4 * jnp.maximum(jnp.float32(1.0), ss.p.abs().max_component())
     ray_imp = Ray.make(ss.p + ss.n * eps - ss.d * eps, -ss.d)
     pi_r = scene_det.ray_intersect_preliminary(ray_imp, active=ss.valid)
@@ -487,10 +489,40 @@ def indirect_boundary_grad(theta, scene, d_image, seed, n_samples: int,
     inv_pdf = jnp.where(ss.pdf > 0, 1.0 / jnp.maximum(ss.pdf, 1e-30), 0.0)
     # _sensor_direction's importance is per unit uv AREA; the per-pixel
     # estimate carries the w*h factor (ptracer.py:221 normalization)
-    coef = jnp.where(act, fore * inv_pdf * jnp.float32(w * h)
-                     / jnp.float32(n_samples), 0.0)
-    weight = (delta[:, 0] * f_s.x * dL.x + delta[:, 1] * f_s.y * dL.y
-              + delta[:, 2] * f_s.z * dL.z) * coef
+    coef = jnp.where(act, fore * inv_pdf * jnp.float32(w * h), 0.0)
+    weight_un = (delta[:, 0] * f_s.x * dL.x + delta[:, 1] * f_s.y * dL.y
+                 + delta[:, 2] * f_s.z * dL.z) * coef
+    return ss, weight_un, rng
+
+
+def indirect_boundary_grad(theta, scene, d_image, seed, n_samples: int,
+                           cfg: ProjectiveConfig):
+    """∂⟨d_image, I⟩/∂θ of indirectly observed silhouettes (shadow edges
+    etc.): boundary segment -> importance connection to the sensor
+    through one receiver vertex (direct_projective.sample_importance) x
+    radiance difference across the edge x edge motion."""
+    from .. import bsdfs
+    from ..integrators.ptracer import _sensor_direction
+    from . import prb as prb_mod
+    sg = jax.lax.stop_gradient
+    scene_det = jax.tree_util.tree_map(sg, scene)
+    topo = edge_arrays(scene_det)
+
+    rng = sampler_mod.seed(seed ^ jnp.uint32(0x51DE), n_samples)
+    rng, u1 = sampler_mod.next_1d(rng)
+    rng, u3 = sampler_mod.next_2d(rng)
+    g_pdf = jnp.ones(n_samples, jnp.float32)
+    if cfg.guiding == "grid":
+        # grid guiding over the [0,1]^3 boundary sample space
+        # (guiding.py GridDistr analog, ad/guiding.py)
+        from .guiding import build_grid, sample_grid
+        grid, rng_g = build_grid(scene_det, topo, d_image, seed, cfg)
+        rng, ug = sampler_mod.next_1d(rng)
+        (u1, u3), g_pdf = sample_grid(grid, u1, u3, ug)
+    ss, weight_un, rng = indirect_integrand(scene_det, topo, rng, u1, u3,
+                                            d_image, cfg)
+    weight = weight_un / (jnp.float32(n_samples)
+                          * jnp.maximum(g_pdf, 1e-12))
 
     def contrib(th):
         scene_t = prb_mod.substitute_theta(scene, th)
