@@ -194,3 +194,70 @@ def render_with_stats(scene, seed=0, spp=None, max_wavefront=1 << 19):
                     f"execute {t_run * 1e3:.0f} ms")
         return out
     return _render_jit(scene, seed, sppc, n_passes)
+
+
+@partial(jax.jit, static_argnames=("sppc", "spp_total"))
+def _render_passes_jit(scene, seed, sppc: int, spp_total: int, start: int,
+                       count, image, weight, rays):
+    """`count` passes starting at pass index `start`, accumulated onto
+    the given film state (restartable-render building block)."""
+    def body(i, acc):
+        image, weight, rays = acc
+        pass_seed = (jnp.uint32(seed)
+                     ^ (jnp.uint32(i) * jnp.uint32(0x9E3779B9)))
+        img_i, wgt_i, rays_i = render_pass(scene, pass_seed, sppc,
+                                           pass_idx=i,
+                                           spp_total=spp_total,
+                                           base_seed=seed)
+        return image + img_i, weight + wgt_i, rays + rays_i
+
+    return jax.lax.fori_loop(start, start + count, body,
+                             (image, weight, rays))
+
+
+def render_restartable(scene, seed=0, spp=None, max_wavefront=1 << 19,
+                       checkpoint_dir=None, checkpoint_every=4):
+    """Forward render with pass-level checkpointing — the restartable
+    analog of the reference's block/pass loop with its wall-clock
+    timeout checks (integrator.cpp:248-294); the TPU-scale concern is
+    preemption, so the accumulated film state is persisted every
+    `checkpoint_every` passes and an interrupted render resumes from
+    the last checkpoint instead of re-tracing finished passes.
+
+    Returns (image, n_rays). Deterministic: the result is bit-identical
+    to `render()` with the same seed/spp regardless of where (or
+    whether) the render was interrupted.
+    """
+    from ..integrators import get_integrator as _gi
+    from ..utils.checkpoint import CheckpointManager
+    sppc, n_passes = plan_passes(scene, spp, max_wavefront)
+    w, h = scene.film.width, scene.film.height
+    nch = getattr(_gi(scene.integrator), "n_channels",
+                  lambda cfg: 3)(scene.integrator)
+    if scene.spectral and scene.film.srfs:
+        nch = len(scene.film.srfs)
+    image = jnp.zeros((h, w, nch), jnp.float32)
+    weight = jnp.zeros((h, w), jnp.float32)
+    rays = jnp.float32(0)
+    done = 0
+
+    mgr = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
+    if mgr is not None and mgr.latest_step() is not None:
+        done = int(mgr.latest_step())
+        image, weight, rays = mgr.restore((image, weight, rays))
+
+    while done < n_passes:
+        count = min(checkpoint_every, n_passes - done)
+        image, weight, rays = _render_passes_jit(
+            scene, seed, sppc, sppc * n_passes, done, count, image,
+            weight, rays)
+        done += count
+        if mgr is not None and done < n_passes:
+            jax.block_until_ready(image)
+            mgr.save(done, (image, weight, rays))
+
+    out = film_mod.develop(image, weight)
+    if scene.spectral and not scene.film.srfs:
+        from ..core import spectral as spectral_mod
+        out = spectral_mod.xyz_to_srgb(out)
+    return out, rays

@@ -307,3 +307,54 @@ def test_polvis_and_sys_info():
     assert (fc[..., 0] > 0).all() and (fc[..., 2] == 0).all()
     inf = sys_info.info()
     assert "jax" in inf and "devices" in inf
+
+
+def test_render_restartable_resumes_bit_exact(tmp_path):
+    """render_restartable: interrupted render resumes from the film
+    checkpoint and the final image is bit-identical to render()."""
+    import mitsuba3_tpu as mi
+    from mitsuba3_tpu.render import integrator as integ
+    plan_passes = integ.plan_passes
+    render = integ.render
+    render_restartable = integ.render_restartable
+
+    scene = mi.load_dict(mi.cornell_box(width=48, height=48, max_depth=3))
+    # force multiple passes: 48*48*32 samples at 1<<15 max wavefront
+    spp = 32
+    _, n_passes = plan_passes(scene, spp, max_wavefront=1 << 15)
+    assert n_passes >= 3
+
+    ref = np.asarray(render(scene, seed=5, spp=spp,
+                            max_wavefront=1 << 15))
+
+    ck = str(tmp_path / "film")
+    # simulate preemption: run with a manager, then "crash" by simply
+    # calling again — the second call must resume from the checkpoint
+    calls = []
+    orig = integ._render_passes_jit
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    integ._render_passes_jit = spy
+    try:
+        img1, _ = render_restartable(scene, seed=5, spp=spp,
+                                     max_wavefront=1 << 15,
+                                     checkpoint_dir=ck,
+                                     checkpoint_every=2)
+        n_calls_full = len(calls)
+        calls.clear()
+        # second invocation with an existing final-state-less checkpoint
+        # (the last checkpoint is before the final chunk): fewer chunks
+        img2, _ = render_restartable(scene, seed=5, spp=spp,
+                                     max_wavefront=1 << 15,
+                                     checkpoint_dir=ck,
+                                     checkpoint_every=2)
+        n_calls_resume = len(calls)
+    finally:
+        integ._render_passes_jit = orig
+
+    np.testing.assert_array_equal(np.asarray(img1), ref)
+    np.testing.assert_array_equal(np.asarray(img2), ref)
+    assert n_calls_resume < n_calls_full, (n_calls_resume, n_calls_full)
