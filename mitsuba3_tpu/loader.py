@@ -85,9 +85,6 @@ def _measured_tables(spec: dict):
     else:
         fields = spec["tables"]
     phi_i = np.asarray(fields["phi_i"], np.float32).reshape(-1)
-    if phi_i.size > 1:
-        raise ValueError("measured: anisotropic (phi_i > 1) data is not "
-                         "supported yet; isotropic materials only")
     theta_i = np.asarray(fields["theta_i"], np.float32).reshape(-1)
     vndf = np.asarray(fields["vndf"], np.float32)
     lum = np.asarray(fields["luminance"], np.float32)
@@ -99,16 +96,31 @@ def _measured_tables(spec: dict):
     ndf = np.asarray(fields["ndf"], np.float32)
     sigma = np.asarray(fields["sigma"], np.float32)
     t = theta_i.shape[0]
-    vndf = vndf.reshape(t, *vndf.shape[-2:])
-    lum = lum.reshape(t, *lum.shape[-2:])
-    spectra = spectra.reshape(t * 3, *spectra.shape[-2:])
+    pp = phi_i.shape[0]
+    iso = pp <= 2  # measured.cpp:165 isotropy criterion
+    if iso:
+        red = 1
+    else:
+        # symmetry reduction: the stored phi_i range may only cover
+        # 2pi/red (measured.cpp:168-172) — queries sign-fold wi into it
+        red = int(round((2.0 * np.pi)
+                        / max(float(phi_i[-1] - phi_i[0]), 1e-6)))
+    # conditioned warps: slice index = p * T + j (phi-major, the field
+    # layout of .bsdf files [phi_i, theta_i, H, W])
+    vndf = vndf.reshape(pp * t, *vndf.shape[-2:])
+    lum = lum.reshape(pp * t, *lum.shape[-2:])
+    spectra = spectra.reshape(pp * t * 3, *spectra.shape[-2:])
+    # ndf/sigma are UNconditioned (Warp2D0, measured.cpp:175-187): one
+    # [H, W] grid over the full (theta2u, phi2u) square
     return {
         "theta_i": jnp.asarray(theta_i),
+        "phi_i": jnp.asarray(phi_i),
+        "reduction": jnp.float32(red),
         "lum": SlicedMarginal2D.from_data(lum),
         "vndf": SlicedMarginal2D.from_data(vndf),
         "spectra": jnp.asarray(spectra),
-        "ndf": jnp.asarray(ndf[None]),
-        "sigma": jnp.asarray(sigma[None]),
+        "ndf": jnp.asarray(ndf[None] if ndf.ndim == 2 else ndf),
+        "sigma": jnp.asarray(sigma[None] if sigma.ndim == 2 else sigma),
     }
 
 

@@ -68,8 +68,56 @@ def _ggx_tables(n_ti=8, res=32, alpha=0.35):
     }
 
 
-def _measured_scene(tmp_path=None, via_file=False):
-    tables = _ggx_tables()
+def _aniso_tables(n_phi=4, n_ti=6, res=32):
+    """Anisotropic RGL-style tables: φi-conditioned GGX-like slices with
+    azimuth-dependent roughness, stored for the half range φi ∈ [-π, 0]
+    (reduction = 2 bilateral symmetry, measured.cpp:168-172)."""
+    phi_i = np.linspace(-np.pi, 0.0, n_phi).astype(np.float32)
+    theta_i = np.linspace(0.0, np.pi / 2 * 0.96, n_ti).astype(np.float32)
+    ux = (np.arange(res) + 0.5) / res
+    uy = (np.arange(res) + 0.5) / res
+    theta_m = (ux ** 2) * (np.pi / 2)
+    phi_m = (2 * uy - 1) * np.pi
+    st, ct = np.sin(theta_m), np.cos(theta_m)
+    mx = np.cos(phi_m)[:, None] * st[None, :]
+    my = np.sin(phi_m)[:, None] * st[None, :]
+    mz = np.broadcast_to(ct[None, :], (res, res))
+
+    jac_u = st[None, :] * (np.pi * ux)[None, :] * (2 * np.pi)
+    vndf = np.zeros((n_phi, n_ti, res, res), np.float32)
+    for p, pi_ in enumerate(phi_i):
+        alpha = 0.25 + 0.2 * abs(np.sin(pi_))
+        c2 = np.clip(mz, 1e-5, 1.0) ** 2
+        t2 = (1 - c2) / c2
+        d = 1.0 / (np.pi * alpha ** 2 * c2 ** 2 * (1 + t2 / alpha ** 2) ** 2)
+        # absolute-azimuth anisotropy: stretch the lobe along x vs y
+        d = d * (1.0 + 0.6 * mx ** 2 - 0.3 * my ** 2 + 0.35)
+        for i, ti in enumerate(theta_i):
+            wi = np.array([np.sin(ti) * np.cos(pi_),
+                           np.sin(ti) * np.sin(pi_), np.cos(ti)])
+            cos_wi_m = np.maximum(wi[0] * mx + wi[1] * my + wi[2] * mz, 0.0)
+            vndf[p, i] = d * cos_wi_m * jac_u + 1e-8
+    lum = vndf * 0.8 + 0.05
+    sx, sy = np.meshgrid(ux, uy)
+    spectra = np.zeros((n_phi, n_ti, 3, res, res), np.float32)
+    for c, (a, b) in enumerate(((0.9, 0.1), (0.5, 0.4), (0.2, 0.7))):
+        spectra[:, :, c] = a * (0.3 + 0.7 * sx)[None, None] \
+            + b * sy[None, None]
+    ndf = (1.0 / np.clip(mz, 1e-3, 1.0) ** 4).astype(np.float32)
+    sigma = 0.25 + 0.5 * np.outer(uy, ux).astype(np.float32)
+    return {
+        "phi_i": phi_i,
+        "theta_i": theta_i,
+        "vndf": vndf,
+        "luminance": lum,
+        "rgb": spectra,
+        "ndf": ndf,
+        "sigma": sigma,
+    }
+
+
+def _measured_scene(tmp_path=None, via_file=False, tables=None):
+    tables = _ggx_tables() if tables is None else tables
     spec = {"type": "measured"}
     if via_file:
         fn = os.path.join(str(tmp_path), "synthetic.bsdf")
@@ -144,6 +192,59 @@ def test_measured_weight_times_pdf_equals_eval():
     # pdf reported by sample == pdf reported by eval_pdf
     np.testing.assert_allclose(np.asarray(bs.pdf)[keep],
                                np.asarray(pdf)[keep], rtol=2e-3)
+
+
+def test_measured_aniso_sample_chi2():
+    """Anisotropic (φi-conditioned, reduction-2 folded) tables: sampled wo
+    must follow the reported pdf. wi has y > 0 so the bilateral sign-fold
+    path is exercised."""
+    scene = _measured_scene(tables=_aniso_tables())
+    wi = jnp.array([0.35, 0.25, np.sqrt(1 - 0.35**2 - 0.25**2)],
+                   jnp.float32)
+
+    def sample_fn(n, seed):
+        s1, u, v = _uniform(n, seed)
+        si = _make_si(wi, n)
+        bs, w = bsdfs.sample(scene, jnp.zeros(n, jnp.int32), si, s1,
+                             Vec2(u, v))
+        keep = np.asarray(bs.pdf) > 0
+        return np.asarray(bs.wo.to_array())[keep]
+
+    def pdf_fn(dirs):
+        n = dirs.shape[0]
+        si = _make_si(wi, n)
+        _, pdf = bsdfs.eval_pdf(scene, jnp.zeros(n, jnp.int32), si,
+                                Vec3.from_array(jnp.asarray(dirs,
+                                                            jnp.float32)))
+        return np.asarray(pdf)
+
+    passed, msg = chi2_test(sample_fn, pdf_fn, SphericalDomain(),
+                            sample_count=300_000, res=(32, 16), ires=24)
+    assert passed, msg
+
+
+def test_measured_aniso_weight_consistency():
+    """weight·pdf == eval and sample-pdf == eval-pdf on anisotropic
+    tables, both fold signs (wi.y > 0 and < 0)."""
+    scene = _measured_scene(tables=_aniso_tables())
+    n = 20_000
+    for seed, wiy in ((5, 0.2), (9, -0.3)):
+        s1, u, v = _uniform(n, seed)
+        wi = jnp.array([0.3, wiy, np.sqrt(1 - 0.3**2 - wiy**2)],
+                       jnp.float32)
+        si = _make_si(wi, n)
+        bs, w = bsdfs.sample(scene, jnp.zeros(n, jnp.int32), si, s1,
+                             Vec2(u, v))
+        val, pdf = bsdfs.eval_pdf(scene, jnp.zeros(n, jnp.int32), si,
+                                  bs.wo)
+        keep = np.asarray(bs.pdf) > 0
+        assert keep.mean() > 0.5
+        lhs = np.asarray(w.to_array())[keep] \
+            * np.asarray(bs.pdf)[keep, None]
+        rhs = np.asarray(val.to_array())[keep]
+        np.testing.assert_allclose(lhs, rhs, rtol=2e-3, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(bs.pdf)[keep],
+                                   np.asarray(pdf)[keep], rtol=2e-3)
 
 
 def test_measured_render_smoke():
