@@ -1,0 +1,573 @@
+"""Round-based nearest-leaf intersector — the round-3 answer to the
+incoherent-ray problem (DESIGN.md "intersection architectures").
+
+Where bvh_tiled assumes 1024-ray tiles share a frustum (true only for
+primary/shadow batches) and grid DDA pays one issue-rate-bound row fetch
+per cell step, this design makes EVERY ray converge on its own nearest
+leaf each round, then serves leaves to dense ray blocks:
+
+  round:
+    1. CULL (Pallas): every ray finds its nearest unvisited leaf — the
+       whole leaf-AABB table lives in VMEM (~25 KB), each program slab-
+       tests a 512-ray block against all leaves in 128-leaf chunks and
+       keeps the min packed key (f32-entry-bits<<16 | leaf-id+1) in a
+       VMEM accumulator. Strictly increasing keys replace a visited set;
+       `entry < t_best` prunes by the shrinking hit distance; a per-chunk
+       supernode pretest skips chunks no ray in the (leaf-sorted, hence
+       spatially coherent) block can enter.
+    2. SORT (XLA): ONE lax.sort by leaf id moves the whole ray state —
+       rays wanting the same leaf become contiguous.
+    3. SERVE:
+       - many actives: a Pallas program per 4 128-ray blocks DMAs each
+         block's first AND last requested leaf slab ([16, K] ≈ 8 KB) and
+         Möller-Trumbore's them against the block ([K, 128] register
+         tiles). Lanes whose leaf is neither (rare: the block straddles
+         ≥3 leaves) simply retry next round — their last-key cursor only
+         advances when served.
+       - few actives (≤ NP/8): the sort has compacted them into a
+         prefix; a per-lane leaf-row gather + dense SoA MT serves every
+         lane exactly (the gather is issue-rate-bound, so it only wins
+         at low occupancy — and guarantees termination).
+  Rays stay leaf-sorted across rounds (coherence feeds the next cull);
+  one final sort by ray id restores caller order.
+
+No reference counterpart: mitsuba3 delegates this problem to
+Embree/OptiX RT hardware (scene.cpp:197-245 ray_intersect dispatch).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.struct import pytree_dataclass, static_field
+from ..core.vec import Vec2, Vec3
+
+K = 128          # triangles per leaf (bvh_tiled build granularity)
+LC = 128         # leaves per cull chunk (minor-dim tile)
+RCHUNK = 512     # rays per cull program
+BLK = 128        # ray block granularity (one leaf DMA pair per block)
+SBLK = 4         # 128-ray blocks per serve program
+IDW = 1024       # SMEM id-window slots (XLA 1-D s32 T(1024) layout)
+TAIL_DIV = 8     # gather path when actives <= NP / TAIL_DIV
+NONE = np.int32(0x7FFFFFFF)   # keys fit in 31 bits (entry >= 0)
+BIG = 3.4e38
+
+
+@pytree_dataclass
+class BVHServe:
+    tris: jnp.ndarray     # [M, 16, K] f32 (rows 0-8 p0/e1/e2, 9 prim id)
+    bounds: jnp.ndarray   # [8, M6] f32 rows lox loy loz hix hiy hiz (pad 2)
+    sup: jnp.ndarray      # [8, M6 // LC] chunk-union AABBs (same rows)
+    n_leaves: int = static_field(default=0)
+    m_pad: int = static_field(default=0)
+
+
+def build(p0, e1, e2, leaf_size=K):
+    """SAH leaves via the bvh_tiled builder, repacked for the round
+    traversal: transposed bounds rows + per-chunk union AABBs."""
+    from . import bvh_tiled
+    base = bvh_tiled.build(p0, e1, e2, leaf_size)
+    m = base.n_leaves
+    m6 = -(-m // LC) * LC
+    lb = np.asarray(base.leaf_bounds)                     # [M, 6]
+    bounds = np.zeros((8, m6), np.float32)
+    bounds[:3, :] = BIG          # pad slots: inverted boxes, never hit
+    bounds[3:6, :] = -BIG
+    bounds[:6, :m] = lb.T
+    supw = max(m6 // LC, 8)
+    sup = np.zeros((8, supw), np.float32)
+    sup[:3, :] = BIG
+    sup[3:6, :] = -BIG
+    for c in range(m6 // LC):
+        seg = lb[c * LC:min((c + 1) * LC, m)]
+        if len(seg):
+            sup[:3, c] = seg[:, :3].min(axis=0)
+            sup[3:6, c] = seg[:, 3:].max(axis=0)
+        else:
+            sup[:3, c], sup[3:6, c] = BIG, -BIG
+    return BVHServe(tris=base.tris, bounds=jnp.asarray(bounds),
+                    sup=jnp.asarray(sup), n_leaves=m, m_pad=m6)
+
+
+# ---------------------------------------------------------------------------
+# Phase 1: cull kernel — nearest unvisited leaf per ray
+# Orientation: leaves on sublanes, rays on lanes ([LC, RCHUNK] tiles).
+# ---------------------------------------------------------------------------
+
+def _cull_kernel(bounds_ref, sup_ref, geo_ref, lk_ref, best_out, acc,
+                 *, n_chunks, m):
+    ox = geo_ref[0, 0, :][None, :]
+    oy = geo_ref[0, 1, :][None, :]
+    oz = geo_ref[0, 2, :][None, :]
+    dx = geo_ref[0, 3, :][None, :]
+    dy = geo_ref[0, 4, :][None, :]
+    dz = geo_ref[0, 5, :][None, :]
+    tb = geo_ref[0, 6, :][None, :]
+    lk = lk_ref[0, 0, :][None, :]
+
+    def inv(c):
+        return 1.0 / jnp.where(jnp.abs(c) < 1e-9,
+                               jnp.where(c < 0, -1e-9, 1e-9), c)
+
+    ix, iy, iz = inv(dx), inv(dy), inv(dz)
+    acc[...] = jnp.full((1, RCHUNK), NONE, jnp.int32)
+
+    def slab(lox, loy, loz, hix, hiy, hiz):
+        # operands broadcast [leaves-on-sublanes, rays-on-lanes]
+        t0 = (lox - ox) * ix
+        t1 = (hix - ox) * ix
+        tn = jnp.minimum(t0, t1)
+        tf = jnp.maximum(t0, t1)
+        t0 = (loy - oy) * iy
+        t1 = (hiy - oy) * iy
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+        t0 = (loz - oz) * iz
+        t1 = (hiz - oz) * iz
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+        return tn, tf
+
+    # vectorized supernode pretest: [n_chunks, RCHUNK] in one shot
+    stn, stf = slab(sup_ref[0, :][:, None], sup_ref[1, :][:, None],
+                    sup_ref[2, :][:, None], sup_ref[3, :][:, None],
+                    sup_ref[4, :][:, None], sup_ref[5, :][:, None])
+    s_ok_all = (stn <= stf) & (jnp.maximum(stn, 0.0) < tb)
+
+    for c in range(n_chunks):
+        @pl.when(jnp.any(s_ok_all[c, :]))
+        def _chunk(c=c):
+            sl = slice(c * LC, (c + 1) * LC)
+            tn, tf = slab(bounds_ref[0, sl][:, None],
+                          bounds_ref[1, sl][:, None],
+                          bounds_ref[2, sl][:, None],
+                          bounds_ref[3, sl][:, None],
+                          bounds_ref[4, sl][:, None],
+                          bounds_ref[5, sl][:, None])
+            entry = jnp.maximum(tn, 0.0)
+            # entry >= 0 so the f32 bit pattern is a positive int32 and
+            # the arithmetic shift is a logical one
+            ebits = jax.lax.bitcast_convert_type(entry, jnp.int32) >> 16
+            ids = jax.lax.broadcasted_iota(jnp.int32, (LC, 1), 0) \
+                + jnp.int32(c * LC + 1)
+            keys = (ebits << 16) | ids
+            # pad slots hold inverted +/-BIG boxes whose slab arithmetic
+            # overflows to (-inf, +inf) and "passes" — mask them by id
+            ok = (tn <= tf) & (entry < tb) & (keys > lk) \
+                & (ids <= jnp.int32(m))
+            keys = jnp.where(ok, keys, NONE)
+            acc[...] = jnp.minimum(acc[...],
+                                   jnp.min(keys, axis=0, keepdims=True))
+
+    best_out[0, 0, :] = acc[0, :]
+
+
+def _cull(bvh: BVHServe, geo, lk, interpret):
+    n_blk = geo.shape[0]
+    n_chunks = bvh.m_pad // LC
+    kernel = functools.partial(_cull_kernel, n_chunks=n_chunks,
+                               m=bvh.n_leaves)
+    best = pl.pallas_call(
+        kernel,
+        grid=(n_blk,),
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((8, bvh.m_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, bvh.sup.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, RCHUNK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, RCHUNK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, RCHUNK), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_blk, 1, RCHUNK), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((1, RCHUNK), jnp.int32)],
+    )(bvh.bounds, bvh.sup, geo, lk)
+    return best.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# Phase 3a: dense serve kernel — per 128-ray block, DMA the block's
+# first and last requested leaf slabs and test both.
+# ---------------------------------------------------------------------------
+
+def _mt_tile(tri, ox, oy, oz, dx, dy, dz, tb):
+    """tri [16, K] vs rays [1, R] -> (tmin, prim, u, v) over the slab."""
+    p0x = tri[0, :][:, None]
+    p0y = tri[1, :][:, None]
+    p0z = tri[2, :][:, None]
+    e1x = tri[3, :][:, None]
+    e1y = tri[4, :][:, None]
+    e1z = tri[5, :][:, None]
+    e2x = tri[6, :][:, None]
+    e2y = tri[7, :][:, None]
+    e2z = tri[8, :][:, None]
+    ids = tri[9, :][:, None].astype(jnp.int32)
+
+    pvx = dy * e2z - dz * e2y
+    pvy = dz * e2x - dx * e2z
+    pvz = dx * e2y - dy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    ok = det != 0.0
+    dinv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    tvx = ox - p0x
+    tvy = oy - p0y
+    tvz = oz - p0z
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * dinv
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (dx * qvx + dy * qvy + dz * qvz) * dinv
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * dinv
+    hit = (ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+           & (t >= 0.0) & (t <= tb) & (ids >= 0))
+    t_m = jnp.where(hit, t, BIG)
+    tmin = jnp.min(t_m, axis=0)
+    winner = hit & (t_m == tmin[None, :])
+    prim = jnp.max(jnp.where(winner, ids, -1), axis=0)
+    final = winner & (ids == prim[None, :])
+    uu = jnp.sum(jnp.where(final, u, 0.0), axis=0)
+    vv = jnp.sum(jnp.where(final, v, 0.0), axis=0)
+    return tmin, prim, uu, vv
+
+
+def _serve_kernel(ids_ref, tris_ref, ray_ref, leaf_ref, t_out, p_out,
+                  u_out, v_out, srv_out, buf, sem):
+    i = pl.program_id(0)
+    base = (i % (IDW // (2 * SBLK))) * (2 * SBLK)
+
+    cw = SBLK * BLK
+    t_out[0, 0, :] = jnp.full((cw,), BIG, jnp.float32)
+    p_out[0, 0, :] = jnp.full((cw,), -1, jnp.int32)
+    u_out[0, 0, :] = jnp.zeros((cw,), jnp.float32)
+    v_out[0, 0, :] = jnp.zeros((cw,), jnp.float32)
+    srv_out[0, 0, :] = jnp.zeros((cw,), jnp.int32)
+
+    for k in range(SBLK):
+        for j in range(2):
+            lid = ids_ref[base + 2 * k + j]
+            pltpu.make_async_copy(tris_ref.at[lid], buf.at[k, j],
+                                  sem.at[k, j]).start()
+
+    for k in range(SBLK):
+        sub = slice(k * BLK, (k + 1) * BLK)
+        lane_leaf = leaf_ref[0, 0, sub][None, :]
+        ox = ray_ref[0, 0, sub][None, :]
+        oy = ray_ref[0, 1, sub][None, :]
+        oz = ray_ref[0, 2, sub][None, :]
+        dx = ray_ref[0, 3, sub][None, :]
+        dy = ray_ref[0, 4, sub][None, :]
+        dz = ray_ref[0, 5, sub][None, :]
+        tb = ray_ref[0, 6, sub][None, :]
+        lid0 = ids_ref[base + 2 * k]
+        lid1 = ids_ref[base + 2 * k + 1]
+        for j in range(2):
+            lid = ids_ref[base + 2 * k + j]
+            pltpu.make_async_copy(tris_ref.at[lid], buf.at[k, j],
+                                  sem.at[k, j]).wait()
+            want = lane_leaf == lid
+            dup = jnp.bool_(j == 1) & (lid1 == lid0)
+
+            @pl.when(jnp.any(want) & ~dup)
+            def _(k=k, j=j, sub=sub, want=want):
+                tmin, prim, uu, vv = _mt_tile(buf[k, j], ox, oy, oz,
+                                              dx, dy, dz, tb)
+                w = want[0]
+                t_out[0, 0, sub] = jnp.where(w, tmin, t_out[0, 0, sub])
+                p_out[0, 0, sub] = jnp.where(w, prim, p_out[0, 0, sub])
+                u_out[0, 0, sub] = jnp.where(w, uu, u_out[0, 0, sub])
+                v_out[0, 0, sub] = jnp.where(w, vv, v_out[0, 0, sub])
+                srv_out[0, 0, sub] = jnp.where(
+                    w, 1, srv_out[0, 0, sub])
+
+
+def _serve_blocks(bvh: BVHServe, blk_ids2, rays, leaf, interpret):
+    """blk_ids2 [NB*2] i32 (first/last leaf per 128-block); rays
+    [NS, 8, cw]; leaf [NS, 1, cw] i32 -> (t, prim, u, v, served)."""
+    ns = rays.shape[0]
+    nwin = -(-blk_ids2.shape[0] // IDW)
+    ids_pad = jnp.zeros(nwin * IDW, jnp.int32).at[
+        :blk_ids2.shape[0]].set(blk_ids2)
+    cw = SBLK * BLK
+    vspec = pl.BlockSpec((1, 1, cw), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        _serve_kernel,
+        grid=(ns,),
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((IDW,), lambda i: (i // (IDW // (2 * SBLK)),),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 8, cw), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vspec,
+        ],
+        out_specs=[vspec] * 5,
+        out_shape=[
+            jax.ShapeDtypeStruct((ns, 1, cw), jnp.float32),
+            jax.ShapeDtypeStruct((ns, 1, cw), jnp.int32),
+            jax.ShapeDtypeStruct((ns, 1, cw), jnp.float32),
+            jax.ShapeDtypeStruct((ns, 1, cw), jnp.float32),
+            jax.ShapeDtypeStruct((ns, 1, cw), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((SBLK, 2, 16, K), jnp.float32),
+            pltpu.SemaphoreType.DMA((SBLK, 2)),
+        ],
+    )(ids_pad, bvh.tris, rays, leaf)
+    t, p, u, v, srv = outs
+    return (t.reshape(-1), p.reshape(-1), u.reshape(-1), v.reshape(-1),
+            srv.reshape(-1) > 0)
+
+
+# ---------------------------------------------------------------------------
+# Phase 3b: gather serve — compacted-prefix per-lane leaf fetch (tail)
+# ---------------------------------------------------------------------------
+
+def _serve_gather(bvh: BVHServe, leaf_s, sdict, ns):
+    """Serve the first `ns` (sorted, hence active-first) lanes exactly:
+    per-lane leaf-row gather + SoA dense MT. Returns full-width arrays."""
+    npad = leaf_s.shape[0]
+    lf = jax.lax.dynamic_slice_in_dim(leaf_s, 0, ns)
+    act = lf < bvh.m_pad
+    rows = jnp.take(bvh.tris, jnp.clip(lf, 0, bvh.n_leaves - 1), axis=0)
+
+    def sl(name):
+        return jax.lax.dynamic_slice_in_dim(sdict[name], 0, ns)[None, :]
+
+    tmin, prim, uu, vv = _mt_soa(rows, sl("ox"), sl("oy"), sl("oz"),
+                                 sl("dx"), sl("dy"), sl("dz"), sl("tb"))
+
+    def full(x, fill, dtype):
+        out = jnp.full(npad, fill, dtype)
+        return jax.lax.dynamic_update_slice_in_dim(out, x, 0, axis=0)
+
+    served = full(act, False, bool)
+    return (full(tmin, BIG, jnp.float32), full(prim, -1, jnp.int32),
+            full(uu, 0.0, jnp.float32), full(vv, 0.0, jnp.float32),
+            served)
+
+
+def _mt_soa(rows, ox, oy, oz, dx, dy, dz, tb):
+    """rows [ns, 16, K] gathered leaf slabs vs rays [1, ns] -> best per
+    lane. K stays on lanes: every op is [ns, K]."""
+    oxc = ox[0][:, None]
+    oyc = oy[0][:, None]
+    ozc = oz[0][:, None]
+    dxc = dx[0][:, None]
+    dyc = dy[0][:, None]
+    dzc = dz[0][:, None]
+    tbc = tb[0][:, None]
+    p0x, p0y, p0z = rows[:, 0, :], rows[:, 1, :], rows[:, 2, :]
+    e1x, e1y, e1z = rows[:, 3, :], rows[:, 4, :], rows[:, 5, :]
+    e2x, e2y, e2z = rows[:, 6, :], rows[:, 7, :], rows[:, 8, :]
+    ids = rows[:, 9, :].astype(jnp.int32)
+
+    pvx = dyc * e2z - dzc * e2y
+    pvy = dzc * e2x - dxc * e2z
+    pvz = dxc * e2y - dyc * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    ok = det != 0.0
+    dinv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    tvx = oxc - p0x
+    tvy = oyc - p0y
+    tvz = ozc - p0z
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * dinv
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (dxc * qvx + dyc * qvy + dzc * qvz) * dinv
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * dinv
+    hit = (ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+           & (t >= 0.0) & (t <= tbc) & (ids >= 0))
+    t_m = jnp.where(hit, t, BIG)
+    tmin = jnp.min(t_m, axis=1)
+    winner = hit & (t_m == tmin[:, None])
+    prim = jnp.max(jnp.where(winner, ids, -1), axis=1)
+    final = winner & (ids == prim[:, None])
+    uu = jnp.sum(jnp.where(final, u, 0.0), axis=1)
+    vv = jnp.sum(jnp.where(final, v, 0.0), axis=1)
+    return tmin, prim, uu, vv
+
+
+# ---------------------------------------------------------------------------
+# Round loop
+# ---------------------------------------------------------------------------
+
+NAMES = ("ox", "oy", "oz", "dx", "dy", "dz", "tb", "prim", "u", "v",
+         "lk", "rid")
+
+
+MIN_W = 4096     # narrowest ladder width
+SHRINK_DIV = 4   # drop a level when actives fit in width / SHRINK_DIV
+
+
+def _cull_state(bvh, s, interpret):
+    npad = s["ox"].shape[0]
+    geo = jnp.stack([s["ox"], s["oy"], s["oz"], s["dx"], s["dy"],
+                     s["dz"], s["tb"], s["tb"]], axis=0)
+    geo = jnp.transpose(geo.reshape(8, npad // RCHUNK, RCHUNK),
+                        (1, 0, 2))
+    lkb = jnp.transpose(
+        s["lk"].reshape(1, npad // RCHUNK, RCHUNK), (1, 0, 2))
+    best = _cull(bvh, geo, lkb, interpret)
+    live = (best != NONE) & (s["rid"] >= 0)
+    return best, live
+
+
+def _round_once(bvh, s, best, live, closest, interpret):
+    """Sort by requested leaf, serve, fold results into the state."""
+    npad = s["ox"].shape[0]
+    m6 = bvh.m_pad
+    ns_tail = max(npad // TAIL_DIV, SBLK * BLK)
+    n_live = jnp.sum(live.astype(jnp.int32))
+
+    # 0-based leaf; inert lanes get m6 and sort to the end
+    leaf = jnp.where(live, (best & jnp.int32(0xFFFF)) - 1, m6)
+    vals = tuple(s[n] for n in NAMES[:10]) \
+        + (jnp.where(live, best, s["lk"]), s["rid"])
+    sorted_ = jax.lax.sort((leaf,) + vals, num_keys=1)
+    leaf_s = sorted_[0]
+    ss = dict(zip(NAMES, sorted_[1:]))
+
+    def big(_):
+        blk2 = leaf_s.reshape(npad // BLK, BLK)[:, [0, BLK - 1]]
+        blk2 = jnp.clip(blk2, 0, bvh.n_leaves - 1).reshape(-1)
+        cw = SBLK * BLK
+        rays = jnp.stack([ss["ox"], ss["oy"], ss["oz"], ss["dx"],
+                          ss["dy"], ss["dz"], ss["tb"], ss["tb"]],
+                         axis=0)
+        rays = jnp.transpose(rays.reshape(8, npad // cw, cw), (1, 0, 2))
+        leaf_b = jnp.transpose(
+            leaf_s.reshape(1, npad // cw, cw), (1, 0, 2))
+        return _serve_blocks(bvh, blk2, rays, leaf_b, interpret)
+
+    def small(_):
+        return _serve_gather(bvh, leaf_s, ss, ns_tail)
+
+    ct, cp, cu, cv, served = jax.lax.cond(
+        n_live > ns_tail, big, small, None)
+
+    live_s = (leaf_s < m6) & (ss["rid"] >= 0)
+    served = served & live_s
+    hit = served & (cp >= 0) & (ct < ss["tb"])
+    out = dict(ss)
+    out["tb"] = jnp.where(hit, ct, ss["tb"])
+    out["prim"] = jnp.where(hit, cp, ss["prim"])
+    out["u"] = jnp.where(hit, cu, ss["u"])
+    out["v"] = jnp.where(hit, cv, ss["v"])
+    # the cursor only advances for lanes actually served: an unserved
+    # lane steps back to best-1 so the next cull re-selects the same
+    # leaf (keys are distinct integers)
+    out["lk"] = jnp.where(live_s & ~served, ss["lk"] - 1, ss["lk"])
+    if not closest:
+        done = (out["prim"] >= 0) | (out["rid"] < 0)
+        out["lk"] = jnp.where(done, NONE, out["lk"])
+    return out
+
+
+def _run_level(bvh, state, closest, interpret, max_rounds):
+    """Round loop at this width; once actives fit in width/SHRINK_DIV,
+    compact them into a prefix and recurse one level narrower — straggler
+    rounds (the long tail of per-ray leaf-visit counts) then cost a
+    fraction of the full-width cull/sort/serve."""
+    npad = state["ox"].shape[0]
+    m6 = bvh.m_pad
+    thresh = -(-(npad // SHRINK_DIV) // (SBLK * BLK)) * (SBLK * BLK)
+    shrink = thresh >= MIN_W and thresh < npad
+    loop_thresh = thresh if shrink else 0
+
+    best0, live0 = _cull_state(bvh, state, interpret)
+    carry = dict(state)
+    carry["_best"] = best0
+    carry["_nl"] = jnp.sum(live0.astype(jnp.int32))
+    carry["_r"] = jnp.int32(0)
+
+    def cond(c):
+        return (c["_nl"] > loop_thresh) & (c["_r"] < max_rounds)
+
+    def body(c):
+        s = {k: c[k] for k in NAMES}
+        live = (c["_best"] != NONE) & (s["rid"] >= 0)
+        s2 = _round_once(bvh, s, c["_best"], live, closest, interpret)
+        best, live2 = _cull_state(bvh, s2, interpret)
+        out = dict(s2)
+        out["_best"] = best
+        out["_nl"] = jnp.sum(live2.astype(jnp.int32))
+        out["_r"] = c["_r"] + 1
+        return out
+
+    c = jax.lax.while_loop(cond, body, carry)
+    s = {k: c[k] for k in NAMES}
+    if not shrink:
+        return s
+    # compact the remaining actives into a prefix, recurse narrower
+    live = (c["_best"] != NONE) & (s["rid"] >= 0)
+    leaf = jnp.where(live, (c["_best"] & jnp.int32(0xFFFF)) - 1, m6)
+    sorted_ = jax.lax.sort(
+        (leaf,) + tuple(s[n] for n in NAMES), num_keys=1)
+    ss = dict(zip(NAMES, sorted_[1:]))
+    sub = {k: ss[k][:thresh] for k in NAMES}
+    rest = {k: ss[k][thresh:] for k in NAMES}
+    done = _run_level(bvh, sub, closest, interpret, max_rounds)
+    return {k: jnp.concatenate([rest[k], done[k]]) for k in NAMES}
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("closest", "interpret", "max_rounds"))
+def _trace_padded(bvh: BVHServe, ox, oy, oz, dx, dy, dz, tb, rayid,
+                  closest: bool, interpret: bool, max_rounds: int):
+    npad = ox.shape[0]
+    state = dict(
+        ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz, tb=tb,
+        prim=jnp.full(npad, -1, jnp.int32),
+        u=jnp.zeros(npad, jnp.float32), v=jnp.zeros(npad, jnp.float32),
+        lk=jnp.zeros(npad, jnp.int32), rid=rayid)
+    s = _run_level(bvh, state, closest, interpret, max_rounds)
+    key = jnp.where(s["rid"] < 0, jnp.int32(2 ** 30), s["rid"])
+    _, t_o, p_o, u_o, v_o = jax.lax.sort(
+        (key, s["tb"], s["prim"], s["u"], s["v"]), num_keys=1)
+    return t_o, p_o, u_o, v_o
+
+
+def _trace(bvh: BVHServe, o: Vec3, d: Vec3, maxt, closest: bool):
+    n = o.x.shape[0]
+    sg = jax.lax.stop_gradient
+    o, d = jax.tree_util.tree_map(sg, (o, d))
+    maxt = jnp.minimum(sg(maxt), jnp.float32(3e38))
+    cw = max(SBLK * BLK, RCHUNK)
+    npad = -(-n // cw) * cw
+
+    def pad(x, fill):
+        return jnp.full(npad, fill, x.dtype).at[:n].set(x)
+
+    rayid = jnp.full(npad, -1, jnp.int32).at[:n].set(
+        jnp.arange(n, dtype=jnp.int32))
+    t, prim, u, v = _trace_padded(
+        bvh, pad(o.x, 0.0), pad(o.y, 0.0), pad(o.z, 0.0),
+        pad(d.x, 0.0), pad(d.y, 0.0), pad(d.z, 1.0), pad(maxt, -1.0),
+        rayid, closest, jax.default_backend() == "cpu",
+        max_rounds=4 * bvh.n_leaves + 8)
+    return t[:n], prim[:n], u[:n], v[:n]
+
+
+def intersect_bvh(bvh: BVHServe, o: Vec3, d: Vec3, maxt, active=None):
+    mt = maxt if active is None else jnp.where(active, maxt, -1.0)
+    t, prim, u, v = _trace(bvh, o, d, mt, closest=True)
+    valid = prim >= 0
+    return (jnp.where(valid, t, maxt), prim, Vec2(u, v), valid)
+
+
+def occluded_bvh(bvh: BVHServe, o: Vec3, d: Vec3, maxt, active=None):
+    mt = maxt if active is None else jnp.where(active, maxt, -1.0)
+    _, prim, _, _ = _trace(bvh, o, d, mt, closest=False)
+    return prim >= 0

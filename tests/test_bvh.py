@@ -157,3 +157,54 @@ def test_params_update_preserves_accel_type():
     # the rebuilt accel reflects the new vertices (renders don't crash)
     img = np.asarray(mi.render(scene2, spp=4))
     assert np.isfinite(img).all()
+
+
+def test_serve_matches_oracle(np_rng):
+    """Round-based nearest-leaf intersector (ops/bvh_serve.py) vs the
+    dense oracle: closest hit (t/prim/uv), any-hit, short maxt, and the
+    active mask. Multi-leaf scene so the cull/sort/serve loop runs both
+    the block path (round 1) and the gather tail."""
+    n_tri, n_ray = 2000, 1024
+    p0n, e1n, e2n = _rand_tris(np_rng, n_tri)
+    from mitsuba3_tpu.ops import bvh_serve
+    bvh = bvh_serve.build(p0n, e1n, e2n)
+    assert bvh.n_leaves > 4
+
+    p0 = Vec3.from_array(jnp.asarray(p0n))
+    e1 = Vec3.from_array(jnp.asarray(e1n))
+    e2 = Vec3.from_array(jnp.asarray(e2n))
+
+    o = np_rng.uniform(-4, 4, (n_ray, 3)).astype(np.float32)
+    d = np_rng.normal(size=(n_ray, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    ov = Vec3.from_array(jnp.asarray(o))
+    dv = Vec3.from_array(jnp.asarray(d))
+    maxt = jnp.full(n_ray, 1e30, jnp.float32)
+
+    t1, pr1, uv1, v1 = intersect_naive(ov, dv, maxt, p0, e1, e2)
+    t2, pr2, uv2, v2 = bvh_serve.intersect_bvh(bvh, ov, dv, maxt)
+    v1n, v2n = np.asarray(v1), np.asarray(v2)
+    assert (v1n == v2n).all()
+    sel = v1n
+    assert (np.asarray(pr1)[sel] == np.asarray(pr2)[sel]).all()
+    assert np.allclose(np.asarray(t1)[sel], np.asarray(t2)[sel],
+                       rtol=1e-4, atol=1e-5)
+    assert np.allclose(np.asarray(uv1.x)[sel], np.asarray(uv2.x)[sel],
+                       atol=2e-3)
+    assert np.allclose(np.asarray(uv1.y)[sel], np.asarray(uv2.y)[sel],
+                       atol=2e-3)
+
+    # anyhit with a maxt below every true hit reports no occlusion
+    short = jnp.where(v1, t1 * 0.9, 1e30)
+    occ_s = np.asarray(bvh_serve.occluded_bvh(bvh, ov, dv, short))
+    assert not occ_s[sel].any()
+    occ1 = np.asarray(occluded_naive(ov, dv, jnp.full(n_ray, 2.0),
+                                     p0, e1, e2))
+    occ2 = np.asarray(bvh_serve.occluded_bvh(bvh, ov, dv,
+                                             jnp.full(n_ray, 2.0)))
+    assert (occ1 == occ2).all()
+
+    # inactive lanes (active=False) never report hits
+    act = jnp.asarray(np.arange(n_ray) % 2 == 0)
+    _, _, _, v3 = bvh_serve.intersect_bvh(bvh, ov, dv, maxt, active=act)
+    assert not np.asarray(v3)[~np.asarray(act)].any()
