@@ -202,7 +202,8 @@ def _loop(scene, rng, ray, cfg: PRBConfig, mode: str, dL=None, L_in=None,
         active_next = s.active & ((s.depth + 1) < cfg.max_depth) & si.is_valid()
 
         bsdf_idx = attrs["bsdf"]
-        flags = bsdfs.lane_flags(scene_det.bsdf_types, bsdf_idx)
+        flags = bsdfs.lane_flags(scene_det.bsdf_types, bsdf_idx,
+                                 scene_det.bsdf_flags)
         smooth = (flags & bsdfs.SMOOTH) != 0
 
         # ---------------- Emitter sampling (detached) ---------------------

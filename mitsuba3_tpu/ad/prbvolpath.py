@@ -159,7 +159,8 @@ def _loop(scene, rng, ray, cfg, mode: str, dL=None, L_in=None, theta=None):
 
         depth_ok = (s.depth + 1) < cfg.max_depth
         bsdf_idx = attrs["bsdf"]
-        flags = bsdfs.lane_flags(scene_det.bsdf_types, bsdf_idx)
+        flags = bsdfs.lane_flags(scene_det.bsdf_types, bsdf_idx,
+                                 scene_det.bsdf_flags)
         smooth = (flags & bsdfs.SMOOTH) != 0
 
         # --------------------------- NEE ----------------------------------

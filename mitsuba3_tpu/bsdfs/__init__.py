@@ -54,7 +54,7 @@ MEASURED = 15
 PPLASTIC = 16
 MEASURED_POLARIZED = 17
 PRINCIPLED_THIN = 18
-N_PARAMS = 16  # bsdf_params row width
+N_PARAMS = 17  # bsdf_params row width ([16] = two-sided flag, all types)
 
 _REGISTRY = {}
 
@@ -71,9 +71,17 @@ def type_flags(type_id) -> int:
     return _REGISTRY[type_id].FLAGS
 
 
-def lane_flags(bsdf_types: tuple, bsdf_idx):
-    """Per-lane BSDFFlags: static table lookup by bsdf slot index."""
-    table = jnp.array([type_flags(t) for t in bsdf_types], jnp.uint32)
+def lane_flags(bsdf_types: tuple, bsdf_idx, slot_flags: tuple = None):
+    """Per-lane BSDFFlags: static table lookup by bsdf slot index.
+
+    ``slot_flags`` (scene.bsdf_flags, computed at load) refines the
+    per-type table with resolved adapter chains — e.g. mask(conductor)
+    reports Delta|Null, not the adapter's conservative Smooth guess
+    (mask.cpp: m_flags = nested->flags() | Null)."""
+    if slot_flags:
+        table = jnp.array(slot_flags, jnp.uint32)
+    else:
+        table = jnp.array([type_flags(t) for t in bsdf_types], jnp.uint32)
     return table[bsdf_idx]
 
 
@@ -108,38 +116,51 @@ def eval_pdf(scene, bsdf_idx, si, wo):
 
 def flip_for_twosided(params, si):
     """Adapter two-sided handling (twosided.cpp wrapping an adapter):
-    when the adapter row carries the two-sided flag ([7]) and the query
+    when the adapter row carries the two-sided flag ([16]) and the query
     is on the back side, mirror the frame for the nested calls and let
     the caller mirror sampled directions back with ``sgn``."""
     import dataclasses as _dc
     from ..core.vec import Vec3
-    sgn = jnp.where((params[7] > 0.5) & (si.wi.z < 0.0), -1.0, 1.0)
+    sgn = jnp.where((params[16] > 0.5) & (si.wi.z < 0.0), -1.0, 1.0)
     si_f = _dc.replace(si, wi=Vec3(si.wi.x, si.wi.y, si.wi.z * sgn))
     return si_f, sgn
 
 
-# Adapter BSDFs (mask/blendbsdf/normalmap) wrap a nested BSDF slot. Their
-# nested calls dispatch over the *non-adapter* types only, which bounds the
-# recursion at one level (the reference nests arbitrarily via vcalls;
-# adapters-of-adapters are rejected at load time).
+# Adapter BSDFs (mask/blendbsdf/normalmap) wrap a nested BSDF slot. The
+# reference nests arbitrarily via vcalls (twosided-of-mask-of-rough...);
+# here nesting unrolls statically: ``dispatch_nested`` keeps including
+# adapter types until the scene's actual maximum adapter-chain depth
+# (``scene.adapter_max_depth``, computed at load) is reached, then
+# dispatches over leaf types only. A module-level counter tracks the
+# static trace depth (tracing is single-threaded Python, so this is a
+# plain unroll bound, not runtime state).
 _ADAPTER_TYPES = frozenset((9, 10, 11))  # MASK, BLEND, NORMALMAP
+_nest_level = 0
 
 
 def dispatch_nested(scene, bsdf_idx, fn_name, *args):
-    unique = tuple(t for t in sorted(set(scene.bsdf_types))
-                   if t not in _ADAPTER_TYPES)
-    type_per_slot = jnp.array(scene.bsdf_types, jnp.int32)
-    lane_type = type_per_slot[bsdf_idx]
-    result = None
-    for t in unique:
-        out = getattr(_REGISTRY[t], fn_name)(scene, bsdf_idx, *args)
-        if result is None:
-            result = out
-        else:
-            mask_l = lane_type == t
-            result = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(mask_l, new, old), out, result)
-    return result
+    global _nest_level
+    _nest_level += 1
+    try:
+        max_depth = getattr(scene, "adapter_max_depth", 1) or 1
+        unique = tuple(t for t in sorted(set(scene.bsdf_types))
+                       if _nest_level < max_depth
+                       or t not in _ADAPTER_TYPES)
+        type_per_slot = jnp.array(scene.bsdf_types, jnp.int32)
+        lane_type = type_per_slot[bsdf_idx]
+        result = None
+        for t in unique:
+            out = getattr(_REGISTRY[t], fn_name)(scene, bsdf_idx, *args)
+            if result is None:
+                result = out
+            else:
+                mask_l = lane_type == t
+                result = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(mask_l, new, old),
+                    out, result)
+        return result
+    finally:
+        _nest_level -= 1
 
 
 def eval_null_transmission(scene, bsdf_idx, si):

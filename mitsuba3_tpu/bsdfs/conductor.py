@@ -1,8 +1,9 @@
 """Smooth conductor — counterpart of src/bsdfs/conductor.cpp.
 
 Perfect specular reflection with complex-IOR Fresnel.
-Param row (N_PARAMS=16): [0:3]=eta_re rgb, [3:6]=k rgb,
-[8:11]=specular_reflectance rgb. Params arrive as SoA rows [P, N].
+Param row: [0:3]=eta_re rgb, [3:6]=k rgb,
+[8:11]=specular_reflectance rgb, [16]=two-sided flag.
+Params arrive as SoA rows [P, N].
 """
 from __future__ import annotations
 
@@ -17,7 +18,10 @@ FLAGS = 0x0020 | 0x2000  # DeltaReflection | FrontSide
 
 def sample(scene, bsdf_idx, si, s1, s2):
     params = scene.gather_bsdf_params(bsdf_idx)
-    cos_theta_i = si.wi.z
+    # two-sided: mirror reflection is frame-mirror invariant, so only
+    # the Fresnel/active cosine needs the flipped sign
+    sgn = jnp.where((params[16] > 0.5) & (si.wi.z < 0.0), -1.0, 1.0)
+    cos_theta_i = si.wi.z * sgn
     active = cos_theta_i > 0.0
 
     wo = reflect(si.wi)

@@ -1,7 +1,7 @@
 """Smooth diffuse (Lambertian) BSDF — counterpart of src/bsdfs/diffuse.cpp.
 
 Param row: [0:3] reflectance rgb, [3] texture id (0 = constant),
-[7] two-sided flag. `params` arrives as SoA rows [N_PARAMS, N].
+[16] two-sided flag. `params` arrives as SoA rows [N_PARAMS, N].
 """
 from __future__ import annotations
 
@@ -19,7 +19,7 @@ FLAGS = 0x0002 | 0x2000  # DiffuseReflection | FrontSide
 def _side_sign(params, si):
     """Two-sided handling (twosided.cpp semantics): flip the local frame
     for lanes hit from the back when the two-sided flag is set."""
-    flip = (params[7] > 0.5) & (si.wi.z < 0.0)
+    flip = (params[16] > 0.5) & (si.wi.z < 0.0)
     return jnp.where(flip, -1.0, 1.0)
 
 

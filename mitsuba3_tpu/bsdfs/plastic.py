@@ -21,7 +21,7 @@ FLAGS = 0x0020 | 0x0002 | 0x2000  # DeltaReflection | DiffuseReflection | Front
 
 
 def _side_sign(params, si):
-    flip = (params[7] > 0.5) & (si.wi.z < 0.0)
+    flip = (params[16] > 0.5) & (si.wi.z < 0.0)
     return jnp.where(flip, -1.0, 1.0)
 
 

@@ -28,7 +28,7 @@ FLAGS = DELTA_REFLECTION | DIFFUSE_REFLECTION | 0x2000
 
 
 def _side_sign(params, si):
-    flip = (params[7] > 0.5) & (si.wi.z < 0.0)
+    flip = (params[16] > 0.5) & (si.wi.z < 0.0)
     return jnp.where(flip, -1.0, 1.0)
 
 

@@ -150,7 +150,7 @@ def _eval_pdf_impl(scene, params, si, wi, wo):
 
 
 def _side(params, si):
-    flip = (params[7] > 0.5) & (si.wi.z < 0.0)
+    flip = (params[16] > 0.5) & (si.wi.z < 0.0)
     return jnp.where(flip, -1.0, 1.0)
 
 

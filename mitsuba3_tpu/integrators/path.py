@@ -138,7 +138,8 @@ def sample(scene, rng, ray: Ray, cfg: PathConfig, active=None, pi0=None):
             valid_ray = s.valid_ray | (s.active & hit_emitter)
 
         bsdf_idx = attrs["bsdf"]
-        flags = bsdfs.lane_flags(scene.bsdf_types, bsdf_idx)
+        flags = bsdfs.lane_flags(scene.bsdf_types, bsdf_idx,
+                                 scene.bsdf_flags)
         smooth = (flags & bsdfs.SMOOTH) != 0
 
         # ---------------------- Emitter sampling (NEE) ----------------

@@ -271,6 +271,55 @@ def _try_analytic(spec: dict):
     return row
 
 
+def _slot_flags(bsdf_types, bsdf_rows):
+    """Resolved BSDFFlags per slot: adapters inherit the union of their
+    nested chains (mask.cpp m_flags = nested | Null; blendbsdf.cpp
+    union; normalmap.cpp pass-through); the two-sided flag adds
+    BackSide (twosided.cpp)."""
+    adapters = {bsdfs_pkg.MASK, bsdfs_pkg.BLEND, bsdfs_pkg.NORMALMAP}
+
+    def fl(slot, seen):
+        t = bsdf_types[slot]
+        base = bsdfs_pkg.type_flags(t)
+        if t in adapters and slot not in seen:
+            row = bsdf_rows[slot]
+            seen = seen | {slot}
+            kids = [int(round(float(row[15])))]
+            if t == bsdfs_pkg.BLEND:
+                kids.append(int(round(float(row[14]))))
+            nested = 0
+            for k in kids:
+                if 0 <= k < len(bsdf_types):
+                    nested |= fl(k, seen)
+            base = nested | (bsdfs_pkg.NULL_FLAG
+                             if t == bsdfs_pkg.MASK else 0)
+        if float(bsdf_rows[slot][16]) > 0.5:
+            base |= bsdfs_pkg.FRONT_SIDE | bsdfs_pkg.BACK_SIDE
+        return base
+    return tuple(fl(i, frozenset()) for i in range(len(bsdf_types)))
+
+
+def _adapter_chain_depth(bsdf_types, bsdf_rows):
+    """Longest adapter (mask/blend/normalmap) chain in the scene — the
+    static unroll bound for ``bsdfs.dispatch_nested`` (the reference
+    nests via vcalls with no bound, bsdf.h:274)."""
+    adapters = {bsdfs_pkg.MASK, bsdfs_pkg.BLEND, bsdfs_pkg.NORMALMAP}
+
+    def depth(slot, seen):
+        t = bsdf_types[slot]
+        if t not in adapters or slot in seen:
+            return 0
+        row = bsdf_rows[slot]
+        kids = [int(round(float(row[15])))]
+        if t == bsdfs_pkg.BLEND:
+            kids.append(int(round(float(row[14]))))
+        seen = seen | {slot}
+        return 1 + max(depth(k, seen) for k in kids
+                       if 0 <= k < len(bsdf_types))
+    return max([depth(i, frozenset()) for i in range(len(bsdf_types))],
+               default=1) or 1
+
+
 def _bsdf_row(spec: dict, textures: list, add_bsdf=None, measured=None,
               pbsdf=None):
     """Lower a BSDF spec -> (type_id, params row [N_PARAMS]).
@@ -291,9 +340,6 @@ def _bsdf_row(spec: dict, textures: list, add_bsdf=None, measured=None,
         if add_bsdf is None:
             raise ValueError(f"{btype!r} requires nested BSDF registration")
         nests = nested_specs()
-        for ns in nests:
-            if ns["type"] in ("mask", "blendbsdf", "normalmap", "bumpmap"):
-                raise ValueError("adapter-of-adapter BSDFs are unsupported")
         if btype == "mask":
             op = spec.get("opacity", 0.5)
             if isinstance(op, dict) and op.get("type") in ("bitmap",
@@ -384,7 +430,10 @@ def _bsdf_row(spec: dict, textures: list, add_bsdf=None, measured=None,
             and v["type"] in _BSDF_TYPES)
         tid, params = _bsdf_row(inner, textures, add_bsdf, measured,
                                 pbsdf)
-        params[7] = 1.0  # two-sided flag (honored by smooth BSDFs)
+        # two-sided flag lives in its own column — [7] is alpha_v/eta/
+        # spec_t for the rough lobes, so flagging there corrupted
+        # twosided(roughconductor) etc.
+        params[16] = 1.0
         return tid, params
     if btype == "diffuse":
         color_or_texture(spec.get("reflectance"), (0.5, 0.5, 0.5), 0, 3)
@@ -1159,18 +1208,13 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
             from .ops import bvh_xla
             accel = bvh_xla.build(p0w, e1w, e2w)
         else:
-            # TPU hybrid: uniform-grid DDA (ops/grid.py) for CLOSEST
-            # queries — measured ~2x the sorted-tile kernel on the
-            # incoherent bounce rays that dominate path tracing — and
-            # the sorted-tile kernel (ops/bvh_tiled.py) for ray_test —
-            # shadow rays converge on shared light directions, exactly
-            # the coherence its per-tile frustum cull needs (measured
-            # 6-10x the grid there).
-            from .ops import bvh_tiled
-            from .ops import grid as grid_mod
-            accel = grid_mod.build(p0w, e1w, e2w)
-            accel = HybridAccel(closest=accel,
-                                anyhit=bvh_tiled.build(p0w, e1w, e2w))
+            # TPU: round-based nearest-leaf cull/sort/serve intersector
+            # (ops/bvh_serve.py) — measured 5.4/5.7 Mrays/s closest
+            # (bounce/primary) and 5.6/11.3 any-hit on terrain64k,
+            # beating both the DDA grid closest path (~2.0) and the
+            # sorted-tile any-hit path (0.8 incoherent / 5.8 coherent).
+            from .ops import bvh_serve
+            accel = bvh_serve.build(p0w, e1w, e2w)
 
     return Scene(
         vertices=jnp.asarray(vertices),
@@ -1229,6 +1273,8 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
         n_shapes=len(shape_items),
         n_emitters=n_emitters,
         bsdf_types=tuple(bsdf_types),
+        bsdf_flags=_slot_flags(bsdf_types, bsdf_params),
+        adapter_max_depth=_adapter_chain_depth(bsdf_types, bsdf_params),
         film=film_cfg,
         sensor_config=sensor_cfg,
         integrator=integrator_cfg,

@@ -101,14 +101,14 @@ def build(p0, e1, e2, leaf_size=K):
 
 def _cull_kernel(bounds_ref, sup_ref, geo_ref, lk_ref, best_out, acc,
                  *, n_chunks, m):
-    ox = geo_ref[0, 0, :][None, :]
-    oy = geo_ref[0, 1, :][None, :]
-    oz = geo_ref[0, 2, :][None, :]
-    dx = geo_ref[0, 3, :][None, :]
-    dy = geo_ref[0, 4, :][None, :]
-    dz = geo_ref[0, 5, :][None, :]
-    tb = geo_ref[0, 6, :][None, :]
-    lk = lk_ref[0, 0, :][None, :]
+    ox = geo_ref[0, :][None, :]
+    oy = geo_ref[1, :][None, :]
+    oz = geo_ref[2, :][None, :]
+    dx = geo_ref[3, :][None, :]
+    dy = geo_ref[4, :][None, :]
+    dz = geo_ref[5, :][None, :]
+    tb = geo_ref[6, :][None, :]
+    lk = lk_ref[0, :][None, :]
 
     def inv(c):
         return 1.0 / jnp.where(jnp.abs(c) < 1e-9,
@@ -164,11 +164,13 @@ def _cull_kernel(bounds_ref, sup_ref, geo_ref, lk_ref, best_out, acc,
             acc[...] = jnp.minimum(acc[...],
                                    jnp.min(keys, axis=0, keepdims=True))
 
-    best_out[0, 0, :] = acc[0, :]
+    best_out[0, :] = acc[0, :]
 
 
 def _cull(bvh: BVHServe, geo, lk, interpret):
-    n_blk = geo.shape[0]
+    """geo [8, npad] row-major ray state, lk [1, npad] -> best [npad]."""
+    npad = geo.shape[1]
+    n_blk = npad // RCHUNK
     n_chunks = bvh.m_pad // LC
     kernel = functools.partial(_cull_kernel, n_chunks=n_chunks,
                                m=bvh.n_leaves)
@@ -181,17 +183,17 @@ def _cull(bvh: BVHServe, geo, lk, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, bvh.sup.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, RCHUNK), lambda i: (i, 0, 0),
+            pl.BlockSpec((8, RCHUNK), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, RCHUNK), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, RCHUNK), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, RCHUNK), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, RCHUNK), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_blk, 1, RCHUNK), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((1, npad), jnp.int32),
         scratch_shapes=[pltpu.VMEM((1, RCHUNK), jnp.int32)],
     )(bvh.bounds, bvh.sup, geo, lk)
-    return best.reshape(-1)
+    return best[0]
 
 
 # ---------------------------------------------------------------------------
@@ -245,11 +247,11 @@ def _serve_kernel(ids_ref, tris_ref, ray_ref, leaf_ref, t_out, p_out,
     base = (i % (IDW // (2 * SBLK))) * (2 * SBLK)
 
     cw = SBLK * BLK
-    t_out[0, 0, :] = jnp.full((cw,), BIG, jnp.float32)
-    p_out[0, 0, :] = jnp.full((cw,), -1, jnp.int32)
-    u_out[0, 0, :] = jnp.zeros((cw,), jnp.float32)
-    v_out[0, 0, :] = jnp.zeros((cw,), jnp.float32)
-    srv_out[0, 0, :] = jnp.zeros((cw,), jnp.int32)
+    t_out[0, :] = jnp.full((cw,), BIG, jnp.float32)
+    p_out[0, :] = jnp.full((cw,), -1, jnp.int32)
+    u_out[0, :] = jnp.zeros((cw,), jnp.float32)
+    v_out[0, :] = jnp.zeros((cw,), jnp.float32)
+    srv_out[0, :] = jnp.zeros((cw,), jnp.int32)
 
     for k in range(SBLK):
         for j in range(2):
@@ -259,14 +261,14 @@ def _serve_kernel(ids_ref, tris_ref, ray_ref, leaf_ref, t_out, p_out,
 
     for k in range(SBLK):
         sub = slice(k * BLK, (k + 1) * BLK)
-        lane_leaf = leaf_ref[0, 0, sub][None, :]
-        ox = ray_ref[0, 0, sub][None, :]
-        oy = ray_ref[0, 1, sub][None, :]
-        oz = ray_ref[0, 2, sub][None, :]
-        dx = ray_ref[0, 3, sub][None, :]
-        dy = ray_ref[0, 4, sub][None, :]
-        dz = ray_ref[0, 5, sub][None, :]
-        tb = ray_ref[0, 6, sub][None, :]
+        lane_leaf = leaf_ref[0, sub][None, :]
+        ox = ray_ref[0, sub][None, :]
+        oy = ray_ref[1, sub][None, :]
+        oz = ray_ref[2, sub][None, :]
+        dx = ray_ref[3, sub][None, :]
+        dy = ray_ref[4, sub][None, :]
+        dz = ray_ref[5, sub][None, :]
+        tb = ray_ref[6, sub][None, :]
         lid0 = ids_ref[base + 2 * k]
         lid1 = ids_ref[base + 2 * k + 1]
         for j in range(2):
@@ -281,23 +283,23 @@ def _serve_kernel(ids_ref, tris_ref, ray_ref, leaf_ref, t_out, p_out,
                 tmin, prim, uu, vv = _mt_tile(buf[k, j], ox, oy, oz,
                                               dx, dy, dz, tb)
                 w = want[0]
-                t_out[0, 0, sub] = jnp.where(w, tmin, t_out[0, 0, sub])
-                p_out[0, 0, sub] = jnp.where(w, prim, p_out[0, 0, sub])
-                u_out[0, 0, sub] = jnp.where(w, uu, u_out[0, 0, sub])
-                v_out[0, 0, sub] = jnp.where(w, vv, v_out[0, 0, sub])
-                srv_out[0, 0, sub] = jnp.where(
-                    w, 1, srv_out[0, 0, sub])
+                t_out[0, sub] = jnp.where(w, tmin, t_out[0, sub])
+                p_out[0, sub] = jnp.where(w, prim, p_out[0, sub])
+                u_out[0, sub] = jnp.where(w, uu, u_out[0, sub])
+                v_out[0, sub] = jnp.where(w, vv, v_out[0, sub])
+                srv_out[0, sub] = jnp.where(w, 1, srv_out[0, sub])
 
 
 def _serve_blocks(bvh: BVHServe, blk_ids2, rays, leaf, interpret):
     """blk_ids2 [NB*2] i32 (first/last leaf per 128-block); rays
-    [NS, 8, cw]; leaf [NS, 1, cw] i32 -> (t, prim, u, v, served)."""
-    ns = rays.shape[0]
+    [8, npad]; leaf [1, npad] i32 -> (t, prim, u, v, served) flat."""
+    npad = rays.shape[1]
+    cw = SBLK * BLK
+    ns = npad // cw
     nwin = -(-blk_ids2.shape[0] // IDW)
     ids_pad = jnp.zeros(nwin * IDW, jnp.int32).at[
         :blk_ids2.shape[0]].set(blk_ids2)
-    cw = SBLK * BLK
-    vspec = pl.BlockSpec((1, 1, cw), lambda i: (i, 0, 0),
+    vspec = pl.BlockSpec((1, cw), lambda i: (0, i),
                          memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         _serve_kernel,
@@ -307,17 +309,17 @@ def _serve_blocks(bvh: BVHServe, blk_ids2, rays, leaf, interpret):
             pl.BlockSpec((IDW,), lambda i: (i // (IDW // (2 * SBLK)),),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, 8, cw), lambda i: (i, 0, 0),
+            pl.BlockSpec((8, cw), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             vspec,
         ],
         out_specs=[vspec] * 5,
         out_shape=[
-            jax.ShapeDtypeStruct((ns, 1, cw), jnp.float32),
-            jax.ShapeDtypeStruct((ns, 1, cw), jnp.int32),
-            jax.ShapeDtypeStruct((ns, 1, cw), jnp.float32),
-            jax.ShapeDtypeStruct((ns, 1, cw), jnp.float32),
-            jax.ShapeDtypeStruct((ns, 1, cw), jnp.int32),
+            jax.ShapeDtypeStruct((1, npad), jnp.float32),
+            jax.ShapeDtypeStruct((1, npad), jnp.int32),
+            jax.ShapeDtypeStruct((1, npad), jnp.float32),
+            jax.ShapeDtypeStruct((1, npad), jnp.float32),
+            jax.ShapeDtypeStruct((1, npad), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((SBLK, 2, 16, K), jnp.float32),
@@ -325,8 +327,7 @@ def _serve_blocks(bvh: BVHServe, blk_ids2, rays, leaf, interpret):
         ],
     )(ids_pad, bvh.tris, rays, leaf)
     t, p, u, v, srv = outs
-    return (t.reshape(-1), p.reshape(-1), u.reshape(-1), v.reshape(-1),
-            srv.reshape(-1) > 0)
+    return t[0], p[0], u[0], v[0], srv[0] > 0
 
 
 # ---------------------------------------------------------------------------
@@ -408,18 +409,13 @@ NAMES = ("ox", "oy", "oz", "dx", "dy", "dz", "tb", "prim", "u", "v",
 
 
 MIN_W = 4096     # narrowest ladder width
-SHRINK_DIV = 4   # drop a level when actives fit in width / SHRINK_DIV
+SHRINK_DIV = 2   # drop a level when actives fit in width / SHRINK_DIV
 
 
 def _cull_state(bvh, s, interpret):
-    npad = s["ox"].shape[0]
     geo = jnp.stack([s["ox"], s["oy"], s["oz"], s["dx"], s["dy"],
                      s["dz"], s["tb"], s["tb"]], axis=0)
-    geo = jnp.transpose(geo.reshape(8, npad // RCHUNK, RCHUNK),
-                        (1, 0, 2))
-    lkb = jnp.transpose(
-        s["lk"].reshape(1, npad // RCHUNK, RCHUNK), (1, 0, 2))
-    best = _cull(bvh, geo, lkb, interpret)
+    best = _cull(bvh, geo, s["lk"][None, :], interpret)
     live = (best != NONE) & (s["rid"] >= 0)
     return best, live
 
@@ -442,20 +438,22 @@ def _round_once(bvh, s, best, live, closest, interpret):
     def big(_):
         blk2 = leaf_s.reshape(npad // BLK, BLK)[:, [0, BLK - 1]]
         blk2 = jnp.clip(blk2, 0, bvh.n_leaves - 1).reshape(-1)
-        cw = SBLK * BLK
         rays = jnp.stack([ss["ox"], ss["oy"], ss["oz"], ss["dx"],
                           ss["dy"], ss["dz"], ss["tb"], ss["tb"]],
                          axis=0)
-        rays = jnp.transpose(rays.reshape(8, npad // cw, cw), (1, 0, 2))
-        leaf_b = jnp.transpose(
-            leaf_s.reshape(1, npad // cw, cw), (1, 0, 2))
-        return _serve_blocks(bvh, blk2, rays, leaf_b, interpret)
+        return _serve_blocks(bvh, blk2, rays, leaf_s[None, :], interpret)
 
     def small(_):
         return _serve_gather(bvh, leaf_s, ss, ns_tail)
 
-    ct, cp, cu, cv, served = jax.lax.cond(
-        n_live > ns_tail, big, small, None)
+    if npad <= 2 * MIN_W:
+        # narrow widths: the exact gather serve is cheap and serves
+        # every live lane, collapsing the straggler tail to one round
+        # per remaining leaf visit
+        ct, cp, cu, cv, served = _serve_gather(bvh, leaf_s, ss, npad)
+    else:
+        ct, cp, cu, cv, served = jax.lax.cond(
+            n_live > ns_tail, big, small, None)
 
     live_s = (leaf_s < m6) & (ss["rid"] >= 0)
     served = served & live_s

@@ -165,6 +165,8 @@ class Scene:
     n_shapes: int = static_field(default=0)
     n_emitters: int = static_field(default=0)
     bsdf_types: tuple = static_field(default=())       # type id per bsdf slot
+    bsdf_flags: tuple = static_field(default=())       # resolved flags per slot
+    adapter_max_depth: int = static_field(default=1)   # longest adapter chain
     film: FilmConfig = static_field(default_factory=FilmConfig)
     sensor_config: SensorConfig = static_field(default_factory=SensorConfig)
     integrator: Any = static_field(default=None)       # IntegratorConfig
@@ -257,13 +259,18 @@ class Scene:
 
     def ray_intersect_preliminary(self, ray: Ray, active=None) -> PreliminaryIntersection:
         if self.accel is not None:
-            from ..ops import bvh_tiled, bvh_xla, grid as grid_mod
+            from ..ops import bvh_serve, bvh_tiled, bvh_xla, \
+                grid as grid_mod
             acc = self.accel.closest if isinstance(self.accel,
                                                    HybridAccel) \
                 else self.accel
             if isinstance(acc, bvh_xla.BVHXLA):
                 # per-lane stackless traversal (CPU/debug backend)
                 t, prim, uv, valid = bvh_xla.intersect_bvh(
+                    acc, ray.o, ray.d, ray.maxt, active=active)
+            elif isinstance(acc, bvh_serve.BVHServe):
+                # TPU: round-based nearest-leaf cull/sort/serve kernel
+                t, prim, uv, valid = bvh_serve.intersect_bvh(
                     acc, ray.o, ray.d, ray.maxt, active=active)
             elif isinstance(acc, grid_mod.GridAccel):
                 # TPU: uniform-grid DDA, one block-row gather per step
@@ -318,12 +325,16 @@ class Scene:
 
     def ray_test(self, ray: Ray, active=None):
         if self.accel is not None:
-            from ..ops import bvh_tiled, bvh_xla, grid as grid_mod
+            from ..ops import bvh_serve, bvh_tiled, bvh_xla, \
+                grid as grid_mod
             acc = self.accel.anyhit if isinstance(self.accel,
                                                   HybridAccel) \
                 else self.accel
             if isinstance(acc, bvh_xla.BVHXLA):
                 occ = bvh_xla.occluded_bvh(
+                    acc, ray.o, ray.d, ray.maxt, active=active)
+            elif isinstance(acc, bvh_serve.BVHServe):
+                occ = bvh_serve.occluded_bvh(
                     acc, ray.o, ray.d, ray.maxt, active=active)
             elif isinstance(acc, grid_mod.GridAccel):
                 occ = grid_mod.occluded_grid(

@@ -1,7 +1,8 @@
 """Image I/O — the host-side slice of the reference's Bitmap
-(src/core/bitmap.cpp). Reads PNG/JPEG/BMP/TGA via PIL and PFM/NPY natively;
-writes PNG (sRGB-encoded), NPY, PFM, and uncompressed scanline EXR (own
-minimal writer — no OpenEXR dependency in this image)."""
+(src/core/bitmap.cpp). Reads PNG/JPEG/BMP/TGA via PIL and PFM/NPY/RGBE
+natively; writes PNG/JPEG (sRGB-encoded), NPY, PFM, Radiance RGBE
+(.hdr, rgbe.h analog), and uncompressed scanline EXR (own minimal
+writer — no OpenEXR dependency in this image)."""
 from __future__ import annotations
 
 import struct
@@ -18,6 +19,8 @@ def read_image(path: str) -> np.ndarray:
         return _read_pfm(p)
     if p.endswith(".exr"):
         return read_exr(p)
+    if p.endswith((".hdr", ".rgbe")):
+        return _read_rgbe(p)
     from PIL import Image
     return np.asarray(Image.open(p))
 
@@ -31,6 +34,8 @@ def write_image(path: str, img: np.ndarray):
         _write_pfm(p, img.astype(np.float32))
     elif p.endswith(".exr"):
         write_exr(p, img.astype(np.float32))
+    elif p.endswith((".hdr", ".rgbe")):
+        _write_rgbe(p, img.astype(np.float32))
     elif p.endswith((".png", ".jpg", ".jpeg")):
         from PIL import Image
         x = np.clip(img, 0.0, 1.0)
@@ -39,6 +44,87 @@ def write_image(path: str, img: np.ndarray):
         Image.fromarray((x * 255).astype(np.uint8)).save(p)
     else:
         raise ValueError(f"Unsupported image format: {p}")
+
+
+def write_image_async(path: str, img: np.ndarray):
+    """Fire-and-forget write on a worker thread (bitmap write_async /
+    film develop-and-write overlap, src/render/integrator.cpp). The
+    array is copied synchronously; returns the Thread (join() to
+    block)."""
+    import threading
+    snapshot = np.array(img, copy=True)
+    t = threading.Thread(target=write_image, args=(path, snapshot),
+                         daemon=True)
+    t.start()
+    return t
+
+
+# ---------------------------------------------------------------------------
+# Radiance RGBE (.hdr) — shared-exponent HDR (bitmap.cpp RGBE path)
+# ---------------------------------------------------------------------------
+
+def _write_rgbe(path, img):
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=-1)
+    img = np.ascontiguousarray(img[..., :3], np.float32)
+    h, w = img.shape[:2]
+    v = img.max(axis=-1)
+    # v = m * 2^e with m in [0.5, 1): components scale to c/v * m * 256
+    m, e = np.frexp(v)
+    factor = np.where(v >= 1e-32, m * 256.0 / np.maximum(v, 1e-32), 0.0)
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    rgbe[..., :3] = np.clip(img * factor[..., None] + 0.5, 0,
+                            255).astype(np.uint8)
+    rgbe[..., 3] = np.where(v >= 1e-32, e + 128, 0).astype(np.uint8)
+    with open(path, "wb") as f:
+        f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+        f.write(f"-Y {h} +X {w}\n".encode())
+        f.write(rgbe.tobytes())  # flat (non-RLE) scanlines
+
+
+def _read_rgbe(path):
+    with open(path, "rb") as f:
+        line = f.readline()
+        if not line.startswith((b"#?RADIANCE", b"#?RGBE")):
+            raise ValueError("not a Radiance RGBE file")
+        while True:
+            line = f.readline()
+            if line in (b"\n", b"\r\n", b""):
+                break
+        dims = f.readline().split()
+        if dims[0] != b"-Y" or dims[2] != b"+X":
+            raise ValueError(f"unsupported RGBE orientation {dims!r}")
+        h, w = int(dims[1]), int(dims[3])
+        data = f.read()
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    pos = 0
+    for y in range(h):
+        if (len(data) - pos >= 4 and data[pos] == 2 and data[pos + 1] == 2
+                and ((data[pos + 2] << 8) | data[pos + 3]) == w
+                and 8 <= w <= 0x7FFF):
+            # new-style RLE: 4 component planes per scanline
+            pos += 4
+            for c in range(4):
+                x = 0
+                while x < w:
+                    count = data[pos]
+                    pos += 1
+                    if count > 128:  # run
+                        rgbe[y, x:x + count - 128, c] = data[pos]
+                        pos += 1
+                        x += count - 128
+                    else:  # literal
+                        rgbe[y, x:x + count, c] = np.frombuffer(
+                            data, np.uint8, count, pos)
+                        pos += count
+                        x += count
+        else:  # flat scanline
+            rgbe[y] = np.frombuffer(
+                data, np.uint8, 4 * w, pos).reshape(w, 4)
+            pos += 4 * w
+    e = rgbe[..., 3].astype(np.int32)
+    scale = np.where(e > 0, np.ldexp(1.0, e - 136), 0.0).astype(np.float32)
+    return rgbe[..., :3].astype(np.float32) * scale[..., None]
 
 
 # ---------------------------------------------------------------------------

@@ -152,15 +152,19 @@ def _rebuild_geometry_derived(scene):
     scene = scene.replace(face_inv_total_area=jnp.asarray(inv_total))
     if scene.accel is not None:
         # rebuild with the same accel type the loader chose: bvh_xla on
-        # CPU, grid+tiled hybrid on TPU — mixing types would feed the
-        # wrong traversal (scene.py dispatches by isinstance)
-        from ..ops import bvh_tiled, bvh_xla, grid as grid_mod
+        # CPU, the round-based serve intersector on TPU — mixing types
+        # would feed the wrong traversal (scene.py dispatches by
+        # isinstance)
+        from ..ops import bvh_serve, bvh_tiled, bvh_xla, \
+            grid as grid_mod
         from ..render.scene import HybridAccel
         p0 = p[:, 0]
         e1 = p[:, 1] - p0
         e2 = p[:, 2] - p0
         if isinstance(scene.accel, bvh_xla.BVHXLA):
             scene = scene.replace(accel=bvh_xla.build(p0, e1, e2))
+        elif isinstance(scene.accel, bvh_serve.BVHServe):
+            scene = scene.replace(accel=bvh_serve.build(p0, e1, e2))
         elif isinstance(scene.accel, HybridAccel):
             scene = scene.replace(accel=HybridAccel(
                 closest=grid_mod.build(p0, e1, e2),

@@ -463,3 +463,90 @@ def test_twosided_adapter_nesting():
     # only (grey)
     assert c_ts[0] > 1.4 * c_ts[1], c_ts
     assert abs(c_bare[0] - c_bare[1]) < 0.02, c_bare
+
+
+def test_adapter_of_adapter_chain():
+    """mask(op, blend(w=0, red, blue)) — adapter-of-adapter (VERDICT r1
+    weak #9) — must evaluate as op * diffuse(red)."""
+    red = [0.8, 0.1, 0.1]
+    spec = {"type": "mask", "opacity": 0.7,
+            "nested": {
+                "type": "blendbsdf", "weight": 0.0,
+                "a": {"type": "diffuse",
+                      "reflectance": {"type": "rgb", "value": red}},
+                "b": {"type": "diffuse",
+                      "reflectance": {"type": "rgb",
+                                      "value": [0.1, 0.1, 0.8]}}}}
+    scene = _scene_with_bsdf(spec)
+    assert scene.adapter_max_depth == 2
+    slot = None
+    for i, t in enumerate(scene.bsdf_types):
+        if t == bsdfs.MASK:
+            slot = i
+    assert slot is not None
+    n = 4096
+    si = _make_si(jnp.array([0.0, 0.0, 1.0], jnp.float32), n)
+    wo = Vec3.from_scalar(0.3, 0.2, float(np.sqrt(1 - 0.09 - 0.04)),
+                          like=jnp.zeros(n))
+    idx = jnp.full(n, slot, jnp.int32)
+    val, pdf = bsdfs.eval_pdf(scene, idx, si, wo)
+    cos_o = float(np.sqrt(1 - 0.09 - 0.04))
+    expect = 0.7 * np.asarray(red) / np.pi * cos_o
+    got = np.asarray(val.to_array())[0]
+    assert np.allclose(got, expect, rtol=1e-4), (got, expect)
+    assert np.allclose(np.asarray(pdf)[0], 0.7 * cos_o / np.pi, rtol=1e-4)
+
+    # sample/eval_pdf consistency through the chain
+    s1, u, v = _uniform(n, 13)
+    bs, w = bsdfs.sample(scene, idx, si, s1, Vec2(u, v))
+    val2, pdf2 = bsdfs.eval_pdf(scene, idx, si, bs.wo)
+    keep = (np.asarray(bs.pdf) > 1e-3) \
+        & (np.asarray(bs.sampled_type) != bsdfs.NULL_FLAG)
+    a, b = np.asarray(bs.pdf)[keep], np.asarray(pdf2)[keep]
+    assert np.allclose(a, b, rtol=2e-3), np.abs(a / b - 1).max()
+
+
+def test_twosided_roughconductor_keeps_alpha():
+    """twosided(roughconductor) must not clobber alpha_v (the two-sided
+    flag used to live in the alpha_v param slot) and must mirror the
+    front lobe to back-side queries."""
+    scene = _scene_with_bsdf(
+        {"type": "twosided",
+         "bsdf": {"type": "roughconductor", "material": "Au",
+                  "alpha_u": 0.2, "alpha_v": 0.35}})
+    slot = scene.bsdf_types.index(bsdfs.ROUGH_CONDUCTOR)
+    row = np.asarray(scene.bsdf_params)[slot]
+    assert np.isclose(row[6], 0.2) and np.isclose(row[7], 0.35), row[6:8]
+    assert row[16] == 1.0
+
+    n = 8
+    idx = jnp.full(n, slot, jnp.int32)
+    wi_f = np.array([0.4, 0.1, np.sqrt(1 - 0.16 - 0.01)], np.float32)
+    wo_f = Vec3.from_scalar(-0.2, 0.3, float(np.sqrt(1 - 0.04 - 0.09)),
+                            like=jnp.zeros(n))
+    si_f = _make_si(wi_f, n)
+    v_f, p_f = bsdfs.eval_pdf(scene, idx, si_f, wo_f)
+    # same query mirrored below the surface
+    si_b = _make_si(wi_f * np.array([1, 1, -1], np.float32), n)
+    wo_b = Vec3(wo_f.x, wo_f.y, -wo_f.z)
+    v_b, p_b = bsdfs.eval_pdf(scene, idx, si_b, wo_b)
+    assert np.allclose(np.asarray(v_f.to_array()),
+                       np.asarray(v_b.to_array()), rtol=1e-5)
+    assert np.allclose(np.asarray(p_f), np.asarray(p_b), rtol=1e-5)
+    assert float(p_f[0]) > 0.0
+
+
+def test_slot_flags_resolve_adapter_chain():
+    """mask(conductor) must report Delta|Null per-slot (not the adapter's
+    conservative Smooth guess) so integrators skip NEE on delta chains."""
+    scene = _scene_with_bsdf(
+        {"type": "mask", "opacity": 0.5,
+         "nested": {"type": "conductor", "material": "Au"}})
+    slot = scene.bsdf_types.index(bsdfs.MASK)
+    fl = scene.bsdf_flags[slot]
+    assert fl & bsdfs.NULL_FLAG
+    assert fl & bsdfs.DELTA_REFLECTION
+    assert not (fl & bsdfs.SMOOTH), hex(fl)
+    lf = bsdfs.lane_flags(scene.bsdf_types, jnp.array([slot]),
+                          scene.bsdf_flags)
+    assert int(lf[0]) == fl
