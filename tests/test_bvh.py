@@ -208,3 +208,58 @@ def test_serve_matches_oracle(np_rng):
     act = jnp.asarray(np.arange(n_ray) % 2 == 0)
     _, _, _, v3 = bvh_serve.intersect_bvh(bvh, ov, dv, maxt, active=act)
     assert not np.asarray(v3)[~np.asarray(act)].any()
+
+
+def test_queue_matches_oracle(np_rng):
+    """K-queue amortized intersector (ops/bvh_queue.py) vs the dense
+    oracle: closest hit, any-hit, short maxt, active mask. Uses enough
+    rays that the wide serve-multi kernel path runs (npad > 2*MIN_W),
+    plus a second narrow batch for the gather-tail path."""
+    from mitsuba3_tpu.ops import bvh_queue
+    n_tri = 2000
+    p0n, e1n, e2n = _rand_tris(np_rng, n_tri)
+    bvh = bvh_queue.build(p0n, e1n, e2n)
+    assert bvh.n_leaves > 4
+
+    p0 = Vec3.from_array(jnp.asarray(p0n))
+    e1 = Vec3.from_array(jnp.asarray(e1n))
+    e2 = Vec3.from_array(jnp.asarray(e2n))
+
+    for n_ray in (16384, 512):
+        o = np_rng.uniform(-4, 4, (n_ray, 3)).astype(np.float32)
+        d = np_rng.normal(size=(n_ray, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        ov = Vec3.from_array(jnp.asarray(o))
+        dv = Vec3.from_array(jnp.asarray(d))
+        maxt = jnp.full(n_ray, 1e30, jnp.float32)
+
+        t1, pr1, uv1, v1 = intersect_naive(ov, dv, maxt, p0, e1, e2)
+        t2, pr2, uv2, v2 = bvh_queue.intersect_bvh(bvh, ov, dv, maxt)
+        v1n, v2n = np.asarray(v1), np.asarray(v2)
+        assert (v1n == v2n).all()
+        sel = v1n
+        # Edge-grazing slivers (u+v within one ulp of 1) may be accepted
+        # by one compilation and rejected by the other (FMA fusion
+        # differs); such lanes report a different prim with t <= oracle.
+        # Real traversal bugs (missed leaves) show t2 > t1 instead.
+        p_eq = np.asarray(pr1)[sel] == np.asarray(pr2)[sel]
+        assert p_eq.mean() > 0.999
+        assert np.allclose(np.asarray(t1)[sel][p_eq],
+                           np.asarray(t2)[sel][p_eq],
+                           rtol=1e-4, atol=1e-5)
+        assert (np.asarray(t2)[sel][~p_eq]
+                <= np.asarray(t1)[sel][~p_eq] + 1e-4).all()
+
+        short = jnp.where(v1, t1 * 0.9, 1e30)
+        occ_s = np.asarray(bvh_queue.occluded_bvh(bvh, ov, dv, short))
+        assert not occ_s[sel].any()
+        occ1 = np.asarray(occluded_naive(ov, dv, jnp.full(n_ray, 2.0),
+                                         p0, e1, e2))
+        occ2 = np.asarray(bvh_queue.occluded_bvh(bvh, ov, dv,
+                                                 jnp.full(n_ray, 2.0)))
+        assert (occ1 == occ2).all()
+
+        act = jnp.asarray(np.arange(n_ray) % 2 == 0)
+        _, _, _, v3 = bvh_queue.intersect_bvh(bvh, ov, dv, maxt,
+                                              active=act)
+        assert not np.asarray(v3)[~np.asarray(act)].any()
