@@ -17,6 +17,10 @@ publishes no numbers — BASELINE.md).
 from __future__ import annotations
 
 import json
+import sys as _syserr
+
+def _prog(msg):
+    print(f"# {msg}", file=_syserr.stderr, flush=True)
 import time
 
 BASELINE_MRAYS = 10.0
@@ -120,6 +124,8 @@ def main():
 
     mrays = total_rays / dt / 1e6
 
+    _prog(f"cornell done: {mrays:.1f} Mrays/s")
+
     # ---- secondary metric (VERDICT round-1 #1): forward render of a
     # 64k-triangle terrain through the BVH path, Mrays/s
     terrain_mrays = None
@@ -150,8 +156,10 @@ def main():
                     "radiance": {"type": "rgb", "value": 0.3}},
         }
         tscene = mi.load_dict(dt_scene)
+        _prog("terrain scene loaded; compiling first render...")
         img, rays0 = render_with_stats(tscene, seed=0, spp=4)
         jax.block_until_ready(img)
+        _prog("terrain first render done; timing reps...")
         t0 = time.perf_counter()
         reps = 3
         tot = 0.0

@@ -71,26 +71,13 @@ class PathState:
     rng: object               # Sampler
 
 
-def sample(scene, rng, ray: Ray, cfg: PathConfig, active=None, pi0=None):
-    """Trace one wavefront of paths.
-
-    Returns (L Vec3, valid [N], rng, n_ray_queries scalar) — the last is
-    the number of closest-hit + shadow-ray queries actually issued (masked
-    lanes excluded), for Mrays/s accounting.
-
-    ``pi0``: optional PreliminaryIntersection override for the FIRST bounce
-    (projective boundary paths start at a constructed silhouette hit — the
-    analog of ``si_shade`` in the reference's PSIntegrator.sample,
-    direct_projective.py:341-393). Lanes where ``pi0.prim_index >= 0`` use
-    the provided hit instead of tracing `ray` at depth 0.
-    """
+def init_state(scene, rng, ray: Ray, cfg: PathConfig, active=None):
+    """Fresh per-lane loop state for a wavefront (exposed so the
+    pass-splitting renderer can run the bounce loop in segments)."""
     n = ray.o.x.shape[0]
     if active is None:
         active = jnp.ones(n, bool)
-    if cfg.max_depth == 0:
-        return Vec3.zeros(n), jnp.zeros(n, bool), rng, jnp.float32(0)
-
-    state = PathState(
+    return PathState(
         ray_o=ray.o, ray_d=ray.d, wl=ray.wl,
         throughput=Vec3.ones(n),
         result=Vec3.zeros(n),
@@ -104,6 +91,10 @@ def sample(scene, rng, ray: Ray, cfg: PathConfig, active=None, pi0=None):
         active=active,
         rng=rng)
 
+
+def make_bounce(scene, cfg: PathConfig, pi0=None):
+    """The per-bounce body as a standalone `lax.scan` function (exposed
+    for the pass-splitting renderer)."""
     def bounce(state: PathState, k):
         s = state
         cur_ray = Ray.make(s.ray_o, s.ray_d, wl=s.wl)
@@ -216,6 +207,28 @@ def sample(scene, rng, ray: Ray, cfg: PathConfig, active=None, pi0=None):
         n_rays = (jnp.sum(s.active.astype(jnp.float32))
                   + jnp.sum(active_em.astype(jnp.float32)))
         return new_state, n_rays
+
+    return bounce
+
+
+def sample(scene, rng, ray: Ray, cfg: PathConfig, active=None, pi0=None):
+    """Trace one wavefront of paths.
+
+    Returns (L Vec3, valid [N], rng, n_ray_queries scalar) — the last is
+    the number of closest-hit + shadow-ray queries actually issued (masked
+    lanes excluded), for Mrays/s accounting.
+
+    ``pi0``: optional PreliminaryIntersection override for the FIRST bounce
+    (projective boundary paths start at a constructed silhouette hit — the
+    analog of ``si_shade`` in the reference's PSIntegrator.sample,
+    direct_projective.py:341-393). Lanes where ``pi0.prim_index >= 0`` use
+    the provided hit instead of tracing `ray` at depth 0.
+    """
+    n = ray.o.x.shape[0]
+    if cfg.max_depth == 0:
+        return Vec3.zeros(n), jnp.zeros(n, bool), rng, jnp.float32(0)
+    state = init_state(scene, rng, ray, cfg, active)
+    bounce = make_bounce(scene, cfg, pi0)
 
     # -------------------- wavefront compaction --------------------
     # The reference compacts its wavefront with reorder_threads

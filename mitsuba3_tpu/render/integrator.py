@@ -22,17 +22,13 @@ from . import film as film_mod
 from . import sampler as sampler_mod
 
 
-def render_pass(scene, pass_seed, sppc: int, pixel_offset=0, n_pixels=None,
-                pass_idx=0, spp_total=None, base_seed=0):
-    """Trace one pass of `sppc` samples for `n_pixels` pixels starting at
-    linear pixel index `pixel_offset` (must be row-aligned: both divisible
-    by the film width). Returns full-canvas (image, weight, n_rays)
-    contributions; samples are pixel-ordered so splatting is the dense
-    scatter-free path (film.splat_ordered).
+def _gen_camera_rays(scene, pass_seed, sppc: int, pixel_offset=0,
+                     n_pixels=None, pass_idx=0, spp_total=None,
+                     base_seed=0):
+    """Seed the sampler and generate one pass's primary rays.
 
-    Exposed separately so the sharded path can render pixel shards
-    (`pixel_offset` may be traced, e.g. axis_index-derived).
-    """
+    Returns (rng, ray, jitter, h_local). Shared by the one-program
+    renderer and the pass-splitting (compacted) renderer."""
     w, h = scene.film.width, scene.film.height
     if n_pixels is None:
         n_pixels = w * h
@@ -80,21 +76,28 @@ def render_pass(scene, pass_seed, sppc: int, pixel_offset=0, n_pixels=None,
         wl, _ = spectral_mod.sample_wavelengths(u_wl)
         import dataclasses as _dc
         ray = _dc.replace(ray, wl=wl)
+    return rng, ray, jitter, h_local
 
-    integrator = get_integrator(scene.integrator)
-    L, valid, rng, n_rays = integrator.sample(scene, rng, ray, scene.integrator)
+
+def _finalize_splat(scene, L, ray_wl, jitter, sppc, h_local, pixel_offset):
+    """Channel-convert L and splat one pass onto a full canvas.
+
+    Returns (image, weight). `ray_wl` is the PRIMARY ray's hero
+    wavelengths (pre any in-path collapse) — the film operator binds to
+    the wavelengths the pixel estimator sampled."""
+    w, h = scene.film.width, scene.film.height
     if scene.spectral and hasattr(L, "to_array") and scene.film.srfs:
         # specfilm.cpp: channel i = MC estimate of ∫ L(λ) SRF_i(λ) dλ
         from ..core import spectral as spectral_mod
         chans = []
         for srf in scene.film.srfs:
             tbl = jnp.asarray(srf, jnp.float32)
-            r = spectral_mod.eval_spd(tbl, ray.wl)
+            r = spectral_mod.eval_spd(tbl, ray_wl)
             chans.append(L.dot(r) * (spectral_mod.LAMBDA_RANGE / 3.0))
         L = jnp.stack(chans, axis=-1)
     elif scene.spectral and hasattr(L, "to_array"):
         from ..core import spectral as spectral_mod
-        L = spectral_mod.spectral_to_xyz(L, ray.wl)  # film stores XYZ
+        L = spectral_mod.spectral_to_xyz(L, ray_wl)  # film stores XYZ
     if hasattr(L, "to_array"):
         L = L.to_array()
 
@@ -110,6 +113,31 @@ def render_pass(scene, pass_seed, sppc: int, pixel_offset=0, n_pixels=None,
     canvas_w = jax.lax.dynamic_update_slice(canvas_w, wgt_local, (row0, 0))
     image = canvas_i[halo:h + halo] if halo else canvas_i
     weight = canvas_w[halo:h + halo] if halo else canvas_w
+    return image, weight
+
+
+def render_pass(scene, pass_seed, sppc: int, pixel_offset=0, n_pixels=None,
+                pass_idx=0, spp_total=None, base_seed=0):
+    """Trace one pass of `sppc` samples for `n_pixels` pixels starting at
+    linear pixel index `pixel_offset` (must be row-aligned: both divisible
+    by the film width). Returns full-canvas (image, weight, n_rays)
+    contributions; samples are pixel-ordered so splatting is the dense
+    scatter-free path (film.splat_ordered).
+
+    Exposed separately so the sharded path can render pixel shards
+    (`pixel_offset` may be traced, e.g. axis_index-derived).
+    """
+    w, h = scene.film.width, scene.film.height
+    rng, ray, jitter, h_local = _gen_camera_rays(
+        scene, pass_seed, sppc, pixel_offset, n_pixels, pass_idx,
+        spp_total, base_seed)
+    n = h_local * w * sppc
+
+    integrator = get_integrator(scene.integrator)
+    L, valid, rng, n_rays = integrator.sample(scene, rng, ray,
+                                              scene.integrator)
+    image, weight = _finalize_splat(scene, L, ray.wl, jitter, sppc,
+                                    h_local, pixel_offset)
     return image, weight, n_rays + n  # + primary rays
 
 
@@ -161,9 +189,155 @@ def plan_passes(scene, spp=None, max_wavefront=1 << 19):
     return sppc, spp // sppc
 
 
+# ---------------------------------------------------------------------------
+# Pass-splitting wavefront compaction (forward renders, large scenes).
+#
+# The reference compacts its wavefront with dr.reorder_threads
+# (prb.py:317-322). The in-jit TPU analog (integrators/path.py, the
+# two-half-scan) is exact but instantiates the bounce body at a second
+# lane width inside ONE XLA program, which explodes compile time on
+# large scenes (the nested traversal while_loops re-optimize per
+# instance). Here the split happens at the HOST level instead: each
+# pass runs as (prefix jit: raygen + first COMPACT_PREFIX bounces +
+# activity sort) -> host reads the live-lane count and picks a head
+# width from a power-of-two ladder -> (suffix jit at that width: the
+# remaining bounces on the live head only, dead tail untouched, unsort,
+# splat). Only the width actually taken ever compiles, each in its own
+# XLA program; dead lanes after the split cost NOTHING (they are never
+# fed to the suffix). Results are estimator-exact: lanes are
+# independent, and sort/unsort is a permutation round-trip.
+# ---------------------------------------------------------------------------
+
+PASS_COMPACTION = True
+COMPACT_PREFIX = 2           # full-width bounces before the split
+COMPACT_MIN_LANES = 1 << 16  # don't bother below this wavefront
+_COMPACT_LADDER = 4          # head widths: n, n/2, ... n/2^ladder
+
+
+def _compaction_eligible(scene, sppc, n_passes):
+    n = scene.film.width * scene.film.height * sppc
+    cfg = scene.integrator
+    return (PASS_COMPACTION and scene.accel is not None
+            and getattr(cfg, "type", "") == "path"
+            and cfg.max_depth >= COMPACT_PREFIX + 2
+            and n >= COMPACT_MIN_LANES
+            and n % (1 << _COMPACT_LADDER) == 0)
+
+
+def _lane_indices(leaves, n):
+    return [i for i, a in enumerate(leaves)
+            if getattr(a, "shape", None) == (n,)]
+
+
+@partial(jax.jit, static_argnames=("sppc", "spp_total"))
+def _pass_prefix_jit(scene, pass_seed, sppc: int, pass_idx, spp_total,
+                     base_seed):
+    """Raygen + first COMPACT_PREFIX bounces + activity sort.
+
+    Returns (state_sorted, orig_sorted, wl0, jitter, n_queries,
+    n_active)."""
+    from ..integrators import path as path_mod
+    cfg = scene.integrator
+    rng, ray, jitter, h_local = _gen_camera_rays(
+        scene, pass_seed, sppc, 0, None, pass_idx, spp_total, base_seed)
+    state = path_mod.init_state(scene, rng, ray, cfg)
+    bounce = path_mod.make_bounce(scene, cfg)
+    state, counts = jax.lax.scan(
+        bounce, state, jnp.arange(COMPACT_PREFIX, dtype=jnp.int32))
+
+    n = state.active.shape[0]
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    lane = _lane_indices(leaves, n)
+    key = (~state.active).astype(jnp.int32)      # actives first (stable)
+    orig = jnp.arange(n, dtype=jnp.int32)
+    sorted_ops = jax.lax.sort(
+        (key, orig, *[leaves[i] for i in lane]), num_keys=1,
+        is_stable=True)
+    out = list(leaves)
+    for i, a in zip(lane, sorted_ops[2:]):
+        out[i] = a
+    state_s = jax.tree_util.tree_unflatten(treedef, out)
+    n_active = jnp.sum(state.active.astype(jnp.int32))
+    return (state_s, sorted_ops[1], ray.wl, jitter, jnp.sum(counts),
+            n_active)
+
+
+@partial(jax.jit, static_argnames=("sppc", "head_w"))
+def _pass_suffix_jit(scene, state_s, orig_s, wl0, jitter, counts0,
+                     sppc: int, head_w: int):
+    """Remaining bounces on the live head, merge, unsort, splat."""
+    from ..integrators import path as path_mod
+    cfg = scene.integrator
+    w = scene.film.width
+    n = state_s.active.shape[0]
+    h_local = n // (sppc * w)
+
+    leaves, treedef = jax.tree_util.tree_flatten(state_s)
+    lane = _lane_indices(leaves, n)
+    head = list(leaves)
+    for i in lane:
+        head[i] = leaves[i][:head_w]
+    st = jax.tree_util.tree_unflatten(treedef, head)
+    bounce = path_mod.make_bounce(scene, cfg)
+    ks = jnp.arange(COMPACT_PREFIX, cfg.max_depth, dtype=jnp.int32)
+    st, counts = jax.lax.scan(bounce, st, ks)
+
+    head_leaves = jax.tree_util.tree_flatten(st)[0]
+    merged_lane = [jnp.concatenate([head_leaves[i], leaves[i][head_w:]])
+                   for i in lane]
+    restored = jax.lax.sort((orig_s, *merged_lane), num_keys=1)
+    out = list(head_leaves)
+    for i, a in zip(lane, restored[1:]):
+        out[i] = a
+    state = jax.tree_util.tree_unflatten(treedef, out)
+
+    L = state.result.mask(state.valid_ray)
+    image, weight = _finalize_splat(scene, L, wl0, jitter, sppc,
+                                    h_local, 0)
+    rays = counts0 + jnp.sum(counts) + jnp.float32(n)
+    return image, weight, rays
+
+
+def _pick_head_width(n, n_active):
+    head_w = n
+    for k in range(1, _COMPACT_LADDER + 1):
+        cand = n >> k
+        if cand >= max(n_active, 1024) and cand % 8 == 0:
+            head_w = cand
+        else:
+            break
+    return head_w
+
+
+def _render_compacted(scene, seed, sppc: int, n_passes: int):
+    """Host-level pass loop with per-pass live-lane compaction."""
+    w, h = scene.film.width, scene.film.height
+    n = w * h * sppc
+    image = weight = rays = None
+    for i in range(n_passes):
+        pass_seed = (jnp.uint32(seed)
+                     ^ (jnp.uint32(i) * jnp.uint32(0x9E3779B9)))
+        state_s, orig_s, wl0, jitter, c0, n_active = _pass_prefix_jit(
+            scene, pass_seed, sppc, i, sppc * n_passes, seed)
+        head_w = _pick_head_width(n, int(n_active))
+        img_i, wgt_i, rays_i = _pass_suffix_jit(
+            scene, state_s, orig_s, wl0, jitter, c0, sppc, head_w)
+        image = img_i if image is None else image + img_i
+        weight = wgt_i if weight is None else weight + wgt_i
+        rays = rays_i if rays is None else rays + rays_i
+    out = film_mod.develop(image, weight)
+    if scene.spectral and not scene.film.srfs:
+        from ..core import spectral as spectral_mod
+        out = spectral_mod.xyz_to_srgb(out)
+    return out, rays
+
+
 def render(scene, seed=0, spp=None, max_wavefront=1 << 19):
     """Forward render -> developed image [H, W, 3] (mi.render analog)."""
     sppc, n_passes = plan_passes(scene, spp, max_wavefront)
+    if _compaction_eligible(scene, sppc, n_passes):
+        img, _ = _render_compacted(scene, seed, sppc, n_passes)
+        return img
     img, _ = _render_jit(scene, seed, sppc, n_passes)
     return img
 
@@ -176,6 +350,8 @@ def render_with_stats(scene, seed=0, spp=None, max_wavefront=1 << 19):
 
     from ..utils import log as log_mod
     sppc, n_passes = plan_passes(scene, spp, max_wavefront)
+    if _compaction_eligible(scene, sppc, n_passes):
+        return _render_compacted(scene, seed, sppc, n_passes)
     if log_mod.log_level() <= log_mod.DEBUG:
         t0 = time.perf_counter()
         lowered = _render_jit.lower(scene, seed, sppc, n_passes)

@@ -456,3 +456,55 @@ def test_wavefront_compaction_is_exact():
         path_mod.COMPACT_MIN_LANES = saved
     np.testing.assert_array_equal(img_c, img_n)
     assert np.isfinite(img_c).all() and img_c.max() > 0
+
+
+def test_pass_split_compaction_is_exact():
+    """Host-level pass-splitting compaction (render/integrator.py
+    _render_compacted): per-pass activity sort + live-head suffix must
+    reproduce the one-program render bit-exactly (lanes are independent
+    and the sort/unsort is a permutation round-trip)."""
+    from mitsuba3_tpu.render import integrator as ri
+
+    d = {
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 5},
+        "sensor": {"type": "perspective", "fov": 50.0,
+                   "to_world": mi.ScalarTransform4f().look_at(
+                       origin=[0, 1.5, -4], target=[0, 0, 0],
+                       up=[0, 1, 0]),
+                   "film": {"width": 32, "height": 32,
+                            "rfilter": {"type": "box"}},
+                   "sampler": {"type": "independent", "sample_count": 8}},
+        # three tessellated spheres -> >8192 faces -> non-dense accel
+        "s1": {"type": "sphere",
+               "to_world": mi.ScalarTransform4f().translate([-1.2, 0, 0])
+               .scale([0.5, 0.45, 0.5]), "bsdf": {"type": "diffuse"}},
+        "s2": {"type": "sphere",
+               "to_world": mi.ScalarTransform4f().translate([0, 0, 0])
+               .scale([0.5, 0.45, 0.5]),
+               "bsdf": {"type": "conductor", "material": "Au"}},
+        "s3": {"type": "sphere",
+               "to_world": mi.ScalarTransform4f().translate([1.2, 0, 0])
+               .scale([0.5, 0.45, 0.5]), "bsdf": {"type": "diffuse"}},
+        "floor": {"type": "rectangle",
+                  "to_world": mi.ScalarTransform4f()
+                  .translate([0, -0.5, 0]).rotate([1, 0, 0], -90)
+                  .scale(4.0), "bsdf": {"type": "diffuse"}},
+        "env": {"type": "constant", "radiance": {"type": "rgb",
+                                                 "value": 1.0}},
+    }
+    scene = mi.load_dict(d)
+    assert scene.accel is not None  # the compacted path requires one
+    saved = ri.COMPACT_MIN_LANES
+    try:
+        ri.COMPACT_MIN_LANES = 1024   # force at 8192 lanes
+        assert ri._compaction_eligible(scene, 8, 1)
+        img_c, rays_c = ri._render_compacted(scene, 3, 8, 1)
+        ri.PASS_COMPACTION = False
+        img_n = np.asarray(mi.render(scene, spp=8, seed=3))
+    finally:
+        ri.PASS_COMPACTION = True
+        ri.COMPACT_MIN_LANES = saved
+    np.testing.assert_array_equal(np.asarray(img_c), img_n)
+    assert np.isfinite(img_n).all() and img_n.max() > 0
+    assert float(rays_c) > 8192
