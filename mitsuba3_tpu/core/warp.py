@@ -205,3 +205,118 @@ def interval_to_linear(v0, v1, sample):
     t = safe_div(v0 - safe_sqrt((1.0 - sample) * sqr(v0) + sample * sqr(v1)),
                  v0 - v1, fallback=sample)
     return jnp.where(jnp.abs(v0 - v1) > 1e-4 * denom, t, sample)
+
+
+# ---------------------------------------------------------------------------
+# Bilinear patch (warp.h:478-521)
+# ---------------------------------------------------------------------------
+
+def _interval_to_linear(v0, v1, u):
+    """Invert the CDF of a linear density lerp(v0, v1, t) on [0, 1]
+    (math.h interval_to_linear). Falls back to u when v0 ~= v1."""
+    denom = v0 + v1
+    a = v1 - v0
+    # CDF(t) = (v0 t + a t^2 / 2) / (denom / 2); solve quadratic in t
+    lin = jnp.abs(a) < 1e-6 * jnp.maximum(jnp.abs(denom), 1e-20)
+    a_safe = jnp.where(lin, 1.0, a)
+    t = (jnp.sqrt(jnp.maximum(sqr(v0) + a_safe * denom * u, 0.0))
+         - v0) / a_safe
+    return jnp.clip(jnp.where(lin, u, t), 0.0, 1.0)
+
+
+def square_to_bilinear(v00, v10, v01, v11, s):
+    """Sample (x, y) in the unit square proportionally to the bilinear
+    interpolant of the four corner values (warp.h:480 square_to_bilinear).
+    Returns ([..., 2] position, unnormalized density at the sample)."""
+    r0 = v00 + v10
+    r1 = v01 + v11
+    y = _interval_to_linear(r0, r1, s[..., 1])
+    c0 = v00 * (1.0 - y) + v01 * y
+    c1 = v10 * (1.0 - y) + v11 * y
+    x = _interval_to_linear(c0, c1, s[..., 0])
+    return vec2(x, y), c0 * (1.0 - x) + c1 * x
+
+
+def square_to_bilinear_pdf(v00, v10, v01, v11, p):
+    """Unnormalized density of square_to_bilinear (warp.h:516); divide by
+    (v00+v10+v01+v11)/4 for the normalized pdf."""
+    x = p[..., 0]
+    y = p[..., 1]
+    return ((v00 * (1.0 - x) + v10 * x) * (1.0 - y)
+            + (v01 * (1.0 - x) + v11 * x) * y)
+
+
+# ---------------------------------------------------------------------------
+# Rough fiber (warp.h:713-793; d'Eon et al. energy-conserving hair model)
+# ---------------------------------------------------------------------------
+
+def _ortho_frame(n):
+    """Duff et al. branchless orthonormal basis for [..., 3] vectors."""
+    z = n[..., 2]
+    sign = jnp.where(z >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + z)
+    b = n[..., 0] * n[..., 1] * a
+    t = vec3(1.0 + sign * sqr(n[..., 0]) * a, sign * b,
+             -sign * n[..., 0])
+    bt = vec3(b, sign + sqr(n[..., 1]) * a, -n[..., 1])
+    return t, bt
+
+
+def square_to_rough_fiber(s, wi, tangent, kappa):
+    """Sample the rough-fiber distribution: specular reflection cone
+    around the fiber `tangent`, perturbed by a vMF lobe of concentration
+    kappa (warp.h:713). `s` is [..., 3]; wi/tangent are [..., 3] unit."""
+    t_t, t_b = _ortho_frame(tangent)
+    # local frame with Z = tangent
+    wi_l = vec3(jnp.sum(wi * t_t, -1), jnp.sum(wi * t_b, -1),
+                jnp.sum(wi * tangent, -1))
+    sp = jnp.sin(TwoPi * s[..., 0])
+    cp = jnp.cos(TwoPi * s[..., 0])
+    cos_theta = wi_l[..., 2]
+    sin_theta = safe_sqrt(1.0 - sqr(cos_theta))
+    wo = vec3(cp * sin_theta, sp * sin_theta, -cos_theta)
+    pert = square_to_von_mises_fisher(s[..., 1:3], kappa)
+    w_t, w_b = _ortho_frame(wo)
+    wo = (w_t * pert[..., 0:1] + w_b * pert[..., 1:2]
+          + wo * pert[..., 2:3])
+    return (t_t * wo[..., 0:1] + t_b * wo[..., 1:2]
+            + tangent * wo[..., 2:3])
+
+
+def _bessel_i0(x):
+    """Modified Bessel I0 via the reference's 10-term series
+    (warp.h:749)."""
+    result = jnp.ones_like(x)
+    x2 = x * x
+    xi = x2
+    denom = 4.0
+    for i in range(1, 11):
+        factor = i + 1.0
+        result = result + xi / denom
+        xi = xi * x2
+        denom = denom * 4.0 * factor * factor
+    return result
+
+
+def _bessel_log_i0(x):
+    return jnp.where(
+        x > 12.0,
+        x + 0.5 * (jnp.log(1.0 / (TwoPi * jnp.maximum(x, 1e-6)))
+                   + 1.0 / (8.0 * jnp.maximum(x, 1e-6))),
+        jnp.log(_bessel_i0(jnp.minimum(x, 12.0 + 1.0))))
+
+
+def square_to_rough_fiber_pdf(v, wi, tangent, kappa):
+    """Analytic rough-fiber density (warp.h:771; d'Eon et al. 2011 with
+    the 2013 numerical-robustness modifications)."""
+    sin_theta_i = jnp.sum(wi * tangent, -1)
+    sin_theta_o = jnp.sum(v * tangent, -1)
+    cos_theta_i = safe_sqrt(1.0 - sqr(sin_theta_i))
+    cos_theta_o = safe_sqrt(1.0 - sqr(sin_theta_o))
+    c = cos_theta_i * cos_theta_o * kappa
+    s = sin_theta_i * sin_theta_o * kappa
+    big = jnp.exp(-s + _bessel_log_i0(c) - kappa + 0.6931
+                  + jnp.log(0.5 * kappa)) * InvTwoPi
+    small = (jnp.exp(-s) * _bessel_i0(c) * kappa
+             / (2.0 * jnp.sinh(jnp.minimum(kappa, 30.0)))) * InvTwoPi
+    return jnp.where(kappa > 10.0, big, small)

@@ -77,3 +77,70 @@ def test_tent_chi2():
     dom = PlanarDomain([[-1, 1], [-1, 1]])
     passed, msg = chi2_test(sample_fn, pdf, dom, sample_count=400_000, res=(16, 16))
     assert passed, msg
+
+
+def _uniform3d(n, seed):
+    rng = PCG32.seed(jnp.zeros(n, jnp.uint32),
+                     jnp.arange(n, dtype=jnp.uint32)
+                     + np.uint32(seed * 77777),
+                     jnp.zeros(n, jnp.uint32),
+                     jnp.full(n, seed, jnp.uint32))
+    rng, x = rng.next_float32()
+    rng, y = rng.next_float32()
+    rng, z = rng.next_float32()
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def test_bilinear_chi2():
+    """square_to_bilinear (warp.h:480) samples the unit square
+    proportionally to the bilinear interpolant of the corner values."""
+    v00, v10, v01, v11 = 0.1, 1.5, 0.9, 2.5
+    norm = (v00 + v10 + v01 + v11) / 4.0
+
+    def sample_fn(n, seed):
+        p, _ = warp.square_to_bilinear(v00, v10, v01, v11,
+                                       _uniform2d(n, seed))
+        return np.asarray(p)
+
+    def pdf(points):
+        p = jnp.asarray(points, jnp.float32)
+        return np.asarray(
+            warp.square_to_bilinear_pdf(v00, v10, v01, v11, p) / norm)
+
+    dom = PlanarDomain([[0, 1], [0, 1]])
+    passed, msg = chi2_test(sample_fn, pdf, dom, sample_count=400_000,
+                            res=(16, 16))
+    assert passed, msg
+    # sample returns the density at the sampled point
+    p, d = warp.square_to_bilinear(v00, v10, v01, v11,
+                                   _uniform2d(4096, 9))
+    np.testing.assert_allclose(
+        np.asarray(d),
+        np.asarray(warp.square_to_bilinear_pdf(v00, v10, v01, v11, p)),
+        rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("kappa", [2.0, 30.0])
+def test_rough_fiber_chi2(kappa):
+    """square_to_rough_fiber (warp.h:713): reflection cone around the
+    fiber tangent perturbed by a vMF lobe; pdf is the d'Eon analytic
+    longitudinal density x uniform azimuth."""
+    wi = jnp.asarray([0.4, -0.2, 0.891], jnp.float32)
+    wi = wi / jnp.linalg.norm(wi)
+    tangent = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
+
+    def sample_fn(n, seed):
+        s = _uniform3d(n, seed)
+        v = warp.square_to_rough_fiber(
+            s, jnp.broadcast_to(wi, (n, 3)),
+            jnp.broadcast_to(tangent, (n, 3)), kappa)
+        return np.asarray(v)
+
+    def pdf(points):
+        p = jnp.asarray(points, jnp.float32)
+        return np.asarray(warp.square_to_rough_fiber_pdf(
+            p, wi[None, :], tangent[None, :], kappa))
+
+    passed, msg = chi2_test(sample_fn, pdf, SphericalDomain(),
+                            sample_count=400_000, res=(32, 16))
+    assert passed, f"kappa={kappa}: {msg}"
