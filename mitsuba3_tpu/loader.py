@@ -321,13 +321,15 @@ def _adapter_chain_depth(bsdf_types, bsdf_rows):
 
 
 def _bsdf_row(spec: dict, textures: list, add_bsdf=None, measured=None,
-              pbsdf=None):
+              pbsdf=None, spd_registry=None):
     """Lower a BSDF spec -> (type_id, params row [N_PARAMS]).
 
     `textures` is the scene-level texture list; bitmap/checkerboard color
     specs append to it and store index+1 in the row's texture slot.
     `add_bsdf` registers nested BSDFs (mask/blendbsdf/normalmap adapters)
-    and returns their slot index.
+    and returns their slot index. `spd_registry` (spectral variant only)
+    collects true reflectance SPDs; a color param declared as a sampled
+    spectrum stores texture slot -(k+2) and keeps its SPD in row k.
     """
     btype = spec["type"]
     params = np.zeros(bsdfs_pkg.N_PARAMS, np.float32)
@@ -421,6 +423,21 @@ def _bsdf_row(spec: dict, textures: list, add_bsdf=None, measured=None,
             # value rides si.vcolor, texture id -1 selects it
             params[tex_slot] = -1
             params[rgb_slot:rgb_slot + 3] = 0.5
+        elif (spd_registry is not None and isinstance(cspec, dict)
+              and cspec.get("type") in ("regular", "irregular",
+                                        "blackbody", "d65", "uniform")):
+            # spectral variant: keep the declared SPD (regular.cpp etc.)
+            # and evaluate it at the hero wavelengths during transport;
+            # the RGB slots hold the projection for raw fetches
+            from .core import spectral as sp
+            if cspec.get("type") == "uniform":
+                row = np.full(sp.SPD_N, float(cspec.get("value", 1.0)),
+                              np.float32)
+            else:
+                row = _spd_row(cspec)
+            spd_registry.append(np.asarray(row, np.float32))
+            params[tex_slot] = -(len(spd_registry) + 1)
+            params[rgb_slot:rgb_slot + 3] = _rgb(cspec, default)
         else:
             params[rgb_slot:rgb_slot + 3] = _rgb(cspec, default)
 
@@ -429,7 +446,7 @@ def _bsdf_row(spec: dict, textures: list, add_bsdf=None, measured=None,
             v for v in spec.values() if isinstance(v, dict) and "type" in v
             and v["type"] in _BSDF_TYPES)
         tid, params = _bsdf_row(inner, textures, add_bsdf, measured,
-                                pbsdf)
+                                pbsdf, spd_registry)
         # two-sided flag lives in its own column — [7] is alpha_v/eta/
         # spec_t for the rough lobes, so flagging there corrupted
         # twosided(roughconductor) etc.
@@ -716,12 +733,14 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
     textures: list = []
     measured_list: list = []
     pbsdf_list: list = []
+    # true reflectance SPDs (spectral variant only; RGB mode projects)
+    bsdf_spd_list = [] if spectral else None
 
     def add_bsdf(spec, name=None):
         if spec.get("type") == "ref":
             return named_bsdf[spec["id"]]
         tid, row = _bsdf_row(spec, textures, add_bsdf, measured_list,
-                             pbsdf_list)
+                             pbsdf_list, bsdf_spd_list)
         idx = len(bsdf_types)
         bsdf_types.append(tid)
         bsdf_params.append(row)
@@ -1256,6 +1275,8 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
         sdf_rows=(jnp.asarray(np.stack(sdf_row_list, 0))
                   if sdf_row_list else None),
         em_spd=_em_spd_array(em_spd_list, len(em_radiance)),
+        bsdf_spd=(jnp.asarray(np.stack(bsdf_spd_list, 0))
+                  if bsdf_spd_list else None),
         em_spd_slots=tuple(i for i, r in enumerate(em_spd_list)
                            if r is not None),
         sensor=sensor_data,

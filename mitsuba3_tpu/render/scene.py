@@ -143,6 +143,13 @@ class Scene:
     # ---- true emitter SPDs (spectral variant; src/spectra/*.cpp) ----
     em_spd: jnp.ndarray = None          # [E, SPD_N] regular-grid SPDs
 
+    # ---- true reflectance SPDs (spectral variant): BSDF color params
+    # declared as regular/irregular/blackbody/d65/uniform spectra keep
+    # their SPD and evaluate at the path's hero wavelengths instead of
+    # being RGB-projected then re-upsampled (metamerism-preserving;
+    # texture slot -(k+2) selects row k — see texture.eval_color) ----
+    bsdf_spd: jnp.ndarray = None        # [S, SPD_N] regular-grid SPDs
+
     # ---- per-corner vertex colors (mesh_attribute.cpp; None = unused) --
     face_colors: jnp.ndarray = None     # [F, 3, 3]
 

@@ -144,8 +144,16 @@ def eval_color(scene, base_rgb: Vec3, tex_id_f, si, raw: bool = False) -> Vec3:
     if getattr(si, "vcolor", None) is not None:
         out = Vec3.where(tex_id == -1, si.vcolor, out)
     if not raw and getattr(si, "wavelengths", None) is not None:
-        from ..core.spectral import rgb_to_spectrum
+        from ..core.spectral import eval_spd, rgb_to_spectrum
         out = rgb_to_spectrum(out, si.wavelengths, reflectance=True)
+        # true-SPD reflectance rows (spectral variant, regular.cpp
+        # etc.): slot -(k+2) evaluates scene.bsdf_spd[k] at the hero
+        # wavelengths, bypassing the RGB round-trip (metamerism)
+        spd = getattr(scene, "bsdf_spd", None)
+        if spd is not None:
+            for k in range(spd.shape[0]):
+                out = Vec3.where(tex_id == -(k + 2),
+                                 eval_spd(spd[k], si.wavelengths), out)
     return out
 
 

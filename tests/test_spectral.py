@@ -167,3 +167,55 @@ def test_specfilm_channel_binning():
     # 540nm band sees the 540nm emitter; 680nm band sees ~nothing
     assert c[0] > 20 * max(c[1], 1e-7), c
     assert c[2] > c[0] * 0.5, c  # uniform response integrates it all
+
+
+def test_true_spd_reflectance():
+    """BSDF reflectance declared as a sampled spectrum keeps its SPD in
+    the spectral variant (loader spd_registry -> scene.bsdf_spd ->
+    texture.eval_color slot -(k+2)): a narrowband 540nm reflectance under
+    a flat illuminant renders decisively greener than its own RGB
+    projection would."""
+    from mitsuba3_tpu.core import spectral as sp
+
+    grid = np.linspace(sp.LAMBDA_MIN, sp.LAMBDA_MAX, sp.SPD_N)
+    narrow = np.clip(np.exp(-0.5 * ((grid - 540.0) / 12.0) ** 2), 0, 1)
+
+    def scene(spectral):
+        d = {
+            "type": "scene",
+            "integrator": {"type": "path", "max_depth": 3},
+            "sensor": {"type": "perspective", "fov": 40.0,
+                       "to_world": mi.ScalarTransform4f().look_at(
+                           origin=[0, 0, -3], target=[0, 0, 0],
+                           up=[0, 1, 0]),
+                       "film": {"width": 8, "height": 8,
+                                "rfilter": {"type": "box"}},
+                       "sampler": {"type": "independent",
+                                   "sample_count": 16}},
+            "wall": {"type": "rectangle",
+                     "to_world": mi.ScalarTransform4f()
+                     .rotate([0, 1, 0], 180).scale(2.0),
+                     "bsdf": {"type": "diffuse",
+                              "reflectance": {
+                                  "type": "regular",
+                                  "lambda_min": float(grid[0]),
+                                  "lambda_max": float(grid[-1]),
+                                  "values": [float(v) for v in narrow]}}},
+            "env": {"type": "constant",
+                    "radiance": {"type": "rgb", "value": 1.0}},
+        }
+        return mi.load_dict(d, spectral=spectral)
+
+    s_sp = scene(True)
+    assert s_sp.bsdf_spd is not None and s_sp.bsdf_spd.shape[0] == 1
+    # RGB mode must NOT register SPD rows (projection pipeline)
+    assert scene(False).bsdf_spd is None
+
+    img = np.asarray(mi.render(s_sp, spp=256, seed=2))
+    c = img[2:6, 2:6].mean(axis=(0, 1))
+    # a 540nm narrowband reflector is strongly green-dominant; the sRGB
+    # projection of this spike is muddier (gamut-clipped); the spectral
+    # path must keep the saturation
+    assert np.isfinite(c).all()
+    assert c[1] > 1.8 * max(c[0], 1e-6), c
+    assert c[1] > 1.8 * max(c[2], 1e-6), c
