@@ -257,15 +257,32 @@ def sample(scene, rng, ray: Ray, cfg: PathConfig, active=None, pi0=None):
     ks_rest = jnp.arange(COMPACT_AT, cfg.max_depth, dtype=jnp.int32)
     half = n // 2
 
+    # bool/u32 payloads in lax.sort explode TPU compile time (see
+    # render/integrator.py:_sortable) — widen around the sorts
+    def _to_sortable(a):
+        if a.dtype == jnp.bool_:
+            return a.astype(jnp.int32)
+        if a.dtype == jnp.uint32:
+            return jax.lax.bitcast_convert_type(a, jnp.int32)
+        return a
+
+    def _from_sortable(a, dt):
+        if dt == jnp.bool_:
+            return a.astype(jnp.bool_)
+        if dt == jnp.uint32:
+            return jax.lax.bitcast_convert_type(a, jnp.uint32)
+        return a
+
     leaves, treedef = jax.tree_util.tree_flatten(state)
     lane = [i for i, a in enumerate(leaves) if a.shape == (n,)]
     key = (~state.active).astype(jnp.int32)      # actives first (stable)
     orig = jnp.arange(n, dtype=jnp.int32)
     sorted_ops = jax.lax.sort(
-        (key, orig, *[leaves[i] for i in lane]), num_keys=1,
+        (key, orig, *[_to_sortable(leaves[i]) for i in lane]), num_keys=1,
         is_stable=True)
     orig_s = sorted_ops[1]
-    lane_s = list(sorted_ops[2:])
+    lane_s = [_from_sortable(a, leaves[i].dtype)
+              for i, a in zip(lane, sorted_ops[2:])]
 
     def run_slice(slc):
         out = list(leaves)
@@ -286,9 +303,10 @@ def sample(scene, rng, ray: Ray, cfg: PathConfig, active=None, pi0=None):
     lane_merged = [jnp.concatenate([h, t], axis=0)
                    for h, t in ((head_leaves[i], tail_leaves[i])
                                 for i in lane)]
-    restored = jax.lax.sort((orig_s, *lane_merged), num_keys=1)
-    for i, a in zip(lane, restored[1:]):
-        merged[i] = a
+    restored = jax.lax.sort(
+        (orig_s, *[_to_sortable(a) for a in lane_merged]), num_keys=1)
+    for j, (i, a) in enumerate(zip(lane, restored[1:])):
+        merged[i] = _from_sortable(a, lane_merged[j].dtype)
     state = jax.tree_util.tree_unflatten(treedef, merged)
     L = state.result.mask(state.valid_ray)
     return (L, state.valid_ray, state.rng,

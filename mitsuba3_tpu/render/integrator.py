@@ -229,6 +229,40 @@ def _lane_indices(leaves, n):
             if getattr(a, "shape", None) == (n,)]
 
 
+# Multi-payload lax.sort over the whole path state is a compile-time
+# disaster on TPU when fused into a large program (a 3-bool-payload
+# stable sort at 512k keys compiles >10 min standalone; the ~28-operand
+# state sort inside the render program compiles >20 min — measured on
+# v5e via axon). Sort ONLY (key, lane-id) to get the permutation, then
+# apply it to the state with ONE packed [n, Lpad] i32 row-gather
+# (~60-80 M rows/s issue-bound, a few ms at 512k lanes, compiles
+# instantly).
+def _permute_lanes(leaves, lane, perm):
+    cols = []
+    for i in lane:
+        a = leaves[i]
+        if a.dtype == jnp.bool_:
+            cols.append(a.astype(jnp.int32))
+        elif a.dtype == jnp.int32:
+            cols.append(a)
+        else:
+            cols.append(jax.lax.bitcast_convert_type(a, jnp.int32))
+    pad = (-len(cols)) % 8
+    cols = cols + [cols[0]] * pad
+    mat = jnp.stack(cols, axis=1)                  # [n, Lpad]
+    mat = jnp.take(mat, perm, axis=0)
+    out = list(leaves)
+    for j, i in enumerate(lane):
+        a = mat[:, j]
+        dt = leaves[i].dtype
+        if dt == jnp.bool_:
+            a = a != 0
+        elif dt != jnp.int32:
+            a = jax.lax.bitcast_convert_type(a, dt)
+        out[i] = a
+    return out
+
+
 @partial(jax.jit, static_argnames=("sppc", "spp_total"))
 def _pass_prefix_jit(scene, pass_seed, sppc: int, pass_idx, spp_total,
                      base_seed):
@@ -248,17 +282,15 @@ def _pass_prefix_jit(scene, pass_seed, sppc: int, pass_idx, spp_total,
     n = state.active.shape[0]
     leaves, treedef = jax.tree_util.tree_flatten(state)
     lane = _lane_indices(leaves, n)
-    key = (~state.active).astype(jnp.int32)      # actives first (stable)
+    key = (~state.active).astype(jnp.int32)      # actives first
     orig = jnp.arange(n, dtype=jnp.int32)
-    sorted_ops = jax.lax.sort(
-        (key, orig, *[leaves[i] for i in lane]), num_keys=1,
-        is_stable=True)
-    out = list(leaves)
-    for i, a in zip(lane, sorted_ops[2:]):
-        out[i] = a
+    # num_keys=2 with the distinct lane id as tiebreak = a unique total
+    # order, so no stability flag is needed; [1] IS the permutation
+    perm = jax.lax.sort((key, orig), num_keys=2)[1]
+    out = _permute_lanes(leaves, lane, perm)
     state_s = jax.tree_util.tree_unflatten(treedef, out)
     n_active = jnp.sum(state.active.astype(jnp.int32))
-    return (state_s, sorted_ops[1], ray.wl, jitter, jnp.sum(counts),
+    return (state_s, perm, ray.wl, jitter, jnp.sum(counts),
             n_active)
 
 
@@ -283,12 +315,15 @@ def _pass_suffix_jit(scene, state_s, orig_s, wl0, jitter, counts0,
     st, counts = jax.lax.scan(bounce, st, ks)
 
     head_leaves = jax.tree_util.tree_flatten(st)[0]
-    merged_lane = [jnp.concatenate([head_leaves[i], leaves[i][head_w:]])
-                   for i in lane]
-    restored = jax.lax.sort((orig_s, *merged_lane), num_keys=1)
-    out = list(head_leaves)
-    for i, a in zip(lane, restored[1:]):
-        out[i] = a
+    merged = list(head_leaves)
+    for i in lane:
+        merged[i] = jnp.concatenate([head_leaves[i], leaves[i][head_w:]])
+    # invert the prefix permutation (orig_s[j] = source lane of sorted
+    # slot j), then gather back to original order
+    n_ = orig_s.shape[0]
+    inv = jax.lax.sort((orig_s, jnp.arange(n_, dtype=jnp.int32)),
+                       num_keys=1)[1]
+    out = _permute_lanes(merged, lane, inv)
     state = jax.tree_util.tree_unflatten(treedef, out)
 
     L = state.result.mask(state.valid_ray)
@@ -311,17 +346,33 @@ def _pick_head_width(n, n_active):
 
 def _render_compacted(scene, seed, sppc: int, n_passes: int):
     """Host-level pass loop with per-pass live-lane compaction."""
+    import time as _time
+
+    from ..utils import log as log_mod
+
+    def _dbg(msg):
+        if log_mod.log_level() <= log_mod.DEBUG:
+            log_mod.log(log_mod.DEBUG, msg)
+
     w, h = scene.film.width, scene.film.height
     n = w * h * sppc
     image = weight = rays = None
     for i in range(n_passes):
         pass_seed = (jnp.uint32(seed)
                      ^ (jnp.uint32(i) * jnp.uint32(0x9E3779B9)))
+        t0 = _time.perf_counter()
         state_s, orig_s, wl0, jitter, c0, n_active = _pass_prefix_jit(
             scene, pass_seed, sppc, i, sppc * n_passes, seed)
-        head_w = _pick_head_width(n, int(n_active))
+        na = int(n_active)
+        head_w = _pick_head_width(n, na)
+        _dbg(f"compact pass {i}: prefix {_time.perf_counter()-t0:.1f}s, "
+             f"live {na}/{n} -> head {head_w}")
+        t0 = _time.perf_counter()
         img_i, wgt_i, rays_i = _pass_suffix_jit(
             scene, state_s, orig_s, wl0, jitter, c0, sppc, head_w)
+        img_i, wgt_i, rays_i = jax.block_until_ready(
+            (img_i, wgt_i, rays_i))
+        _dbg(f"compact pass {i}: suffix {_time.perf_counter()-t0:.1f}s")
         image = img_i if image is None else image + img_i
         weight = wgt_i if weight is None else weight + wgt_i
         rays = rays_i if rays is None else rays + rays_i
