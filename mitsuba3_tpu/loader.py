@@ -320,6 +320,28 @@ def _adapter_chain_depth(bsdf_types, bsdf_rows):
                default=1) or 1
 
 
+def _sphere_center_radius(spec: dict):
+    """World-space (cx, cy, cz, r) for a sphere spec under a rigid +
+    uniform-scale to_world, or None (anisotropic scale / other shapes)."""
+    if spec.get("type") != "sphere":
+        return None
+    tw = spec.get("to_world")
+    m = np.eye(4)
+    if tw is not None:
+        if not isinstance(tw, Transform4f):
+            tw = Transform4f(np.asarray(tw, np.float64))
+        m = np.asarray(tw.matrix, np.float64)
+    a3 = m[:3, :3]
+    lens = np.linalg.norm(a3, axis=0)
+    s = float(lens.mean())
+    if s <= 0 or np.abs(lens - s).max() > 1e-5 * max(s, 1e-6):
+        return None
+    c_local = np.asarray(spec.get("center", [0, 0, 0]), np.float64)
+    r_local = float(spec.get("radius", 1.0))
+    c = a3 @ c_local + m[:3, 3]
+    return np.asarray([c[0], c[1], c[2], s * r_local], np.float32)
+
+
 def _bsdf_row(spec: dict, textures: list, add_bsdf=None, measured=None,
               pbsdf=None, spd_registry=None):
     """Lower a BSDF spec -> (type_id, params row [N_PARAMS]).
@@ -895,6 +917,7 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
     em_radiance = []
     em_faces: list[list[int]] = []   # per-emitter list of global face ids
     em_areas: list[np.ndarray] = []
+    em_sphere_list: list = []        # (cx,cy,cz,r) or None per area emitter
     v_off = 0
     f_off = 0
 
@@ -1001,6 +1024,12 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
             em_areas.append(mesh.face_areas())
             if espec["type"] == "directionalarea":
                 em_directional.append(e_idx)
+            # sphere-shaped area emitters additionally record their
+            # analytic (center, radius) so NEE can cone-sample the
+            # subtended solid angle (sphere.cpp:sample_direction) —
+            # uniform area sampling of a small sphere light wastes half
+            # its samples on the back face and carries ~2% std
+            em_sphere_list.append(_sphere_center_radius(spec))
 
         int_spec = spec.get("interior") or spec.get("interior_medium")
         ext_spec = spec.get("exterior") or spec.get("exterior_medium")
@@ -1277,6 +1306,12 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
         em_spd=_em_spd_array(em_spd_list, len(em_radiance)),
         bsdf_spd=(jnp.asarray(np.stack(bsdf_spd_list, 0))
                   if bsdf_spd_list else None),
+        em_sphere=(jnp.asarray(np.stack(
+            [r if r is not None else np.zeros(4, np.float32)
+             for r in em_sphere_list], 0))
+            if any(r is not None for r in em_sphere_list) else None),
+        em_sphere_slots=tuple(i for i, r in enumerate(em_sphere_list)
+                              if r is not None),
         em_spd_slots=tuple(i for i, r in enumerate(em_spd_list)
                            if r is not None),
         sensor=sensor_data,

@@ -150,6 +150,11 @@ class Scene:
     # texture slot -(k+2) selects row k — see texture.eval_color) ----
     bsdf_spd: jnp.ndarray = None        # [S, SPD_N] regular-grid SPDs
 
+    # ---- sphere-shaped area emitters (sphere.cpp sample_direction):
+    # analytic (cx, cy, cz, r) rows enabling cone-sampled NEE ----
+    em_sphere: jnp.ndarray = None       # [A, 4]; r = 0 for non-spheres
+    em_sphere_slots: tuple = static_field(default=())
+
     # ---- per-corner vertex colors (mesh_attribute.cpp; None = unused) --
     face_colors: jnp.ndarray = None     # [F, 3, 3]
 
@@ -616,6 +621,53 @@ class Scene:
                 radiance = radiance.mask(em_idx != slot)
             uv = Vec2(b1, b2)
 
+            if self.em_sphere_slots:
+                # cone-sample sphere emitters in their subtended solid
+                # angle (sphere.cpp:sample_direction): area sampling
+                # wastes ~half its draws on the back face and the
+                # cos/dist^2 weight varies across the cap. The sampled
+                # point lies on the TRUE sphere, which the inscribed
+                # tessellation never occludes (the analytic entry point
+                # is always in front of the polyhedron surface).
+                from ..core import warp as warp_mod
+                sp = jnp.take(
+                    self.em_sphere,
+                    jnp.clip(em_idx, 0, self.em_sphere.shape[0] - 1),
+                    axis=0)
+                is_sph = jnp.zeros(n, bool)
+                for slot in self.em_sphere_slots:
+                    is_sph = is_sph | (em_idx == slot)
+                c = Vec3(sp[:, 0], sp[:, 1], sp[:, 2])
+                r_sph = sp[:, 3]
+                to_c = c - si.p
+                dc2 = to_c.squared_norm()
+                dc = m.safe_sqrt(dc2)
+                outside = dc > r_sph * 1.0005
+                use = is_sph & outside
+                sin2max = jnp.clip(r_sph * r_sph
+                                   / jnp.maximum(dc2, 1e-20), 0.0, 1.0)
+                cosmax = m.safe_sqrt(1.0 - sin2max)
+                dir_c = to_c * jax.lax.rsqrt(jnp.maximum(dc2, 1e-20))
+                s2 = jnp.stack([sample2.x, sample2.y], axis=-1)
+                local = warp_mod.square_to_uniform_cone(s2, cosmax)
+                fr = Frame.from_normal(dir_c)
+                d_cone = fr.to_world(Vec3(local[..., 0], local[..., 1],
+                                          local[..., 2]))
+                b_half = d_cone.dot(to_c)
+                disc = b_half * b_half - (dc2 - r_sph * r_sph)
+                t_near = b_half - m.safe_sqrt(jnp.maximum(disc, 0.0))
+                p_cone = si.p + d_cone * t_near
+                ng_cone = (p_cone - c) * m.safe_div(1.0, r_sph)
+                # 2*pi*(1-cos) computed via sin^2/(1+cos) for stability
+                solid = (2.0 * m.Pi) * sin2max / (1.0 + cosmax)
+                pdf_cone = m.safe_div(1.0, e_total
+                                      * jnp.maximum(solid, 1e-12))
+                d = Vec3.where(use, d_cone, d)
+                p = Vec3.where(use, p_cone, p)
+                ng = Vec3.where(use, ng_cone, ng)
+                dist = jnp.where(use, t_near, dist)
+                pdf_sa = jnp.where(use, pdf_cone, pdf_sa)
+
         if n_delta:
             far = jnp.float32(1e7)
             pick_delta = (sample1 >= area_prob) & (
@@ -770,8 +822,33 @@ class Scene:
         cos_emitter = -si.n.dot(d)
         pdf_area = inv_area / max(self.n_emitters, 1)
         pdf_sa = m.safe_div(pdf_area * dist2, cos_emitter)
-        return jnp.where(emissive & (cos_emitter > 0.0) & si.is_valid(),
-                         pdf_sa, 0.0)
+        pdf_sa = jnp.where(cos_emitter > 0.0, pdf_sa, 0.0)
+        if self.em_sphere_slots:
+            # NEE cone-samples sphere emitters (see _sample_emitter_core)
+            # so the MIS pdf for BSDF hits on them is the cone density
+            em_idx = attrs["emitter"]
+            sp = jnp.take(
+                self.em_sphere,
+                jnp.clip(em_idx, 0, self.em_sphere.shape[0] - 1),
+                axis=0)
+            is_sph = jnp.zeros(em_idx.shape, bool)
+            for slot in self.em_sphere_slots:
+                is_sph = is_sph | (em_idx == slot)
+            c = Vec3(sp[:, 0], sp[:, 1], sp[:, 2])
+            r_sph = sp[:, 3]
+            to_c = c - prev_p
+            dc2 = to_c.squared_norm()
+            dc = m.safe_sqrt(dc2)
+            outside = dc > r_sph * 1.0005
+            sin2max = jnp.clip(r_sph * r_sph / jnp.maximum(dc2, 1e-20),
+                               0.0, 1.0)
+            cosmax = m.safe_sqrt(1.0 - sin2max)
+            solid = (2.0 * m.Pi) * sin2max / (1.0 + cosmax)
+            pdf_cone = m.safe_div(
+                1.0, max(self.n_emitters, 1)
+                * jnp.maximum(solid, 1e-12))
+            pdf_sa = jnp.where(is_sph & outside, pdf_cone, pdf_sa)
+        return jnp.where(emissive & si.is_valid(), pdf_sa, 0.0)
 
     def pdf_emitter_direction_miss(self, d: Vec3):
         """Solid-angle NEE pdf for a ray that escaped to the environment."""

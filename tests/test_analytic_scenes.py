@@ -81,9 +81,10 @@ def test_sphere_light_over_plane():
     rho, le, r, h = 0.75, 4.0, 0.5, 2.0
     d = {
         "type": "scene",
-        # emitter-sampling only: the BSDF-sampling strategy has a
-        # heavy-tailed estimator on a small bright light (std ~2% at
-        # 4096 spp), useless as a tight oracle; NEE is ~0.1% here
+        # emitter-sampling only: sphere emitters are cone-sampled in
+        # solid angle (sphere.cpp sample_direction), so the estimator
+        # is near-exact; the BSDF strategy's heavy tail would need
+        # ~100x the spp for the same precision
         "integrator": {"type": "direct", "emitter_samples": 2,
                        "bsdf_samples": 0},
         "sensor": _radiancemeter([0.0, 0.0, 0.4], [0, 0, 0]),
@@ -96,11 +97,8 @@ def test_sphere_light_over_plane():
                   "emitter": {"type": "area",
                               "radiance": {"type": "rgb", "value": le}}},
     }
-    got = _render_mean(d, spp=65536)
+    got = _render_mean(d, spp=4096)
     expect = rho * le * (r / h) ** 2
-    # the tessellated (polyhedral) light subtends ~0.4% less than the
-    # sphere (numerically integrated: 0.18679 vs 0.18750 for these
-    # values), and area-sampled NEE on a sphere light carries ~0.3%
-    # std at this spp (the reference cone-samples spheres instead);
-    # 1.5% covers both
-    assert np.allclose(got, expect, rtol=0.015), (got, expect)
+    # cone-sampled NEE integrates the analytic sphere: the estimator
+    # matches the closed form to ~1e-4 relative at this spp
+    assert np.allclose(got, expect, rtol=0.003), (got, expect)
