@@ -370,9 +370,10 @@ def _render_compacted(scene, seed, sppc: int, n_passes: int):
         t0 = _time.perf_counter()
         img_i, wgt_i, rays_i = _pass_suffix_jit(
             scene, state_s, orig_s, wl0, jitter, c0, sppc, head_w)
-        img_i, wgt_i, rays_i = jax.block_until_ready(
-            (img_i, wgt_i, rays_i))
-        _dbg(f"compact pass {i}: suffix {_time.perf_counter()-t0:.1f}s")
+        if log_mod.log_level() <= log_mod.DEBUG:
+            img_i = jax.block_until_ready(img_i)
+            _dbg(f"compact pass {i}: suffix "
+                 f"{_time.perf_counter()-t0:.1f}s")
         image = img_i if image is None else image + img_i
         weight = wgt_i if weight is None else weight + wgt_i
         rays = rays_i if rays is None else rays + rays_i
