@@ -6,6 +6,12 @@ The API mirrors the reference's python quickstart
 Run on CPU with:  python examples/01_render_cornell.py
 (on a TPU host the default backend is used automatically).
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import numpy as np
 
 import mitsuba3_tpu as mi

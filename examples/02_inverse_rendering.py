@@ -5,6 +5,12 @@ tutorials (docs/tutorials/inverse_rendering/*): render a target, perturb
 a parameter, and descend on the L2 image loss with gradients from Path
 Replay Backpropagation (an O(1)-memory custom_vjp — ad/prb.py).
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -2,6 +2,12 @@
 null-scattering volumetric path tracer (integrators/volpath.py — the
 volpath.cpp analog).
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import numpy as np
 
 import mitsuba3_tpu as mi

@@ -8,6 +8,12 @@ virtual 8-device CPU mesh:
   XLA_FLAGS=--xla_force_host_platform_device_count=8 \
   JAX_PLATFORMS=cpu python examples/04_multichip.py
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import dataclasses
 
 import jax

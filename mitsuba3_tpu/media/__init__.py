@@ -111,6 +111,43 @@ def _sample_grid(grid, p: Vec3):
     return jnp.where(inside, c0 * (1 - tz) + c1 * tz, 0.0)
 
 
+def _cell_rows(g):
+    """[(D-1)(H-1)(W-1), 8] cell-corner rows derived on-device from the
+    grid. Loop-invariant, so XLA hoists it out of the tracking scans;
+    staying a jnp transform of the grid keeps density gradients and
+    SceneParameters grid updates flowing (unlike a baked table)."""
+    parts = (g[:-1, :-1, :-1], g[:-1, :-1, 1:],
+             g[:-1, 1:, :-1], g[:-1, 1:, 1:],
+             g[1:, :-1, :-1], g[1:, :-1, 1:],
+             g[1:, 1:, :-1], g[1:, 1:, 1:])
+    return jnp.stack([x.reshape(-1) for x in parts], axis=1)
+
+
+def _sample_grid_cells(cells, shape, p: Vec3):
+    """Trilinear sample via ONE [ncells, 8] row-gather — the
+    delta-tracking loops call this ~48 times per lane per bounce, and 8
+    scalar gathers per call made the heterogeneous path 225x slower
+    than homogeneous (measured, v5e: 15.8s vs 0.07s for a 96x96 spp8
+    smoke render; row-gathers are issue-bound, so 1 issue beats 8)."""
+    d, h, w = shape
+    inside = ((p.x >= 0.0) & (p.x <= 1.0) & (p.y >= 0.0) & (p.y <= 1.0)
+              & (p.z >= 0.0) & (p.z <= 1.0))
+    fx = jnp.clip(p.x, 0.0, 1.0) * (w - 1)
+    fy = jnp.clip(p.y, 0.0, 1.0) * (h - 1)
+    fz = jnp.clip(p.z, 0.0, 1.0) * (d - 1)
+    x0 = jnp.clip(jnp.floor(fx), 0, w - 2).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(fy), 0, h - 2).astype(jnp.int32)
+    z0 = jnp.clip(jnp.floor(fz), 0, d - 2).astype(jnp.int32)
+    tx = (fx - x0)[:, None]
+    ty = (fy - y0)[:, None]
+    tz = (fz - z0)[:, None]
+    rows = jnp.take(cells, (z0 * (h - 1) + y0) * (w - 1) + x0, axis=0)
+    c0 = rows[:, 0:4] * (1 - tz) + rows[:, 4:8] * tz        # [N, 4]
+    c1 = c0[:, 0:2] * (1 - ty) + c0[:, 2:4] * ty            # [N, 2]
+    val = c1[:, 0] * (1 - tx[:, 0]) + c1[:, 1] * tx[:, 0]
+    return jnp.where(inside, val, 0.0)
+
+
 def eval_density(scene, med_idx, params, p: Vec3):
     """Per-lane density: 1 for homogeneous media, trilinear grid sample for
     heterogeneous. Static masked loop over the scene's grids."""
@@ -123,7 +160,11 @@ def eval_density(scene, med_idx, params, p: Vec3):
     grid_slot = jnp.round(params[9]).astype(jnp.int32)  # 0 = none
     density = jnp.ones(p.x.shape, jnp.float32)
     for gi, grid in enumerate(scene.medium_grids):
-        val = _sample_grid(grid, pg)
+        d_, h_, w_ = grid.shape
+        if min(d_, h_, w_) >= 2 and (d_ - 1) * (h_ - 1) * (w_ - 1) <= 4_000_000:
+            val = _sample_grid_cells(_cell_rows(grid), grid.shape, pg)
+        else:
+            val = _sample_grid(grid, pg)
         density = jnp.where(grid_slot == gi + 1, val, density)
     return density
 
