@@ -40,6 +40,14 @@ def eval_texture(tex, uv: Vec2, wrap: str = "repeat",
     h, w = tex.shape[0], tex.shape[1]
     u = uv.x * w - 0.5
     v = (1.0 - uv.y) * h - 0.5
+    if wrap == "clamp":
+        # pre-clamp the continuous coordinate: equivalent semantics
+        # (outside [0, n-1] both bilinear taps are the edge texel), and
+        # it keeps floor(u) in-range so the +1 quad table below is exact
+        # at the low edge (floor(-0.3) = -1 would pair base texel 0 with
+        # neighbor 1 instead of 0-with-0).
+        u = jnp.clip(u, 0.0, w - 1.0)
+        v = jnp.clip(v, 0.0, h - 1.0)
     flat = tex.reshape(h * w, 3)
 
     def fetch(iy, ix):
@@ -56,6 +64,28 @@ def eval_texture(tex, uv: Vec2, wrap: str = "repeat",
     fv = v - y0f
     x0 = x0f.astype(jnp.int32)
     y0 = y0f.astype(jnp.int32)
+    if wrap in ("repeat", "clamp"):
+        # one [H*W, 12] quad-row gather instead of 4 row gathers: the
+        # row at (y, x) carries its own texel plus the wrapped +x/+y/+xy
+        # neighbors (gathers are issue-bound — see the media cell-row
+        # fix). Mirror wrap keeps the 4-gather path: a mirrored base
+        # reverses neighbor direction at the folds, so a +1 table would
+        # pick the wrong texel there.
+        ix1 = _wrap_idx(jnp.arange(w, dtype=jnp.int32) + 1, w, wrap)
+        iy1 = _wrap_idx(jnp.arange(h, dtype=jnp.int32) + 1, h, wrap)
+        quad = jnp.concatenate(
+            [tex, tex[:, ix1], tex[iy1, :], tex[iy1][:, ix1]],
+            axis=-1).reshape(h * w, 12)
+        rows = jnp.take(
+            quad, _wrap_idx(y0, h, wrap) * w + _wrap_idx(x0, w, wrap),
+            axis=0)
+        w00 = ((1 - fu) * (1 - fv))[:, None]
+        w10 = (fu * (1 - fv))[:, None]
+        w01 = ((1 - fu) * fv)[:, None]
+        w11 = (fu * fv)[:, None]
+        r = (rows[:, 0:3] * w00 + rows[:, 3:6] * w10
+             + rows[:, 6:9] * w01 + rows[:, 9:12] * w11)
+        return Vec3(r[:, 0], r[:, 1], r[:, 2])
     t00 = fetch(y0, x0)
     t10 = fetch(y0, x0 + 1)
     t01 = fetch(y0 + 1, x0)
