@@ -138,7 +138,7 @@ def make_bounce(scene, cfg: PathConfig, pi0=None):
         rng, s1_em = sampler_mod.next_1d(s.rng)
         rng, s2_em = sampler_mod.next_2d(rng)
         ds, em_weight = scene.sample_emitter_direction(
-            si, s1_em, s2_em, active=active_em, test_visibility=True)
+            si, s1_em, s2_em, active=active_em, test_visibility=False)
         active_em = active_em & (ds.pdf != 0.0)
         wo_em = si.to_local(ds.d)
 
@@ -147,6 +147,23 @@ def make_bounce(scene, cfg: PathConfig, pi0=None):
         rng, s2_b = sampler_mod.next_2d(rng)
         bsdf_val_em, bsdf_pdf_em = bsdfs.eval_pdf(scene, bsdf_idx, si, wo_em)
         bs, bsdf_weight = bsdfs.sample(scene, bsdf_idx, si, s1_b, s2_b)
+
+        # Deferred shadow test: visibility multiplies throughput*f*Le,
+        # so a lane whose BSDF eval or emitter weight is exactly zero
+        # (backfacing NEE — e.g. a uniform-sphere env sample below the
+        # horizon of a diffuse surface) never needs the occlusion query.
+        # Measured on terrain64k at 512k lanes: the shadow ray_test is
+        # ~60% of the bounce (91 ms vs 47 ms closest + 7 ms shading) and
+        # ~25% of its lanes are backfacing. Exact: skipped lanes
+        # contribute zero either way, and the RNG stream is unchanged.
+        n_shadow = jnp.float32(0)
+        if scene.has_nee_emitters():
+            vis_needed = (active_em & bsdf_val_em.any_positive()
+                          & em_weight.any_positive())
+            shadow_ray = si.spawn_ray_to(ds.p)
+            occluded = scene.ray_test(shadow_ray, active=vis_needed)
+            active_em = vis_needed & ~occluded
+            n_shadow = jnp.sum(vis_needed.astype(jnp.float32))
 
         mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, bsdf_pdf_em))
         result = result + (s.throughput * bsdf_val_em * em_weight
@@ -204,8 +221,7 @@ def make_bounce(scene, cfg: PathConfig, pi0=None):
             active=new_active,
             rng=rng)
         # per-bounce ray-query counts (closest-hit + shadow) for Mrays/s stats
-        n_rays = (jnp.sum(s.active.astype(jnp.float32))
-                  + jnp.sum(active_em.astype(jnp.float32)))
+        n_rays = jnp.sum(s.active.astype(jnp.float32)) + n_shadow
         return new_state, n_rays
 
     return bounce

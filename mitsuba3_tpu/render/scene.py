@@ -553,12 +553,21 @@ class Scene:
         ok = ds.pdf > 0.0
         if active is not None:
             ok = ok & active
-        if test_visibility and (self.ef_face.shape[0] or self.env_emitter >= 0):
+        if test_visibility and self.has_nee_emitters():
             shadow_ray = si.spawn_ray_to(ds.p)
             occluded = self.ray_test(shadow_ray, active=ok)
             ok = ok & ~occluded
         ds = ds.replace(pdf=jnp.where(ok, ds.pdf, 0.0))
         return ds, weight.mask(ok)
+
+    def has_nee_emitters(self):
+        """True if NEE can select any emitter (area, delta, or env) — the
+        shadow-ray gate. Delta emitters count: a point/spot/directional
+        light's visibility must be tested like any other (regression: a
+        delta-only scene previously skipped the test and cast no shadows)."""
+        return bool(self.ef_face.shape[0] or self.env_emitter >= 0
+                    or (self.de_params is not None
+                        and self.de_params.shape[0]))
 
     def _sample_emitter_core(self, si, sample1, sample2: Vec2):
         """Shared NEE core; `si` only needs `.p` (and `.t` for shaping).

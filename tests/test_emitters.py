@@ -126,3 +126,38 @@ def test_envmap_warp_chi2():
     passed, msg = chi2_test(sample_fn, pdf_fn, SphericalDomain(),
                             sample_count=400_000, res=(48, 24), ires=32)
     assert passed, msg
+
+
+def test_delta_only_scene_casts_shadows():
+    """Regression: a scene whose only emitter is a delta light must still
+    shadow-test NEE rays (the visibility gate previously required an area
+    or env emitter, so point/spot/directional-only scenes cast no
+    shadows — scene.py has_nee_emitters)."""
+    d = {
+        "type": "scene",
+        "integrator": {"type": "direct"},
+        "sensor": {"type": "perspective", "fov": 45.0,
+                   "to_world": mi.ScalarTransform4f().look_at(
+                       origin=[0, 2.5, 4], target=[0, 0, 0], up=[0, 1, 0]),
+                   "film": {"width": 32, "height": 32},
+                   "sampler": {"type": "independent", "sample_count": 1}},
+        "floor": {"type": "rectangle",
+                  "to_world": mi.ScalarTransform4f().rotate(
+                      [1, 0, 0], -90).scale(3.0),
+                  "bsdf": {"type": "diffuse"}},
+        "blocker": {"type": "rectangle",
+                    "to_world": mi.ScalarTransform4f().translate(
+                        [0, 0.5, 0]).rotate([1, 0, 0], -90).scale(0.4),
+                    "bsdf": {"type": "diffuse"}},
+        "lamp": {"type": "point", "position": [0, 1.0, 0],
+                 "intensity": {"type": "rgb", "value": 5.0}},
+    }
+    for integ in ({"type": "direct"}, {"type": "path", "max_depth": 2}):
+        d["integrator"] = integ
+        img = np.asarray(mi.render(mi.load_dict(d), spp=32))
+        center = img[16, 16, 0]   # directly under the blocker
+        edge = img[16, 2, 0]      # unoccluded floor
+        assert edge > 0.05, f"{integ['type']}: floor unexpectedly dark"
+        assert center < 0.25 * edge, (
+            f"{integ['type']}: no shadow under blocker "
+            f"(center={center:.4f}, edge={edge:.4f})")
