@@ -60,16 +60,24 @@ def sample(scene, rng, ray: Ray, cfg: DirectConfig, active=None):
     for _ in range(cfg.emitter_samples):
         rng, s1 = sampler_mod.next_1d(rng)
         rng, s2 = sampler_mod.next_2d(rng)
+        # deferred shadow test (see integrators/path.py): eval the BSDF
+        # first and only occlusion-test lanes with a nonzero integrand
         ds, em_weight = scene.sample_emitter_direction(
-            si, s1, s2, active=active_surf, test_visibility=True)
+            si, s1, s2, active=active_surf, test_visibility=False)
         ok = active_surf & (ds.pdf > 0.0)
         wo = si.to_local(ds.d)
         bsdf_val, bsdf_pdf = bsdfs.eval_pdf(scene, bsdf_idx, si, wo)
+        if scene.has_nee_emitters():
+            vis_needed = (ok & bsdf_val.any_positive()
+                          & em_weight.any_positive())
+            occluded = scene.ray_test(si.spawn_ray_to(ds.p),
+                                      active=vis_needed)
+            ok = vis_needed & ~occluded
+            n_rays = n_rays + jnp.sum(vis_needed.astype(jnp.float32))
         mis = jnp.where(ds.delta, 1.0,
                         mis_weight(ds.pdf * frac_lum, bsdf_pdf * frac_bsdf)
                         ) / cfg.emitter_samples
         result = result + (bsdf_val * em_weight * mis).mask(ok)
-        n_rays = n_rays + jnp.sum(ok.astype(jnp.float32))
 
     # ---- bsdf sampling strategies ----
     for _ in range(cfg.bsdf_samples):
