@@ -211,7 +211,7 @@ def _loop(scene, rng, ray, cfg: PRBConfig, mode: str, dL=None, L_in=None,
         rng, s1_em = sampler_mod.next_1d(s.rng)
         rng, s2_em = sampler_mod.next_2d(rng)
         ds, em_weight_det = scene_det.sample_emitter_direction(
-            si, s1_em, s2_em, active=active_em, test_visibility=True)
+            si, s1_em, s2_em, active=active_em, test_visibility=False)
         active_em = active_em & (ds.pdf != 0.0)
         wo_em = si.to_local(ds.d)
 
@@ -221,6 +221,20 @@ def _loop(scene, rng, ray, cfg: PRBConfig, mode: str, dL=None, L_in=None,
         bsdf_val_em_det, bsdf_pdf_em = bsdfs.eval_pdf(
             scene_det, bsdf_idx, si, wo_em)
         bs, bsdf_weight_det = bsdfs.sample(scene_det, bsdf_idx, si, s1_b, s2_b)
+
+        # Deferred shadow test (same rule as path.py): only lanes whose
+        # detached integrand f*Le is nonzero pay the occlusion query, and
+        # n_shadow counts ISSUED rays — one counting basis across the
+        # forward path tracer and both PRB passes. Visibility stays
+        # detached (the projective integrators own the boundary term).
+        n_shadow = jnp.float32(0)
+        if scene.has_nee_emitters():
+            vis_needed = (active_em & bsdf_val_em_det.any_positive()
+                          & em_weight_det.any_positive())
+            shadow_ray = si.spawn_ray_to(ds.p)
+            occluded = scene_det.ray_test(shadow_ray, active=vis_needed)
+            active_em = vis_needed & ~occluded
+            n_shadow = jnp.sum(vis_needed.astype(jnp.float32))
 
         mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, bsdf_pdf_em))
         Lr_dir_det = (s.beta * bsdf_val_em_det * em_weight_det
@@ -304,8 +318,7 @@ def _loop(scene, rng, ray, cfg: PRBConfig, mode: str, dL=None, L_in=None,
         new_active = (active_next & (~rr_active | rr_continue)
                       & (beta_max != 0.0))
 
-        n_rays = (jnp.sum(s.active.astype(jnp.float32))
-                  + jnp.sum(active_em.astype(jnp.float32)))
+        n_rays = jnp.sum(s.active.astype(jnp.float32)) + n_shadow
 
         return PRBState(
             ray_o=new_o, ray_d=new_d, L=L, beta=beta, eta=eta, depth=depth,

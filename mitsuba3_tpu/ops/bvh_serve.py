@@ -54,6 +54,14 @@ BLK = 128        # ray block granularity (one leaf DMA pair per block)
 SBLK = 4         # 128-ray blocks per serve program
 IDW = 1024       # SMEM id-window slots (XLA 1-D s32 T(1024) layout)
 TAIL_DIV = 8     # gather path when actives <= NP / TAIL_DIV
+TOPK = 1         # default leaf visits per round: cull keeps the TOPK
+                 # nearest unvisited leaves and one round serves all of
+                 # them. Measured on terrain64k: TOPK=2 HURTS closest
+                 # queries (serving rank 2 before rank 1's hit can
+                 # shrink tb wastes the nearest-first pruning) and only
+                 # helps any-hit misses, which must exhaust candidates
+                 # anyway — so the default stays 1 and occlusion-heavy
+                 # callers opt in per build.
 NONE = np.int32(0x7FFFFFFF)   # keys fit in 31 bits (entry >= 0)
 BIG = 3.4e38
 
@@ -65,9 +73,10 @@ class BVHServe:
     sup: jnp.ndarray      # [8, M6 // LC] chunk-union AABBs (same rows)
     n_leaves: int = static_field(default=0)
     m_pad: int = static_field(default=0)
+    topk: int = static_field(default=TOPK)   # leaf visits per round
 
 
-def build(p0, e1, e2, leaf_size=K):
+def build(p0, e1, e2, leaf_size=K, topk=TOPK):
     """SAH leaves via the bvh_tiled builder, repacked for the round
     traversal: transposed bounds rows + per-chunk union AABBs."""
     from . import bvh_tiled
@@ -91,7 +100,8 @@ def build(p0, e1, e2, leaf_size=K):
         else:
             sup[:3, c], sup[3:6, c] = BIG, -BIG
     return BVHServe(tris=base.tris, bounds=jnp.asarray(bounds),
-                    sup=jnp.asarray(sup), n_leaves=m, m_pad=m6)
+                    sup=jnp.asarray(sup), n_leaves=m, m_pad=m6,
+                    topk=topk)
 
 
 # ---------------------------------------------------------------------------
@@ -100,7 +110,7 @@ def build(p0, e1, e2, leaf_size=K):
 # ---------------------------------------------------------------------------
 
 def _cull_kernel(bounds_ref, sup_ref, geo_ref, lk_ref, best_out, acc,
-                 *, n_chunks, m):
+                 *, n_chunks, m, topk):
     ox = geo_ref[0, :][None, :]
     oy = geo_ref[1, :][None, :]
     oz = geo_ref[2, :][None, :]
@@ -115,7 +125,7 @@ def _cull_kernel(bounds_ref, sup_ref, geo_ref, lk_ref, best_out, acc,
                                jnp.where(c < 0, -1e-9, 1e-9), c)
 
     ix, iy, iz = inv(dx), inv(dy), inv(dz)
-    acc[...] = jnp.full((1, RCHUNK), NONE, jnp.int32)
+    acc[...] = jnp.full((topk, RCHUNK), NONE, jnp.int32)
 
     def slab(lox, loy, loz, hix, hiy, hiz):
         # operands broadcast [leaves-on-sublanes, rays-on-lanes]
@@ -161,19 +171,38 @@ def _cull_kernel(bounds_ref, sup_ref, geo_ref, lk_ref, best_out, acc,
             ok = (tn <= tf) & (entry < tb) & (keys > lk) \
                 & (ids <= jnp.int32(m))
             keys = jnp.where(ok, keys, NONE)
-            acc[...] = jnp.minimum(acc[...],
-                                   jnp.min(keys, axis=0, keepdims=True))
+            # this chunk's TOPK smallest keys, ascending (ids are
+            # distinct, so masked re-extraction is exact)
+            ms = []
+            for t in range(topk):
+                mrow = jnp.min(keys, axis=0, keepdims=True)
+                ms.append(mrow)
+                if t + 1 < topk:
+                    keys = jnp.where(keys == mrow, NONE, keys)
+            # merge two ascending TOPK lists: the k-th smallest of the
+            # union is min(a_k, m_k, min_{i+j=k-1} max(a_i, m_j))
+            a = acc[...]
+            arows = [a[t, :][None, :] for t in range(topk)]
+            out_rows = []
+            for kk in range(topk):
+                cand = jnp.minimum(arows[kk], ms[kk])
+                for i in range(kk):
+                    cand = jnp.minimum(
+                        cand, jnp.maximum(arows[i], ms[kk - 1 - i]))
+                out_rows.append(cand)
+            acc[...] = jnp.concatenate(out_rows, axis=0)
 
-    best_out[0, :] = acc[0, :]
+    best_out[...] = acc[...]
 
 
 def _cull(bvh: BVHServe, geo, lk, interpret):
-    """geo [8, npad] row-major ray state, lk [1, npad] -> best [npad]."""
+    """geo [8, npad] row-major ray state, lk [1, npad] ->
+    best [TOPK, npad] (ascending packed keys, NONE-padded)."""
     npad = geo.shape[1]
     n_blk = npad // RCHUNK
     n_chunks = bvh.m_pad // LC
     kernel = functools.partial(_cull_kernel, n_chunks=n_chunks,
-                               m=bvh.n_leaves)
+                               m=bvh.n_leaves, topk=bvh.topk)
     best = pl.pallas_call(
         kernel,
         grid=(n_blk,),
@@ -188,12 +217,12 @@ def _cull(bvh: BVHServe, geo, lk, interpret):
             pl.BlockSpec((1, RCHUNK), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, RCHUNK), lambda i: (0, i),
+        out_specs=pl.BlockSpec((bvh.topk, RCHUNK), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, npad), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((1, RCHUNK), jnp.int32)],
+        out_shape=jax.ShapeDtypeStruct((bvh.topk, npad), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((bvh.topk, RCHUNK), jnp.int32)],
     )(bvh.bounds, bvh.sup, geo, lk)
-    return best[0]
+    return best
 
 
 # ---------------------------------------------------------------------------
@@ -242,9 +271,10 @@ def _mt_tile(tri, ox, oy, oz, dx, dy, dz, tb):
 
 
 def _serve_kernel(ids_ref, tris_ref, ray_ref, leaf_ref, t_out, p_out,
-                  u_out, v_out, srv_out, buf, sem):
+                  u_out, v_out, srv_out, buf, sem, *, topk):
     i = pl.program_id(0)
-    base = (i % (IDW // (2 * SBLK))) * (2 * SBLK)
+    nsl = 2 * topk                   # slabs DMAed per 128-ray block
+    base = (i % (IDW // (nsl * SBLK))) * (nsl * SBLK)
 
     cw = SBLK * BLK
     t_out[0, :] = jnp.full((cw,), BIG, jnp.float32)
@@ -254,14 +284,14 @@ def _serve_kernel(ids_ref, tris_ref, ray_ref, leaf_ref, t_out, p_out,
     srv_out[0, :] = jnp.zeros((cw,), jnp.int32)
 
     for k in range(SBLK):
-        for j in range(2):
-            lid = ids_ref[base + 2 * k + j]
+        for j in range(nsl):
+            lid = ids_ref[base + nsl * k + j]
             pltpu.make_async_copy(tris_ref.at[lid], buf.at[k, j],
                                   sem.at[k, j]).start()
 
     for k in range(SBLK):
         sub = slice(k * BLK, (k + 1) * BLK)
-        lane_leaf = leaf_ref[0, sub][None, :]
+        lanes = [leaf_ref[t, sub][None, :] for t in range(topk)]
         ox = ray_ref[0, sub][None, :]
         oy = ray_ref[1, sub][None, :]
         oz = ray_ref[2, sub][None, :]
@@ -269,49 +299,63 @@ def _serve_kernel(ids_ref, tris_ref, ray_ref, leaf_ref, t_out, p_out,
         dy = ray_ref[4, sub][None, :]
         dz = ray_ref[5, sub][None, :]
         tb = ray_ref[6, sub][None, :]
-        lid0 = ids_ref[base + 2 * k]
-        lid1 = ids_ref[base + 2 * k + 1]
-        for j in range(2):
-            lid = ids_ref[base + 2 * k + j]
-            pltpu.make_async_copy(tris_ref.at[lid], buf.at[k, j],
+        lids = [ids_ref[base + nsl * k + j] for j in range(nsl)]
+        for j in range(nsl):
+            pltpu.make_async_copy(tris_ref.at[lids[j]], buf.at[k, j],
                                   sem.at[k, j]).wait()
-            want = lane_leaf == lid
-            dup = jnp.bool_(j == 1) & (lid1 == lid0)
+            dup = jnp.bool_(False)
+            for j2 in range(j):
+                dup = dup | (lids[j] == lids[j2])
+            want_t = [lanes[t] == lids[j] for t in range(topk)]
+            want = want_t[0]
+            for t in range(1, topk):
+                want = want | want_t[t]
 
             @pl.when(jnp.any(want) & ~dup)
-            def _(k=k, j=j, sub=sub, want=want):
+            def _(k=k, j=j, sub=sub, want=want, want_t=want_t):
                 tmin, prim, uu, vv = _mt_tile(buf[k, j], ox, oy, oz,
                                               dx, dy, dz, tb)
                 w = want[0]
-                t_out[0, sub] = jnp.where(w, tmin, t_out[0, sub])
-                p_out[0, sub] = jnp.where(w, prim, p_out[0, sub])
-                u_out[0, sub] = jnp.where(w, uu, u_out[0, sub])
-                v_out[0, sub] = jnp.where(w, vv, v_out[0, sub])
-                srv_out[0, sub] = jnp.where(w, 1, srv_out[0, sub])
+                # min-t fold: one lane may be served several candidate
+                # leaves this round (tmin == BIG when the slab missed)
+                better = w & (tmin < t_out[0, sub])
+                t_out[0, sub] = jnp.where(better, tmin, t_out[0, sub])
+                p_out[0, sub] = jnp.where(better, prim, p_out[0, sub])
+                u_out[0, sub] = jnp.where(better, uu, u_out[0, sub])
+                v_out[0, sub] = jnp.where(better, vv, v_out[0, sub])
+                bits = jnp.zeros((BLK,), jnp.int32)
+                for t in range(topk):
+                    bits = bits | jnp.where(want_t[t][0],
+                                            jnp.int32(1 << t), 0)
+                srv_out[0, sub] = srv_out[0, sub] | bits
 
 
-def _serve_blocks(bvh: BVHServe, blk_ids2, rays, leaf, interpret):
-    """blk_ids2 [NB*2] i32 (first/last leaf per 128-block); rays
-    [8, npad]; leaf [1, npad] i32 -> (t, prim, u, v, served) flat."""
+def _serve_blocks(bvh: BVHServe, blk_ids, rays, leaf, interpret):
+    """blk_ids [NB * 2*TOPK] i32 (first/last leaf per 128-block, per
+    candidate rank); rays [8, npad]; leaf [TOPK, npad] i32 ->
+    (t, prim, u, v, served-rank bitmask) flat."""
     npad = rays.shape[1]
     cw = SBLK * BLK
     ns = npad // cw
-    nwin = -(-blk_ids2.shape[0] // IDW)
+    nsl = 2 * bvh.topk
+    nwin = -(-blk_ids.shape[0] // IDW)
     ids_pad = jnp.zeros(nwin * IDW, jnp.int32).at[
-        :blk_ids2.shape[0]].set(blk_ids2)
+        :blk_ids.shape[0]].set(blk_ids)
     vspec = pl.BlockSpec((1, cw), lambda i: (0, i),
                          memory_space=pltpu.VMEM)
+    kernel = functools.partial(_serve_kernel, topk=bvh.topk)
     outs = pl.pallas_call(
-        _serve_kernel,
+        kernel,
         grid=(ns,),
         interpret=interpret,
         in_specs=[
-            pl.BlockSpec((IDW,), lambda i: (i // (IDW // (2 * SBLK)),),
+            pl.BlockSpec((IDW,), lambda i: (i // (IDW // (nsl * SBLK)),),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((8, cw), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            vspec,
+            pl.BlockSpec((bvh.topk, cw), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[vspec] * 5,
         out_shape=[
@@ -322,40 +366,56 @@ def _serve_blocks(bvh: BVHServe, blk_ids2, rays, leaf, interpret):
             jax.ShapeDtypeStruct((1, npad), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((SBLK, 2, 16, K), jnp.float32),
-            pltpu.SemaphoreType.DMA((SBLK, 2)),
+            pltpu.VMEM((SBLK, nsl, 16, bvh.tris.shape[2]),
+                       jnp.float32),
+            pltpu.SemaphoreType.DMA((SBLK, nsl)),
         ],
     )(ids_pad, bvh.tris, rays, leaf)
     t, p, u, v, srv = outs
-    return t[0], p[0], u[0], v[0], srv[0] > 0
+    return t[0], p[0], u[0], v[0], srv[0]
 
 
 # ---------------------------------------------------------------------------
 # Phase 3b: gather serve — compacted-prefix per-lane leaf fetch (tail)
 # ---------------------------------------------------------------------------
 
-def _serve_gather(bvh: BVHServe, leaf_s, sdict, ns):
+def _serve_gather(bvh: BVHServe, leaf_all, sdict, ns):
     """Serve the first `ns` (sorted, hence active-first) lanes exactly:
-    per-lane leaf-row gather + SoA dense MT. Returns full-width arrays."""
-    npad = leaf_s.shape[0]
-    lf = jax.lax.dynamic_slice_in_dim(leaf_s, 0, ns)
-    act = lf < bvh.m_pad
-    rows = jnp.take(bvh.tris, jnp.clip(lf, 0, bvh.n_leaves - 1), axis=0)
+    per-lane leaf-row gather + SoA dense MT for every candidate rank.
+    leaf_all [TOPK, npad]; returns full-width arrays (srv = rank
+    bitmask)."""
+    npad = leaf_all.shape[1]
 
     def sl(name):
         return jax.lax.dynamic_slice_in_dim(sdict[name], 0, ns)[None, :]
 
-    tmin, prim, uu, vv = _mt_soa(rows, sl("ox"), sl("oy"), sl("oz"),
-                                 sl("dx"), sl("dy"), sl("dz"), sl("tb"))
+    args = (sl("ox"), sl("oy"), sl("oz"), sl("dx"), sl("dy"), sl("dz"),
+            sl("tb"))
+    tmin = jnp.full(ns, BIG, jnp.float32)
+    prim = jnp.full(ns, -1, jnp.int32)
+    uu = jnp.zeros(ns, jnp.float32)
+    vv = jnp.zeros(ns, jnp.float32)
+    bits = jnp.zeros(ns, jnp.int32)
+    for t in range(bvh.topk):
+        lf = jax.lax.dynamic_slice_in_dim(leaf_all[t], 0, ns)
+        act = lf < bvh.m_pad
+        rows = jnp.take(bvh.tris, jnp.clip(lf, 0, bvh.n_leaves - 1),
+                        axis=0)
+        tt, pp, ut, vt = _mt_soa(rows, *args)
+        better = act & (tt < tmin)
+        tmin = jnp.where(better, tt, tmin)
+        prim = jnp.where(better, pp, prim)
+        uu = jnp.where(better, ut, uu)
+        vv = jnp.where(better, vt, vv)
+        bits = bits | jnp.where(act, jnp.int32(1 << t), 0)
 
     def full(x, fill, dtype):
         out = jnp.full(npad, fill, dtype)
         return jax.lax.dynamic_update_slice_in_dim(out, x, 0, axis=0)
 
-    served = full(act, False, bool)
     return (full(tmin, BIG, jnp.float32), full(prim, -1, jnp.int32),
             full(uu, 0.0, jnp.float32), full(vv, 0.0, jnp.float32),
-            served)
+            full(bits, 0, jnp.int32))
 
 
 def _mt_soa(rows, ox, oy, oz, dx, dy, dz, tb):
@@ -415,61 +475,91 @@ SHRINK_DIV = 2   # drop a level when actives fit in width / SHRINK_DIV
 def _cull_state(bvh, s, interpret):
     geo = jnp.stack([s["ox"], s["oy"], s["oz"], s["dx"], s["dy"],
                      s["dz"], s["tb"], s["tb"]], axis=0)
-    best = _cull(bvh, geo, s["lk"][None, :], interpret)
-    live = (best != NONE) & (s["rid"] >= 0)
+    best = _cull(bvh, geo, s["lk"][None, :], interpret)   # [TOPK, npad]
+    live = (best[0] != NONE) & (s["rid"] >= 0)
     return best, live
 
 
 def _round_once(bvh, s, best, live, closest, interpret):
-    """Sort by requested leaf, serve, fold results into the state."""
+    """Sort by requested leaf, serve all TOPK candidate ranks, fold
+    results into the state. best [TOPK, npad] ascending keys."""
     npad = s["ox"].shape[0]
     m6 = bvh.m_pad
     ns_tail = max(npad // TAIL_DIV, SBLK * BLK)
     n_live = jnp.sum(live.astype(jnp.int32))
 
     # 0-based leaf; inert lanes get m6 and sort to the end
-    leaf = jnp.where(live, (best & jnp.int32(0xFFFF)) - 1, m6)
+    leaf = jnp.where(live, (best[0] & jnp.int32(0xFFFF)) - 1, m6)
+    topk = bvh.topk
+    extra = tuple(jnp.where(live, best[t], NONE) for t in range(1, topk))
     vals = tuple(s[n] for n in NAMES[:10]) \
-        + (jnp.where(live, best, s["lk"]), s["rid"])
+        + (jnp.where(live, best[0], s["lk"]), s["rid"]) + extra
     sorted_ = jax.lax.sort((leaf,) + vals, num_keys=1)
     leaf_s = sorted_[0]
-    ss = dict(zip(NAMES, sorted_[1:]))
+    ss = dict(zip(NAMES, sorted_[1:len(NAMES) + 1]))
+    best_s = sorted_[len(NAMES) + 1:]          # ranks 1..TOPK-1, sorted
+    live_s = (leaf_s < m6) & (ss["rid"] >= 0)
+
+    # candidate leaf table [TOPK, npad] in sorted lane order; rank-0 key
+    # rides the lk payload, higher ranks in best_s
+    leaf_rows = [leaf_s]
+    key_rows = [ss["lk"]]
+    for t in range(topk - 1):
+        bt = best_s[t]
+        leaf_rows.append(jnp.where(live_s & (bt != NONE),
+                                   (bt & jnp.int32(0xFFFF)) - 1, m6))
+        key_rows.append(bt)
+    leaf_all = jnp.stack(leaf_rows, axis=0)
 
     def big(_):
-        blk2 = leaf_s.reshape(npad // BLK, BLK)[:, [0, BLK - 1]]
-        blk2 = jnp.clip(blk2, 0, bvh.n_leaves - 1).reshape(-1)
+        blks = [leaf_all[t].reshape(npad // BLK, BLK)[:, [0, BLK - 1]]
+                for t in range(topk)]
+        blk = jnp.concatenate(blks, axis=1)    # [NB, 2*TOPK] rank-major
+        blk = jnp.clip(blk, 0, bvh.n_leaves - 1).reshape(-1)
         rays = jnp.stack([ss["ox"], ss["oy"], ss["oz"], ss["dx"],
                           ss["dy"], ss["dz"], ss["tb"], ss["tb"]],
                          axis=0)
-        return _serve_blocks(bvh, blk2, rays, leaf_s[None, :], interpret)
+        return _serve_blocks(bvh, blk, rays, leaf_all, interpret)
 
     def small(_):
-        return _serve_gather(bvh, leaf_s, ss, ns_tail)
+        return _serve_gather(bvh, leaf_all, ss, ns_tail)
 
     if npad <= 2 * MIN_W:
         # narrow widths: the exact gather serve is cheap and serves
         # every live lane, collapsing the straggler tail to one round
-        # per remaining leaf visit
-        ct, cp, cu, cv, served = _serve_gather(bvh, leaf_s, ss, npad)
+        # per remaining TOPK leaf visits
+        ct, cp, cu, cv, srv = _serve_gather(bvh, leaf_all, ss, npad)
     else:
-        ct, cp, cu, cv, served = jax.lax.cond(
+        ct, cp, cu, cv, srv = jax.lax.cond(
             n_live > ns_tail, big, small, None)
 
-    live_s = (leaf_s < m6) & (ss["rid"] >= 0)
-    served = served & live_s
-    hit = served & (cp >= 0) & (ct < ss["tb"])
+    srv = jnp.where(live_s, srv, 0)
+    served0 = (srv & 1) != 0
+    hit = (srv > 0) & (cp >= 0) & (ct < ss["tb"])
     out = dict(ss)
     out["tb"] = jnp.where(hit, ct, ss["tb"])
     out["prim"] = jnp.where(hit, cp, ss["prim"])
     out["u"] = jnp.where(hit, cu, ss["u"])
     out["v"] = jnp.where(hit, cv, ss["v"])
-    # the cursor only advances for lanes actually served: an unserved
-    # lane steps back to best-1 so the next cull re-selects the same
-    # leaf (keys are distinct integers)
-    out["lk"] = jnp.where(live_s & ~served, ss["lk"] - 1, ss["lk"])
+    # the cursor advances to the longest served PREFIX of the candidate
+    # ranks (keys are distinct integers, ascending across ranks); an
+    # unserved lane steps back to best-1 so the next cull re-selects the
+    # same leaf. A NONE rank after a fully-served prefix proves the lane
+    # is done: the cull enumerated every unvisited leaf at a tb that was
+    # only looser than the current one.
+    lk_new = jnp.where(live_s & ~served0, ss["lk"] - 1, ss["lk"])
+    prefix = served0
+    done = jnp.zeros(npad, bool)
+    for t in range(1, topk):
+        kt = key_rows[t]
+        has_t = kt != NONE
+        done = done | (prefix & ~has_t)
+        prefix = prefix & has_t & ((srv & (1 << t)) != 0)
+        lk_new = jnp.where(prefix, kt, lk_new)
+    out["lk"] = jnp.where(done & live_s, NONE, lk_new)
     if not closest:
-        done = (out["prim"] >= 0) | (out["rid"] < 0)
-        out["lk"] = jnp.where(done, NONE, out["lk"])
+        done_hit = (out["prim"] >= 0) | (out["rid"] < 0)
+        out["lk"] = jnp.where(done_hit, NONE, out["lk"])
     return out
 
 
@@ -495,7 +585,7 @@ def _run_level(bvh, state, closest, interpret, max_rounds):
 
     def body(c):
         s = {k: c[k] for k in NAMES}
-        live = (c["_best"] != NONE) & (s["rid"] >= 0)
+        live = (c["_best"][0] != NONE) & (s["rid"] >= 0)
         s2 = _round_once(bvh, s, c["_best"], live, closest, interpret)
         best, live2 = _cull_state(bvh, s2, interpret)
         out = dict(s2)
@@ -509,8 +599,8 @@ def _run_level(bvh, state, closest, interpret, max_rounds):
     if not shrink:
         return s
     # compact the remaining actives into a prefix, recurse narrower
-    live = (c["_best"] != NONE) & (s["rid"] >= 0)
-    leaf = jnp.where(live, (c["_best"] & jnp.int32(0xFFFF)) - 1, m6)
+    live = (c["_best"][0] != NONE) & (s["rid"] >= 0)
+    leaf = jnp.where(live, (c["_best"][0] & jnp.int32(0xFFFF)) - 1, m6)
     sorted_ = jax.lax.sort(
         (leaf,) + tuple(s[n] for n in NAMES), num_keys=1)
     ss = dict(zip(NAMES, sorted_[1:]))

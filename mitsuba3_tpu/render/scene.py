@@ -583,7 +583,10 @@ class Scene:
         n_area = self.ef_face.shape[0]
         n_delta = (self.de_params.shape[0]
                    if self.de_params is not None else 0)
-        if n_area == 0 and n_delta == 0 and self.env_emitter < 0:
+        # Same gate as the integrators' deferred shadow test: whenever
+        # has_nee_emitters() is False every lane must get pdf == 0 here,
+        # so the two conditions cannot drift apart.
+        if not self.has_nee_emitters():
             zeros = jnp.zeros(n, jnp.float32)
             z3 = Vec3.zeros(n)
             ds = DirectionSample(p=z3, n=z3, uv=Vec2(zeros, zeros),
