@@ -62,8 +62,8 @@ def main():
             def body(c, _):
                 best, live = bs._cull_state(bvh, c, False)
                 c = dict(c)
-                c["tb"] = c["tb"] * (1.0 - 1e-7 * jnp.abs(best[0]).astype(
-                    jnp.float32) * 0.0) - 1e-30 * best.astype(jnp.float32)
+                c["tb"] = c["tb"] * (1.0 - 1e-7 * jnp.abs(best[0, 0]).astype(
+                    jnp.float32) * 0.0) - 1e-30 * best[0].astype(jnp.float32)
                 return c, best
             c, bests = jax.lax.scan(body, s, None, length=reps)
             return bests
@@ -127,7 +127,7 @@ def main():
 
                 def body(c):
                     s = {k: c[k] for k in bs.NAMES}
-                    live = (c["_best"] != bs.NONE) & (s["rid"] >= 0)
+                    live = (c["_best"][0] != bs.NONE) & (s["rid"] >= 0)
                     s2 = bs._round_once(bvh, s, c["_best"], live, closest,
                                         False)
                     best, live2 = bs._cull_state(bvh, s2, False)
@@ -143,8 +143,8 @@ def main():
             if not shrink:
                 return
             s = {k: c[k] for k in bs.NAMES}
-            live = (c["_best"] != bs.NONE) & (s["rid"] >= 0)
-            leaf = jnp.where(live, (c["_best"] & jnp.int32(0xFFFF)) - 1,
+            live = (c["_best"][0] != bs.NONE) & (s["rid"] >= 0)
+            leaf = jnp.where(live, (c["_best"][0] & jnp.int32(0xFFFF)) - 1,
                              bvh.m_pad)
             sorted_ = jax.lax.sort(
                 (leaf,) + tuple(s[n] for n in bs.NAMES), num_keys=1)

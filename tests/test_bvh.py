@@ -159,15 +159,17 @@ def test_params_update_preserves_accel_type():
     assert np.isfinite(img).all()
 
 
-def test_serve_matches_oracle(np_rng):
+@pytest.mark.parametrize("topk", [1, 2])
+def test_serve_matches_oracle(np_rng, topk):
     """Round-based nearest-leaf intersector (ops/bvh_serve.py) vs the
     dense oracle: closest hit (t/prim/uv), any-hit, short maxt, and the
     active mask. Multi-leaf scene so the cull/sort/serve loop runs both
-    the block path (round 1) and the gather tail."""
+    the block path (round 1) and the gather tail. topk=2 exercises the
+    multi-rank cull/serve and the rank-prefix cursor advance."""
     n_tri, n_ray = 2000, 1024
     p0n, e1n, e2n = _rand_tris(np_rng, n_tri)
     from mitsuba3_tpu.ops import bvh_serve
-    bvh = bvh_serve.build(p0n, e1n, e2n)
+    bvh = bvh_serve.build(p0n, e1n, e2n, topk=topk)
     assert bvh.n_leaves > 4
 
     p0 = Vec3.from_array(jnp.asarray(p0n))
