@@ -43,4 +43,6 @@ def config_from_dict(spec: dict):
                                     min(max_depth, 4))),
         guiding=str(spec.get("guiding", "none")),
         guiding_res=int(spec.get("guiding_res", 12)),
-        guiding_warmup=int(spec.get("guiding_warmup", 4096)))
+        guiding_warmup=int(spec.get("guiding_warmup", 4096)),
+        guiding_refine=int(spec.get("guiding_refine", 64)),
+        guiding_sub=int(spec.get("guiding_sub", 4)))

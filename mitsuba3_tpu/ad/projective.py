@@ -230,9 +230,11 @@ class ProjectiveConfig:
     sppp: int = 4               # primary-silhouette samples (× pixels)
     sppi: int = 4               # indirect boundary samples (0 = off)
     boundary_depth: int = 4     # path depth for the ΔL estimates
-    guiding: str = "none"       # 'none' | 'grid' (ad/guiding.py)
+    guiding: str = "none"       # 'none' | 'grid' | 'adaptive'
     guiding_res: int = 12       # cells per boundary-sample-space axis
     guiding_warmup: int = 4096  # uniform samples that seed the grid
+    guiding_refine: int = 64    # 'adaptive': coarse cells refined
+    guiding_sub: int = 4        # 'adaptive': subcells per refined axis
 
 
 def _radiance_difference(scene, rng, ss: SilhouetteSample, depth: int):
@@ -519,6 +521,12 @@ def indirect_boundary_grad(theta, scene, d_image, seed, n_samples: int,
         grid, rng_g = build_grid(scene_det, topo, d_image, seed, cfg)
         rng, ug = sampler_mod.next_1d(rng)
         (u1, u3), g_pdf = sample_grid(grid, u1, u3, ug)
+    elif cfg.guiding == "adaptive":
+        # two-level refinement (OcSpaceDistr analog, ad/guiding.py)
+        from .guiding import build_adaptive, sample_adaptive
+        grid, rng_g = build_adaptive(scene_det, topo, d_image, seed, cfg)
+        rng, ug = sampler_mod.next_1d(rng)
+        (u1, u3), g_pdf = sample_adaptive(grid, u1, u3, ug)
     ss, weight_un, rng = indirect_integrand(scene_det, topo, rng, u1, u3,
                                             d_image, cfg)
     weight = weight_un / (jnp.float32(n_samples)

@@ -133,19 +133,22 @@ def test_projective_primal_matches_prb():
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
-def test_indirect_shadow_gradient_vs_fd():
+@pytest.mark.parametrize("guiding", ["grid", "adaptive"])
+def test_indirect_shadow_gradient_vs_fd(guiding):
     """Indirectly observed silhouette (shadow edge): the camera sees only
     the FLOOR; an off-screen occluder's shadow moves with it. Plain PRB
     and the primary boundary term both miss this gradient — the indirect
-    term (eval_indirect_integrand counterpart) must recover it."""
+    term (eval_indirect_integrand counterpart) must recover it. Run under
+    both boundary-space guiding distributions (grid + OcSpace-analog
+    adaptive refinement)."""
     def make(itype, sppi=16):
         d = {
             "type": "scene",
             "integrator": {"type": itype, "max_depth": 3, "sppp": 4,
                            "sppi": sppi, "boundary_depth": 2,
-                           # grid guiding cuts the boundary estimator's
+                           # guiding cuts the boundary estimator's
                            # std ~3.6x on this scene (ad/guiding.py)
-                           "guiding": "grid"},
+                           "guiding": guiding},
             "sensor": {"type": "perspective", "fov": 35.0,
                        # camera looks straight DOWN at the floor; the
                        # occluder sits behind the camera plane (never
@@ -198,17 +201,19 @@ def test_indirect_shadow_gradient_vs_fd():
     assert abs(fd) > 1e-4, fd
     assert abs(g - fd) < 0.45 * abs(fd), (g, fd)
 
-    # control: with the indirect term off the gradient mostly vanishes
-    scene0 = make("prb_projective", sppi=0)
+    if guiding == "grid":
+        # control: with the indirect term off the gradient mostly
+        # vanishes (guiding-independent; run once)
+        scene0 = make("prb_projective", sppi=0)
 
-    def loss0(x, seed):
-        shift = jnp.zeros((nv, 3), jnp.float32).at[nv - 4:, 0].set(x)
-        s = scene0.replace(vertices=scene0.vertices + shift)
-        return mi.render(s, spp=32, seed=seed).mean()
+        def loss0(x, seed):
+            shift = jnp.zeros((nv, 3), jnp.float32).at[nv - 4:, 0].set(x)
+            s = scene0.replace(vertices=scene0.vertices + shift)
+            return mi.render(s, spp=32, seed=seed).mean()
 
-    g0 = np.mean([float(jax.jit(jax.grad(loss0))(jnp.float32(0.0), s))
-                  for s in range(4)])
-    assert abs(g0) < 0.3 * abs(fd), (g0, fd)
+        g0 = np.mean([float(jax.jit(jax.grad(loss0))(jnp.float32(0.0), s))
+                      for s in range(4)])
+        assert abs(g0) < 0.3 * abs(fd), (g0, fd)
 
 
 def test_grid_guiding_distribution():
@@ -250,3 +255,66 @@ def test_grid_guiding_distribution():
     cz = (np.asarray(u3.y) * r).astype(int)
     frac_hot = (((cz * r + cy) * r + cx) == hot).mean()
     assert abs(frac_hot - 0.9) < 0.01, frac_hot
+
+
+def test_adaptive_guiding_distribution():
+    """ad/guiding.py OcSpaceDistr analog: the two-level warp samples
+    exactly its own pdf (E[1/pdf] == 1), concentrates samples in the
+    refined hot subcell, and degenerates to the coarse grid warp when
+    every refined cell's sub-density is uniform."""
+    import jax.numpy as jnp
+    from mitsuba3_tpu.ad.guiding import sample_adaptive, sample_grid
+    from mitsuba3_tpu.core.vec import Vec2
+
+    r, s, b = 4, 4, 3
+    rng = np.random.default_rng(1)
+    n = 60000
+    s1 = jnp.asarray(rng.random(n), jnp.float32)
+    s3 = Vec2(jnp.asarray(rng.random(n), jnp.float32),
+              jnp.asarray(rng.random(n), jnp.float32))
+    sj = jnp.asarray(rng.random(n), jnp.float32)
+
+    dens = np.full(r ** 3, 0.2 / (r ** 3 - 1), np.float32)
+    hot = 37
+    dens[hot] = 0.8
+    cells = np.array([hot, 0, 5], np.int32)
+    # hot cell: 70% of its mass in one subcell; others uniform
+    subdens = np.full((b, s ** 3), 1.0 / s ** 3, np.float32)
+    hot_sub = 11
+    subdens[0, :] = 0.3 / (s ** 3 - 1)
+    subdens[0, hot_sub] = 0.7
+    g = {"cdf": jnp.cumsum(jnp.asarray(dens)),
+         "density": jnp.asarray(dens), "res": r,
+         "cells": jnp.asarray(cells),
+         "subdens": jnp.asarray(subdens),
+         "subcdf": jnp.cumsum(jnp.asarray(subdens), axis=1), "sub": s}
+    (u1, u3), pdf = sample_adaptive(g, s1, s3, sj)
+    # self-consistency: E[1/pdf] over guided samples = total volume
+    np.testing.assert_allclose(float(jnp.mean(1.0 / pdf)), 1.0,
+                               rtol=2e-2)
+    # coarse concentration preserved
+    cx = (np.asarray(u1) * r).astype(int)
+    cy = (np.asarray(u3.x) * r).astype(int)
+    cz = (np.asarray(u3.y) * r).astype(int)
+    cell = (cz * r + cy) * r + cx
+    assert abs((cell == hot).mean() - 0.8) < 0.01
+    # subcell concentration inside the hot cell: 70% of its samples in
+    # the hot subcell
+    fx = np.asarray(u1) * r - cx
+    fy = np.asarray(u3.x) * r - cy
+    fz = np.asarray(u3.y) * r - cz
+    sub = ((np.clip((fz * s).astype(int), 0, s - 1) * s
+            + np.clip((fy * s).astype(int), 0, s - 1)) * s
+           + np.clip((fx * s).astype(int), 0, s - 1))
+    in_hot = cell == hot
+    frac_sub = (sub[in_hot] == hot_sub).mean()
+    assert abs(frac_sub - 0.7) < 0.02, frac_sub
+    # uniform sub-densities degenerate to the coarse warp's statistics
+    subdens_u = np.full((b, s ** 3), 1.0 / s ** 3, np.float32)
+    gu = dict(g, subdens=jnp.asarray(subdens_u),
+              subcdf=jnp.cumsum(jnp.asarray(subdens_u), axis=1))
+    (_, _), pdf_u = sample_adaptive(gu, s1, s3, sj)
+    grid = {"cdf": g["cdf"], "density": g["density"], "res": r}
+    (_, _), pdf_g = sample_grid(grid, s1, s3, sj)
+    np.testing.assert_allclose(np.asarray(pdf_u), np.asarray(pdf_g),
+                               rtol=1e-4)
