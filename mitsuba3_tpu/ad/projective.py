@@ -200,8 +200,14 @@ def _project_to_film(scene, p: Vec3):
     czs = jnp.where(in_front, cz, 1.0)
     u = 0.5 - (cx / czs) / (2.0 * sd.tan_half_x)
     vv = 0.5 - (cy / czs) / (2.0 * sd.tan_half_y)
-    on = in_front & (u >= 0) & (u < 1) & (vv >= 0) & (vv < 1)
-    return (u * scene.film.width, vv * scene.film.height), on
+    # full-film plane -> crop-raster pixel coordinates (film.h crop)
+    from ..render.scene import film_full
+    fw, fh, cox, coy = film_full(scene.film)
+    px = u * fw - cox
+    py = vv * fh - coy
+    on = (in_front & (px >= 0) & (px < scene.film.width)
+          & (py >= 0) & (py < scene.film.height))
+    return (px, py), on
 
 
 def _screen_jacobian(scene, ss: SilhouetteSample):

@@ -133,9 +133,13 @@ def render_ptracer(scene, seed=0, spp=None, max_wavefront=1 << 19):
     pixel-count unit, to roughly match forward-render sample budgets."""
     from ..render import film as film_mod
 
+    from ..render.scene import film_full
     w, h = scene.film.width, scene.film.height
+    fw, fh, cox, coy = film_full(scene.film)
     spp = spp if spp is not None else scene.spp
-    n_paths_total = w * h * spp
+    # path budget tracks the FULL film (paths land anywhere on it; only
+    # crop hits are kept), so crop renders keep full sample density
+    n_paths_total = fw * fh * spp
     n = min(n_paths_total, max_wavefront)
     n_passes = max(1, n_paths_total // n)
 
@@ -148,8 +152,10 @@ def render_ptracer(scene, seed=0, spp=None, max_wavefront=1 << 19):
         image = jnp.zeros((h * w, 3), jnp.float32)
 
         def splat(image, uv: Vec2, contrib: Vec3, ok):
-            px = jnp.clip((uv.x * w).astype(jnp.int32), 0, w - 1)
-            py = jnp.clip((uv.y * h).astype(jnp.int32), 0, h - 1)
+            # uv is on the FULL film plane; the raster is the crop
+            px = (uv.x * fw).astype(jnp.int32) - cox
+            py = (uv.y * fh).astype(jnp.int32) - coy
+            ok = ok & (px >= 0) & (px < w) & (py >= 0) & (py < h)
             flat = jnp.where(ok, py * w + px, -1)
             vals = jnp.stack([jnp.where(ok, contrib.x, 0.0),
                               jnp.where(ok, contrib.y, 0.0),
@@ -217,5 +223,6 @@ def render_ptracer(scene, seed=0, spp=None, max_wavefront=1 << 19):
     for i in range(n_passes):
         image = image + one_pass(jnp.uint32(seed ^ (i * 0x9E3779B9)))
     # normalize: film-measure estimator averages over paths, scaled to
-    # per-pixel radiance units
-    return (image / (n_passes * n) * (w * h)).reshape(h, w, 3)
+    # per-pixel radiance units (pixel solid angle is 1/(fw*fh) of the
+    # FULL film the importance W is normalized over)
+    return (image / (n_passes * n) * (fw * fh)).reshape(h, w, 3)

@@ -29,6 +29,11 @@ _BSDF_TYPES = ("diffuse", "conductor", "roughconductor", "dielectric", "measured
                "normalmap", "bumpmap", "principled", "principledthin", "hair",
                "polarizer", "retarder", "circular", "measured_polarized")
 _MEDIUM_TYPES = ("homogeneous", "heterogeneous")
+
+
+def _is_bsdf_type(t) -> bool:
+    """Built-in OR user-registered (bsdfs.register_custom) BSDF name."""
+    return t in _BSDF_TYPES or bsdfs_pkg.custom_type(t) is not None
 _PHASE_IDS = {"isotropic": 0, "hg": 1, "rayleigh": 2, "sggx": 3,
               "tabphase": 4, "blendphase": 5}
 
@@ -72,6 +77,24 @@ def _rgb(spec, default=(0.5, 0.5, 0.5)):
     if v.size == 1:
         v = np.repeat(v, 3)
     return v
+
+
+def _film_crop_fields(film_spec: dict) -> dict:
+    """hdrfilm crop window (film.h set_crop_window): the rendered raster
+    is the crop; the sensor maps the full film plane. Returns FilmConfig
+    kwargs for width/height (= crop size) + full size and offset."""
+    fw = int(film_spec.get("width", 256))
+    fh = int(film_spec.get("height", 256))
+    cw = int(film_spec.get("crop_width", fw))
+    ch = int(film_spec.get("crop_height", fh))
+    ox = int(film_spec.get("crop_offset_x", 0))
+    oy = int(film_spec.get("crop_offset_y", 0))
+    if not (0 < cw <= fw and 0 < ch <= fh
+            and 0 <= ox <= fw - cw and 0 <= oy <= fh - ch):
+        raise ValueError(
+            f"invalid crop window {cw}x{ch}+{ox}+{oy} on {fw}x{fh} film")
+    return dict(width=cw, height=ch, full_width=fw, full_height=fh,
+                crop_ox=ox, crop_oy=oy)
 
 
 def _measured_tables(spec: dict):
@@ -356,9 +379,24 @@ def _bsdf_row(spec: dict, textures: list, add_bsdf=None, measured=None,
     btype = spec["type"]
     params = np.zeros(bsdfs_pkg.N_PARAMS, np.float32)
 
+    custom = bsdfs_pkg.custom_type(btype)
+    if custom is not None:
+        tid, lower = custom
+        if lower is not None:
+            row = np.asarray(lower(spec), np.float32).ravel()
+            if row.size > bsdfs_pkg.N_PARAMS:
+                raise ValueError(
+                    f"custom BSDF {btype!r}: row has {row.size} params "
+                    f"(max {bsdfs_pkg.N_PARAMS})")
+            params[:row.size] = row
+        else:
+            params[0:3] = _rgb(spec.get("reflectance",
+                                        {"type": "rgb", "value": 0.5}))
+        return tid, params
+
     def nested_specs():
         return [v for v in spec.values()
-                if isinstance(v, dict) and v.get("type") in _BSDF_TYPES]
+                if isinstance(v, dict) and _is_bsdf_type(v.get("type"))]
 
     if btype in ("mask", "blendbsdf", "normalmap", "bumpmap"):
         if add_bsdf is None:
@@ -466,7 +504,7 @@ def _bsdf_row(spec: dict, textures: list, add_bsdf=None, measured=None,
     if btype == "twosided":
         inner = spec.get("bsdf") or next(
             v for v in spec.values() if isinstance(v, dict) and "type" in v
-            and v["type"] in _BSDF_TYPES)
+            and _is_bsdf_type(v["type"]))
         tid, params = _bsdf_row(inner, textures, add_bsdf, measured,
                                 pbsdf, spd_registry)
         # two-sided flag lives in its own column — [7] is alpha_v/eta/
@@ -819,15 +857,15 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
         elif vtype == "batch":
             film_spec = val.get("film", {})
             film_cfg = FilmConfig(
-                width=int(film_spec.get("width", 256)),
-                height=int(film_spec.get("height", 256)),
                 rfilter=(film_spec.get("rfilter", {}) or {}).get(
-                    "type", "gaussian"))
+                    "type", "gaussian"),
+                **_film_crop_fields(film_spec))
             sampler_spec = val.get("sampler", {}) or {}
             spp = int(sampler_spec.get("sample_count", 64))
             sampler_type = sampler_spec.get("type", "independent")
             sensor_data, sensor_cfg = sensors_pkg.build_batch(
-                val, film_cfg.width, film_cfg.height)
+                val, film_cfg.full_width or film_cfg.width,
+                film_cfg.full_height or film_cfg.height)
         elif vtype in ("perspective", "thinlens", "orthographic",
                        "radiancemeter", "irradiancemeter", "distant"):
             film_spec = val.get("film", {})
@@ -850,19 +888,19 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
                         srf_rows.append(tuple(float(x) for x in r))
                 srfs = tuple(srf_rows)
             film_cfg = FilmConfig(
-                width=int(film_spec.get("width", 256)),
-                height=int(film_spec.get("height", 256)),
                 rfilter=(film_spec.get("rfilter", {}) or {}).get("type", "gaussian"),
-                srfs=srfs)
+                srfs=srfs,
+                **_film_crop_fields(film_spec))
             sampler_spec = val.get("sampler", {}) or {}
             spp = int(sampler_spec.get("sample_count", 64))
             sampler_type = sampler_spec.get("type", "independent")
             sensor_data, sensor_cfg = sensors_pkg.build_perspective(
-                val, film_cfg.width, film_cfg.height)
+                val, film_cfg.full_width or film_cfg.width,
+                film_cfg.full_height or film_cfg.height)
             med_spec = val.get("medium")
             if med_spec is not None:
                 sensor_medium = add_medium(med_spec)
-        elif vtype in _BSDF_TYPES:
+        elif _is_bsdf_type(vtype):
             add_bsdf(val, name=key)
         elif vtype in _MEDIUM_TYPES:
             add_medium(val, name=key)

@@ -41,15 +41,22 @@ def _gen_camera_rays(scene, pass_seed, sppc: int, pixel_offset=0,
     idx = jnp.arange(n, dtype=jnp.int32)
     pixel = idx // sppc + pixel_offset
     sample_idx = (idx % sppc).astype(jnp.uint32) + jnp.uint32(pass_idx) * sppc
+    # crop windows (film.h): seed by the FULL-film pixel id so a crop
+    # render is sample-identical to the same region of the full render
+    from .scene import film_full
+    fw, fh, cox, coy = film_full(scene.film)
+    pix_x = pixel % w + cox
+    pix_y = pixel // w + coy
     rng = sampler_mod.seed(pass_seed, n, sample_idx=sample_idx,
-                           pixel_id=pixel, stype=scene.sampler_type,
+                           pixel_id=pix_y * fw + pix_x,
+                           stype=scene.sampler_type,
                            spp=spp_total, base_seed=base_seed)
-    px = (pixel % w).astype(jnp.float32)
-    py = (pixel // w).astype(jnp.float32)
+    px = pix_x.astype(jnp.float32)
+    py = pix_y.astype(jnp.float32)
 
     rng, jitter = sampler_mod.next_2d(rng)
     from ..core.vec import Vec2
-    pos01 = Vec2((px + jitter.x) / w, (py + jitter.y) / h)
+    pos01 = Vec2((px + jitter.x) / fw, (py + jitter.y) / fh)
 
     stype = scene.sensor_config.type
     if stype == "batch":
@@ -211,7 +218,6 @@ def plan_passes(scene, spp=None, max_wavefront=1 << 19):
 PASS_COMPACTION = True
 COMPACT_PREFIX = 2           # full-width bounces before the split
 COMPACT_MIN_LANES = 1 << 16  # don't bother below this wavefront
-_COMPACT_LADDER = 4          # head widths: n, n/2, ... n/2^ladder
 
 
 def _compaction_eligible(scene, sppc, n_passes):
@@ -221,7 +227,7 @@ def _compaction_eligible(scene, sppc, n_passes):
             and getattr(cfg, "type", "") == "path"
             and cfg.max_depth >= COMPACT_PREFIX + 2
             and n >= COMPACT_MIN_LANES
-            and n % (1 << _COMPACT_LADDER) == 0)
+            and n % 16 == 0)
 
 
 def _lane_indices(leaves, n):
@@ -294,16 +300,15 @@ def _pass_prefix_jit(scene, pass_seed, sppc: int, pass_idx, spp_total,
             n_active)
 
 
-@partial(jax.jit, static_argnames=("sppc", "head_w"))
-def _pass_suffix_jit(scene, state_s, orig_s, wl0, jitter, counts0,
-                     sppc: int, head_w: int):
-    """Remaining bounces on the live head, merge, unsort, splat."""
+@partial(jax.jit, static_argnames=("head_w",))
+def _pass_bounce_jit(scene, state_s, orig_s, k, head_w: int):
+    """ONE bounce on the live head at a static width, merge the dead
+    tail back, re-sort by activity. The bounce index `k` is a traced
+    scalar, so all bounces at the same width share one XLA program.
+    Returns (state_s', orig_s', n_active, query_count)."""
     from ..integrators import path as path_mod
     cfg = scene.integrator
-    w = scene.film.width
     n = state_s.active.shape[0]
-    h_local = n // (sppc * w)
-
     leaves, treedef = jax.tree_util.tree_flatten(state_s)
     lane = _lane_indices(leaves, n)
     head = list(leaves)
@@ -311,37 +316,49 @@ def _pass_suffix_jit(scene, state_s, orig_s, wl0, jitter, counts0,
         head[i] = leaves[i][:head_w]
     st = jax.tree_util.tree_unflatten(treedef, head)
     bounce = path_mod.make_bounce(scene, cfg)
-    ks = jnp.arange(COMPACT_PREFIX, cfg.max_depth, dtype=jnp.int32)
-    st, counts = jax.lax.scan(bounce, st, ks)
+    st, count = bounce(st, k)
 
     head_leaves = jax.tree_util.tree_flatten(st)[0]
     merged = list(head_leaves)
     for i in lane:
         merged[i] = jnp.concatenate([head_leaves[i], leaves[i][head_w:]])
-    # invert the prefix permutation (orig_s[j] = source lane of sorted
-    # slot j), then gather back to original order
-    n_ = orig_s.shape[0]
-    inv = jax.lax.sort((orig_s, jnp.arange(n_, dtype=jnp.int32)),
-                       num_keys=1)[1]
-    out = _permute_lanes(merged, lane, inv)
-    state = jax.tree_util.tree_unflatten(treedef, out)
+    state = jax.tree_util.tree_unflatten(treedef, merged)
+    key = (~state.active).astype(jnp.int32)      # actives first
+    perm = jax.lax.sort((key, jnp.arange(n, dtype=jnp.int32)),
+                        num_keys=2)[1]
+    out = _permute_lanes(merged, lane, perm)
+    state_s2 = jax.tree_util.tree_unflatten(treedef, out)
+    orig_s2 = jnp.take(orig_s, perm)
+    n_active = jnp.sum(state.active.astype(jnp.int32))
+    return state_s2, orig_s2, n_active, jnp.sum(count)
 
+
+@partial(jax.jit, static_argnames=("sppc",))
+def _pass_final_jit(scene, state_s, orig_s, wl0, jitter, sppc: int):
+    """Unsort (invert the composed activity permutation) and splat."""
+    w = scene.film.width
+    n = state_s.active.shape[0]
+    h_local = n // (sppc * w)
+    leaves, treedef = jax.tree_util.tree_flatten(state_s)
+    lane = _lane_indices(leaves, n)
+    # orig_s[j] = source lane of sorted slot j; invert + gather back
+    inv = jax.lax.sort((orig_s, jnp.arange(n, dtype=jnp.int32)),
+                       num_keys=1)[1]
+    out = _permute_lanes(leaves, lane, inv)
+    state = jax.tree_util.tree_unflatten(treedef, out)
     L = state.result.mask(state.valid_ray)
-    image, weight = _finalize_splat(scene, L, wl0, jitter, sppc,
-                                    h_local, 0)
-    rays = counts0 + jnp.sum(counts) + jnp.float32(n)
-    return image, weight, rays
+    return _finalize_splat(scene, L, wl0, jitter, sppc, h_local, 0)
 
 
 def _pick_head_width(n, n_active):
-    head_w = n
-    for k in range(1, _COMPACT_LADDER + 1):
-        cand = n >> k
-        if cand >= max(n_active, 1024) and cand % 8 == 0:
-            head_w = cand
-        else:
-            break
-    return head_w
+    """Smallest multiple of ~n/16 (tile-aligned) covering the live
+    prefix — finer than the old power-of-two ladder (live 0.33n used to
+    run at n/2; now 0.375n)."""
+    g = max((n // 16) // 128 * 128, 1024)
+    need = max(int(n_active), 1024)
+    if need >= n:
+        return n
+    return min(n, -(-need // g) * g)
 
 
 def _render_compacted(scene, seed, sppc: int, n_passes: int):
@@ -364,15 +381,31 @@ def _render_compacted(scene, seed, sppc: int, n_passes: int):
         state_s, orig_s, wl0, jitter, c0, n_active = _pass_prefix_jit(
             scene, pass_seed, sppc, i, sppc * n_passes, seed)
         na = int(n_active)
-        head_w = _pick_head_width(n, na)
         _dbg(f"compact pass {i}: prefix {_time.perf_counter()-t0:.1f}s, "
-             f"live {na}/{n} -> head {head_w}")
+             f"live {na}/{n}")
+        # per-bounce segments: each remaining bounce runs at the
+        # tightest ladder width covering the live prefix (the width is
+        # a host decision, so only widths actually taken compile; equal
+        # widths share one program since the bounce index is traced)
+        cnts = c0
+        for k in range(COMPACT_PREFIX, scene.integrator.max_depth):
+            if na == 0:
+                break
+            head_w = _pick_head_width(n, na)
+            t0 = _time.perf_counter()
+            state_s, orig_s, n_active, cnt = _pass_bounce_jit(
+                scene, state_s, orig_s, jnp.int32(k), head_w)
+            na = int(n_active)
+            cnts = cnts + cnt
+            _dbg(f"compact pass {i}: bounce {k} @ {head_w} "
+                 f"{_time.perf_counter()-t0:.1f}s, live {na}")
         t0 = _time.perf_counter()
-        img_i, wgt_i, rays_i = _pass_suffix_jit(
-            scene, state_s, orig_s, wl0, jitter, c0, sppc, head_w)
+        img_i, wgt_i = _pass_final_jit(scene, state_s, orig_s, wl0,
+                                       jitter, sppc)
+        rays_i = cnts + jnp.float32(n)
         if log_mod.log_level() <= log_mod.DEBUG:
             img_i = jax.block_until_ready(img_i)
-            _dbg(f"compact pass {i}: suffix "
+            _dbg(f"compact pass {i}: final "
                  f"{_time.perf_counter()-t0:.1f}s")
         image = img_i if image is None else image + img_i
         weight = wgt_i if weight is None else weight + wgt_i

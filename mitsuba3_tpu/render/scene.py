@@ -64,6 +64,20 @@ class FilmConfig:
     # specfilm.cpp: per-channel sensor response functions, each a tuple
     # of SPD_N floats on the shared spectral grid; () = hdrfilm behavior
     srfs: tuple = ()
+    # film.h crop window: width/height above are the CROP (= rendered
+    # raster) size; the sensor maps the FULL film plane of
+    # full_width x full_height with the crop at (crop_ox, crop_oy).
+    # full_* == 0 means "no crop" (full == width/height).
+    full_width: int = 0
+    full_height: int = 0
+    crop_ox: int = 0
+    crop_oy: int = 0
+
+
+def film_full(film: FilmConfig):
+    """(full_w, full_h, crop_ox, crop_oy) with the no-crop default."""
+    return (film.full_width or film.width, film.full_height or film.height,
+            film.crop_ox, film.crop_oy)
 
 
 @dataclasses.dataclass(frozen=True)

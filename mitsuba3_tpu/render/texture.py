@@ -118,7 +118,8 @@ def _footprint_lod(scene, si, tex_h):
     documented approximation of ray-differential lod (the per-face uv
     density comes exactly from the triangle parameterization)."""
     sd = scene.sensor
-    pix_angle = 2.0 * sd.tan_half_x / scene.film.width
+    from .scene import film_full
+    pix_angle = 2.0 * sd.tan_half_x / film_full(scene.film)[0]
     cos_g = jnp.maximum(jnp.abs(si.wi.z), 0.1)
     footprint = si.t * pix_angle / cos_g           # world units
     duv = si.duv_scale if getattr(si, "duv_scale", None) is not None         else 1.0

@@ -508,3 +508,41 @@ def test_pass_split_compaction_is_exact():
     np.testing.assert_array_equal(np.asarray(img_c), img_n)
     assert np.isfinite(img_n).all() and img_n.max() > 0
     assert float(rays_c) > 8192
+
+
+def test_film_crop_window_matches_full_region():
+    """hdrfilm crop window (film.h set_crop_window): the crop render
+    estimates the same region of the full film (the sensor mapping and
+    pixel footprints are identical; PCG streams are lane-seeded like the
+    reference, so the comparison is statistical)."""
+    import copy
+
+    base = mi.cornell_box(width=48, height=48, max_depth=3)
+    base["sensor"]["film"]["rfilter"] = {"type": "box"}
+    img_full = np.asarray(mi.render(mi.load_dict(base), spp=48, seed=3))
+
+    d = copy.deepcopy(base)
+    d["sensor"]["film"].update(crop_width=24, crop_height=16,
+                               crop_offset_x=8, crop_offset_y=12)
+    img_crop = np.asarray(mi.render(mi.load_dict(d), spp=48, seed=7))
+    assert img_crop.shape == (16, 24, 3)
+    region = img_full[12:28, 8:32]
+    # region means agree to MC noise; per-pixel agreement except at
+    # geometric edges (jitter differs between the two renders)
+    np.testing.assert_allclose(img_crop.mean(axis=(0, 1)),
+                               region.mean(axis=(0, 1)), rtol=0.05)
+    rel = np.abs(img_crop - region) / (np.abs(region) + 0.05)
+    assert np.quantile(rel, 0.9) < 0.35, np.quantile(rel, 0.9)
+
+    # filters with support reaching outside the crop drop the outside
+    # taps (reference border handling) -- smoke: finite + nonzero
+    d["sensor"]["film"]["rfilter"] = {"type": "gaussian"}
+    img_g = np.asarray(mi.render(mi.load_dict(d), spp=4, seed=1))
+    assert img_g.shape == (16, 24, 3)
+    assert np.isfinite(img_g).all() and img_g.max() > 0
+
+    # invalid crop rejected
+    bad = copy.deepcopy(base)
+    bad["sensor"]["film"].update(crop_width=64)
+    with pytest.raises(ValueError):
+        mi.load_dict(bad)
