@@ -63,3 +63,21 @@ def variant() -> str:
 
 def variants():
     return list(_KNOWN_VARIANTS)
+
+
+def register_bsdf(name, module, lower=None):
+    """Register a user-defined Python BSDF plugin (the reference's
+    mi.register_bsdf, src/python/python/__init__.py): scene dicts/XML
+    may then use {"type": name, ...}. See bsdfs.register_custom for the
+    module contract (FLAGS + sample + eval_pdf over parameter rows)."""
+    from . import bsdfs
+    return bsdfs.register_custom(name, module, lower)
+
+
+def register_integrator(name, module):
+    """Register a user-defined integrator plugin (mi.register_integrator
+    analog). `module` provides sample(scene, rng, ray, cfg, active=None)
+    -> (L, valid, rng) and config_from_dict(spec) -> frozen config
+    dataclass with a `type` field equal to `name`."""
+    from . import integrators
+    integrators.register(name, module)

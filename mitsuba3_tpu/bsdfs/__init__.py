@@ -58,9 +58,41 @@ N_PARAMS = 17  # bsdf_params row width ([16] = two-sided flag, all types)
 
 _REGISTRY = {}
 
+# User-defined Python BSDF plugins (mi.register_bsdf analog — the
+# reference registers Python BSDF subclasses through the plugin manager,
+# src/python/python/__init__.py). Custom type ids live above the
+# built-in range; the loader consults `custom_type()` for name lookup
+# and row lowering.
+CUSTOM_BASE = 100
+_CUSTOM = {}   # name -> (type_id, lower_fn | None)
+
 
 def register(type_id, module):
     _REGISTRY[type_id] = module
+
+
+def register_custom(name: str, module, lower=None) -> int:
+    """Register a user BSDF plugin under a scene-dict type name.
+
+    `module` provides the standard plugin contract: FLAGS plus
+    sample(scene, bsdf_idx, si, s1, s2) and eval_pdf(scene, bsdf_idx,
+    si, wo); per-lane parameters arrive via
+    scene.gather_bsdf_params(bsdf_idx) as an [N_PARAMS, N] row.
+    `lower(spec) -> sequence of <= N_PARAMS floats` lowers the scene
+    dict entry to that row (default: [0:3] = spec['reflectance'] rgb).
+    Re-registering a name replaces its module, keeping the type id."""
+    if name in _CUSTOM:
+        tid = _CUSTOM[name][0]
+    else:
+        tid = CUSTOM_BASE + len(_CUSTOM)
+    _CUSTOM[name] = (tid, lower)
+    register(tid, module)
+    return tid
+
+
+def custom_type(name: str):
+    """(type_id, lower_fn) for a registered custom BSDF name, else None."""
+    return _CUSTOM.get(name)
 
 
 def get(type_id):
