@@ -157,14 +157,16 @@ def main():
         }
         tscene = mi.load_dict(dt_scene)
         _prog("terrain scene loaded; compiling first render...")
-        img, rays0 = render_with_stats(tscene, seed=0, spp=4)
+        img, rays0 = render_with_stats(tscene, seed=0, spp=4,
+                               max_wavefront=1 << 20)
         jax.block_until_ready(img)
         _prog("terrain first render done; timing reps...")
         t0 = time.perf_counter()
         reps = 3
         tot = 0.0
         for i in range(reps):
-            img, r = render_with_stats(tscene, seed=i + 1, spp=4)
+            img, r = render_with_stats(tscene, seed=i + 1, spp=4,
+                           max_wavefront=1 << 20)
             tot += float(r)
         jax.block_until_ready(img)
         terrain_mrays = tot / (time.perf_counter() - t0) / 1e6

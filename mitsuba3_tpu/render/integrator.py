@@ -300,15 +300,16 @@ def _pass_prefix_jit(scene, pass_seed, sppc: int, pass_idx, spp_total,
             n_active)
 
 
-@partial(jax.jit, static_argnames=("head_w",))
-def _pass_bounce_jit(scene, state_s, orig_s, k, head_w: int):
-    """ONE bounce on the live head at a static width, merge the dead
-    tail back, re-sort by activity. The bounce index `k` is a traced
-    scalar, so all bounces at the same width share one XLA program.
-    Returns (state_s', orig_s', n_active, query_count)."""
+@partial(jax.jit, static_argnames=("sppc", "head_w"))
+def _pass_suffix_jit(scene, state_s, orig_s, wl0, jitter, counts0,
+                     sppc: int, head_w: int):
+    """Remaining bounces on the live head, merge, unsort, splat."""
     from ..integrators import path as path_mod
     cfg = scene.integrator
+    w = scene.film.width
     n = state_s.active.shape[0]
+    h_local = n // (sppc * w)
+
     leaves, treedef = jax.tree_util.tree_flatten(state_s)
     lane = _lane_indices(leaves, n)
     head = list(leaves)
@@ -316,49 +317,53 @@ def _pass_bounce_jit(scene, state_s, orig_s, k, head_w: int):
         head[i] = leaves[i][:head_w]
     st = jax.tree_util.tree_unflatten(treedef, head)
     bounce = path_mod.make_bounce(scene, cfg)
-    st, count = bounce(st, k)
+    ks = jnp.arange(COMPACT_PREFIX, cfg.max_depth, dtype=jnp.int32)
+    st, counts = jax.lax.scan(bounce, st, ks)
 
     head_leaves = jax.tree_util.tree_flatten(st)[0]
     merged = list(head_leaves)
     for i in lane:
         merged[i] = jnp.concatenate([head_leaves[i], leaves[i][head_w:]])
-    state = jax.tree_util.tree_unflatten(treedef, merged)
-    key = (~state.active).astype(jnp.int32)      # actives first
-    perm = jax.lax.sort((key, jnp.arange(n, dtype=jnp.int32)),
-                        num_keys=2)[1]
-    out = _permute_lanes(merged, lane, perm)
-    state_s2 = jax.tree_util.tree_unflatten(treedef, out)
-    orig_s2 = jnp.take(orig_s, perm)
-    n_active = jnp.sum(state.active.astype(jnp.int32))
-    return state_s2, orig_s2, n_active, jnp.sum(count)
-
-
-@partial(jax.jit, static_argnames=("sppc",))
-def _pass_final_jit(scene, state_s, orig_s, wl0, jitter, sppc: int):
-    """Unsort (invert the composed activity permutation) and splat."""
-    w = scene.film.width
-    n = state_s.active.shape[0]
-    h_local = n // (sppc * w)
-    leaves, treedef = jax.tree_util.tree_flatten(state_s)
-    lane = _lane_indices(leaves, n)
-    # orig_s[j] = source lane of sorted slot j; invert + gather back
-    inv = jax.lax.sort((orig_s, jnp.arange(n, dtype=jnp.int32)),
+    # invert the prefix permutation (orig_s[j] = source lane of sorted
+    # slot j), then gather back to original order
+    n_ = orig_s.shape[0]
+    inv = jax.lax.sort((orig_s, jnp.arange(n_, dtype=jnp.int32)),
                        num_keys=1)[1]
-    out = _permute_lanes(leaves, lane, inv)
+    out = _permute_lanes(merged, lane, inv)
     state = jax.tree_util.tree_unflatten(treedef, out)
+
     L = state.result.mask(state.valid_ray)
-    return _finalize_splat(scene, L, wl0, jitter, sppc, h_local, 0)
+    image, weight = _finalize_splat(scene, L, wl0, jitter, sppc,
+                                    h_local, 0)
+    rays = counts0 + jnp.sum(counts) + jnp.float32(n)
+    return image, weight, rays
 
 
-def _pick_head_width(n, n_active):
+# Per-(wavefront, scene-id) memo of the suffix width actually compiled:
+# the live count jitters a few hundred lanes across seeds, and a fresh
+# width at every bucket boundary would recompile the suffix (~3-10 min
+# on a 64k-tri scene — measured as a recompile storm when the per-pass
+# width tracked n_active exactly). A cached width is reused as long as
+# it still covers the live prefix.
+_WIDTH_MEMO: dict = {}
+
+
+def _pick_head_width(n, n_active, memo_key=None):
     """Smallest multiple of ~n/16 (tile-aligned) covering the live
-    prefix — finer than the old power-of-two ladder (live 0.33n used to
-    run at n/2; now 0.375n)."""
+    prefix (finer than a power-of-two ladder: live 0.33n used to run at
+    n/2, now 0.375n), with a small slack so seed-to-seed live-count
+    jitter near a bucket edge reuses the compiled width."""
     g = max((n // 16) // 128 * 128, 1024)
     need = max(int(n_active), 1024)
-    if need >= n:
-        return n
-    return min(n, -(-need // g) * g)
+    if need < n:
+        need = min(n, int(need * 1.02) + 128)   # slack vs count jitter
+    cached = _WIDTH_MEMO.get(memo_key)
+    if cached is not None and need <= cached <= n:
+        return cached
+    width = n if need >= n else min(n, -(-need // g) * g)
+    if memo_key is not None:
+        _WIDTH_MEMO[memo_key] = width
+    return width
 
 
 def _render_compacted(scene, seed, sppc: int, n_passes: int):
@@ -381,31 +386,15 @@ def _render_compacted(scene, seed, sppc: int, n_passes: int):
         state_s, orig_s, wl0, jitter, c0, n_active = _pass_prefix_jit(
             scene, pass_seed, sppc, i, sppc * n_passes, seed)
         na = int(n_active)
+        head_w = _pick_head_width(n, na, memo_key=n)
         _dbg(f"compact pass {i}: prefix {_time.perf_counter()-t0:.1f}s, "
-             f"live {na}/{n}")
-        # per-bounce segments: each remaining bounce runs at the
-        # tightest ladder width covering the live prefix (the width is
-        # a host decision, so only widths actually taken compile; equal
-        # widths share one program since the bounce index is traced)
-        cnts = c0
-        for k in range(COMPACT_PREFIX, scene.integrator.max_depth):
-            if na == 0:
-                break
-            head_w = _pick_head_width(n, na)
-            t0 = _time.perf_counter()
-            state_s, orig_s, n_active, cnt = _pass_bounce_jit(
-                scene, state_s, orig_s, jnp.int32(k), head_w)
-            na = int(n_active)
-            cnts = cnts + cnt
-            _dbg(f"compact pass {i}: bounce {k} @ {head_w} "
-                 f"{_time.perf_counter()-t0:.1f}s, live {na}")
+             f"live {na}/{n} -> head {head_w}")
         t0 = _time.perf_counter()
-        img_i, wgt_i = _pass_final_jit(scene, state_s, orig_s, wl0,
-                                       jitter, sppc)
-        rays_i = cnts + jnp.float32(n)
+        img_i, wgt_i, rays_i = _pass_suffix_jit(
+            scene, state_s, orig_s, wl0, jitter, c0, sppc, head_w)
         if log_mod.log_level() <= log_mod.DEBUG:
             img_i = jax.block_until_ready(img_i)
-            _dbg(f"compact pass {i}: final "
+            _dbg(f"compact pass {i}: suffix "
                  f"{_time.perf_counter()-t0:.1f}s")
         image = img_i if image is None else image + img_i
         weight = wgt_i if weight is None else weight + wgt_i
