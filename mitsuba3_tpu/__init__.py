@@ -30,6 +30,8 @@ from .utils.params import SceneParameters, traverse
 from .utils.log import (DEBUG, ERROR, INFO, TRACE, WARN, ProgressReporter,
                         log, set_log_level)
 from . import ad
+from . import util
+from .util import convert_to_bitmap, write_bitmap, variant_context
 
 ScalarTransform4f = Transform4f
 

@@ -41,7 +41,7 @@ def write_image(path: str, img: np.ndarray):
         x = np.clip(img, 0.0, 1.0)
         x = np.where(x <= 0.0031308, x * 12.92,
                      1.055 * np.maximum(x, 1e-8) ** (1 / 2.4) - 0.055)
-        Image.fromarray((x * 255).astype(np.uint8)).save(p)
+        Image.fromarray((x * 255 + 0.5).astype(np.uint8)).save(p)
     else:
         raise ValueError(f"Unsupported image format: {p}")
 

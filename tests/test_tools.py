@@ -358,3 +358,34 @@ def test_render_restartable_resumes_bit_exact(tmp_path):
     np.testing.assert_array_equal(np.asarray(img1), ref)
     np.testing.assert_array_equal(np.asarray(img2), ref)
     assert n_calls_resume < n_calls_full, (n_calls_resume, n_calls_full)
+
+
+def test_util_convert_and_write_bitmap(tmp_path):
+    """mi.util parity (util.py:531-569): convert_to_bitmap gamma path and
+    write_bitmap round-trip through the codec layer."""
+    img = np.linspace(0, 1, 8 * 8 * 3, dtype=np.float32).reshape(8, 8, 3)
+    u8 = mi.util.convert_to_bitmap(img)
+    assert u8.dtype == np.uint8 and u8.shape == (8, 8, 3)
+    # sRGB encoding is monotone and hits the endpoints
+    assert u8[0, 0, 0] == 0 and u8[-1, -1, -1] == 255
+    raw = mi.util.convert_to_bitmap(img, uint8_srgb=False)
+    np.testing.assert_allclose(raw, img)
+
+    p_exr = tmp_path / "out.exr"
+    t = mi.util.write_bitmap(str(p_exr), img, write_async=False)
+    assert t is None
+    from mitsuba3_tpu.utils.image_io import read_image
+    np.testing.assert_allclose(read_image(str(p_exr)), img, atol=1e-6)
+
+    p_png = tmp_path / "out.png"
+    mi.util.write_bitmap(str(p_png), img, write_async=False)
+    back = read_image(str(p_png))
+    # PNG went through sRGB+uint8; compare against the uint8 conversion
+    np.testing.assert_array_equal(back[..., :3], u8)
+
+
+def test_variant_context_restores():
+    assert mi.variant() == "rgb"
+    with mi.variant_context("scalar_spectral"):
+        assert mi.variant() == "spectral"
+    assert mi.variant() == "rgb"
