@@ -31,9 +31,30 @@ from .utils.log import (DEBUG, ERROR, INFO, TRACE, WARN, ProgressReporter,
                         log, set_log_level)
 from . import ad
 from . import util
-from .util import convert_to_bitmap, write_bitmap, variant_context
+from .util import Bitmap, convert_to_bitmap, write_bitmap, variant_context
 
 ScalarTransform4f = Transform4f
+
+# ---- reference-style type aliases (the Dr.Jit array names users type) ----
+from .core.vec import Vec2, Vec3, luminance
+from .core.frame import Frame
+from .render.records import (BSDFSample, DirectionSample, PositionSample,
+                             Ray, SurfaceInteraction)
+import jax.numpy as _jnp
+
+Point3f = Vector3f = Normal3f = Color3f = Vec3
+Point2f = Vector2f = Vec2
+ScalarPoint3f = ScalarVector3f = Vec3
+Ray3f = Ray
+Frame3f = Frame
+SurfaceInteraction3f = SurfaceInteraction
+DirectionSample3f = DirectionSample
+PositionSample3f = PositionSample
+Float = _jnp.float32
+UInt32 = _jnp.uint32
+Int32 = _jnp.int32
+Mask = Bool = _jnp.bool_
+TensorXf = _jnp.asarray
 
 # ---- variant selection (mi.set_variant analog, alias.cpp:97-266) ----
 # Variants are config axes, not compiled modules: 'llvm_rgb'/'cuda_rgb'

@@ -56,6 +56,53 @@ def write_bitmap(filename: str, data, write_async: bool = True,
         image_io.write_image(filename, img)
 
 
+class Bitmap:
+    """Minimal `mi.Bitmap` analog (include/mitsuba/core/bitmap.h): an
+    ndarray with file I/O and sRGB/uint8 conversion. Construct from a
+    filename (decoded via utils/image_io: EXR/PNG/PFM/HDR/NPY) or any
+    array-like; `np.array(bitmap)` gives the pixels."""
+
+    def __init__(self, source):
+        from .utils import image_io
+
+        if isinstance(source, (str,)) or hasattr(source, "__fspath__"):
+            self.data = np.asarray(image_io.read_image(str(source)))
+        elif isinstance(source, Bitmap):
+            self.data = source.data
+        else:
+            if hasattr(source, "detach"):
+                source = source.detach().cpu().numpy()
+            self.data = np.asarray(source)
+
+    def convert(self, pixel_format=None, component_format=None,
+                srgb_gamma: bool = False) -> "Bitmap":
+        """Convert to RGB float or (with `srgb_gamma`) uint8 sRGB —
+        the two conversions the reference's scripts actually use."""
+        del pixel_format, component_format
+        return Bitmap(convert_to_bitmap(self.data, uint8_srgb=srgb_gamma))
+
+    def write(self, path, quality: int = -1):
+        write_bitmap(str(path), self.data, write_async=False,
+                     quality=quality)
+
+    def write_async(self, path, quality: int = -1):
+        write_bitmap(str(path), self.data, write_async=True,
+                     quality=quality)
+
+    def __array__(self, dtype=None):
+        return self.data if dtype is None else self.data.astype(dtype)
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+    def size(self):  # (width, height), bitmap.h convention
+        return (self.data.shape[1], self.data.shape[0])
+
+    def __repr__(self):
+        return f"Bitmap(shape={self.data.shape}, dtype={self.data.dtype})"
+
+
 @contextlib.contextmanager
 def variant_context(*args):
     """Temporarily override the active variant (util.py:707)."""

@@ -389,3 +389,21 @@ def test_variant_context_restores():
     with mi.variant_context("scalar_spectral"):
         assert mi.variant() == "spectral"
     assert mi.variant() == "rgb"
+
+
+def test_bitmap_class_and_type_aliases(tmp_path):
+    """mi.Bitmap (bitmap.h analog) and reference-style type aliases."""
+    img = np.random.default_rng(0).uniform(0, 1, (6, 5, 3)).astype(np.float32)
+    b = mi.Bitmap(img)
+    assert b.size() == (5, 6)
+    b.write(str(tmp_path / "b.exr"))
+    b2 = mi.Bitmap(str(tmp_path / "b.exr"))
+    np.testing.assert_allclose(np.array(b2), img, atol=1e-6)
+    u8 = b.convert(srgb_gamma=True)
+    assert np.array(u8).dtype == np.uint8
+    # aliases resolve to the real SoA/jnp types
+    assert mi.Point3f is mi.Vector3f and mi.Point3f.__name__ == "Vec3"
+    assert mi.Ray3f.__name__ == "Ray" and mi.Frame3f.__name__ == "Frame"
+    v = mi.Point3f(1.0, 2.0, 3.0)
+    assert float(mi.luminance(v)) > 0
+    assert mi.Float == jnp.float32 and mi.UInt32 == jnp.uint32
