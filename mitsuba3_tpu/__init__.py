@@ -31,6 +31,7 @@ from .utils.log import (DEBUG, ERROR, INFO, TRACE, WARN, ProgressReporter,
                         log, set_log_level)
 from . import ad
 from . import util
+from .utils import chi2
 from .util import Bitmap, convert_to_bitmap, write_bitmap, variant_context
 
 ScalarTransform4f = Transform4f
