@@ -406,8 +406,17 @@ def _render_compacted(scene, seed, sppc: int, n_passes: int):
     return out, rays
 
 
-def render(scene, seed=0, spp=None, max_wavefront=1 << 19):
-    """Forward render -> developed image [H, W, 3] (mi.render analog)."""
+def render(scene, params=None, seed=0, spp=None, max_wavefront=1 << 19):
+    """Forward render -> developed image [H, W, 3] (mi.render analog,
+    util.py:396). `params` accepts a SceneParameters view (its pending
+    writes are applied first — the reference's `mi.render(scene, params)`
+    spelling) or a Scene pytree that simply replaces `scene`; gradients
+    flow through whichever scene pytree is rendered."""
+    if params is not None:
+        if hasattr(params, "update"):   # SceneParameters
+            scene = params.update()
+        else:                           # an edited Scene pytree
+            scene = params
     sppc, n_passes = plan_passes(scene, spp, max_wavefront)
     if _compaction_eligible(scene, sppc, n_passes):
         img, _ = _render_compacted(scene, seed, sppc, n_passes)

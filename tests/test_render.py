@@ -546,3 +546,19 @@ def test_film_crop_window_matches_full_region():
     bad["sensor"]["film"].update(crop_width=64)
     with pytest.raises(ValueError):
         mi.load_dict(bad)
+
+
+def test_render_params_argument():
+    """mi.render(scene, params) applies pending SceneParameters writes
+    (util.py:396 spelling) and accepts an edited Scene pytree."""
+    scene = mi.load_dict(mi.cornell_box(width=24, height=24, max_depth=2))
+    base = np.asarray(mi.render(scene, spp=4, seed=0))
+
+    params = mi.traverse(scene)
+    params["em_radiance"] = params["em_radiance"] * 2.0
+    bright = np.asarray(mi.render(scene, params, spp=4, seed=0))
+    assert bright.mean() > base.mean() * 1.5
+
+    edited = scene.replace(em_radiance=scene.em_radiance * 2.0)
+    bright2 = np.asarray(mi.render(scene, edited, spp=4, seed=0))
+    np.testing.assert_allclose(bright2, bright)
