@@ -126,6 +126,17 @@ def main():
 
     _prog(f"cornell done: {mrays:.1f} Mrays/s")
 
+    # Emit the headline line NOW so a harness-side timeout during the
+    # (compile-heavy) terrain phase can't lose the primary metric; the
+    # full line with the terrain field is re-emitted at the end and a
+    # last-JSON-line parser picks that one up instead.
+    print(json.dumps({
+        "metric": "cornell_512_spp64_fwd_plus_prb_bwd_mrays_per_chip",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
+    }), flush=True)
+
     # ---- secondary metric (VERDICT round-1 #1): forward render of a
     # 64k-triangle terrain through the BVH path, Mrays/s
     terrain_mrays = None
