@@ -21,7 +21,7 @@ from .core import math, warp
 from .core.random import PCG32, sample_tea_32
 from .core.distr import DiscreteDistribution, ContinuousDistribution
 from .loader import load_dict
-from .utils.xml import load_file
+from .utils.xml import load_file, load_string
 from .models import cornell_box
 from .render.integrator import render, render_with_stats
 from .render.scene import Scene, FilmConfig

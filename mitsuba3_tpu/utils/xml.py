@@ -152,12 +152,21 @@ def _node_to_dict(node, params, base_dir, named):
 
 def parse_file(path: str, params: dict | None = None) -> dict:
     """Parse a mitsuba XML scene file into a load_dict-compatible dict."""
+    root = ET.parse(path).getroot()
+    base_dir = os.path.dirname(os.path.abspath(path))
+    return _parse_root(root, base_dir, params)
+
+
+def parse_string(text: str, params: dict | None = None) -> dict:
+    """Parse a mitsuba XML scene from a string (parser.cpp load_string);
+    relative filenames resolve against the current directory."""
+    return _parse_root(ET.fromstring(text), os.getcwd(), params)
+
+
+def _parse_root(root, base_dir: str, params: dict | None) -> dict:
     params = dict(params or {})
-    tree = ET.parse(path)
-    root = tree.getroot()
     if root.tag != "scene":
         raise ValueError(f"Root element must be <scene>, got <{root.tag}>")
-    base_dir = os.path.dirname(os.path.abspath(path))
     # first pass: collect <default>s so later $refs resolve
     for child in root:
         if child.tag == "default":
@@ -233,6 +242,12 @@ def load_file(path: str, **params):
     """mi.load_file analog (src/core/python/parser.cpp:469)."""
     from ..loader import load_dict
     return load_dict(parse_file(path, params))
+
+
+def load_string(text: str, **params):
+    """mi.load_string analog: build a Scene from XML source text."""
+    from ..loader import load_dict
+    return load_dict(parse_string(text, params))
 
 
 # ---------------------------------------------------------------------------

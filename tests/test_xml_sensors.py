@@ -217,3 +217,11 @@ def test_xml_v1_upgrade_and_to_uv(tmp_path):
     scene = mi.load_dict(d)
     img = np.asarray(mi.render(scene, spp=8))
     assert np.isfinite(img).all()
+
+
+def test_load_string_matches_load_file(xml_path):
+    """mi.load_string (parser.cpp load_string analog) builds the same
+    scene as the file path."""
+    img_f = np.asarray(mi.render(mi.load_file(xml_path, spp=4), seed=1))
+    img_s = np.asarray(mi.render(mi.load_string(XML, spp=4), seed=1))
+    np.testing.assert_array_equal(img_f, img_s)
