@@ -84,11 +84,14 @@ def run(impl: str, n_tris_target: int, n_rays: int):
     p0n, e1n, e2n = make_terrain(side)
     n_tris = len(p0n)
 
-    if impl in ("tiled", "dense", "bvh2", "grid", "serve", "queue"):
+    if impl in ("tiled", "dense", "bvh2", "grid", "serve", "queue",
+                "cells"):
         if impl == "dense":
             from mitsuba3_tpu.ops import bvh_dense as mod
         elif impl == "bvh2":
             from mitsuba3_tpu.ops import bvh2 as mod
+        elif impl == "cells":
+            from mitsuba3_tpu.ops import cellserve as mod
         elif impl == "serve":
             from mitsuba3_tpu.ops import bvh_serve as mod
         elif impl == "queue":

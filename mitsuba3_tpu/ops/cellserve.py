@@ -1,0 +1,602 @@
+"""Cell-major pair-serve intersector — the round-4 shared-fetch design.
+
+Every earlier architecture (DESIGN.md "intersection architectures") is
+bound by the measured ~80 M rows/s PER-LANE row-gather issue ceiling:
+grid DDA pays one gathered row per cell step per ray, bvh_serve one
+gathered/DMAed leaf slab per leaf visit per ray. This design removes
+per-lane gathers from the hot path entirely by AMORTIZING fetches across
+rays that want the same cell:
+
+  1. PAIRGEN (arithmetic only): each ray DDA-marches a coarse macro grid
+     (res ~16, so occupancy fits a VMEM-size bitmap) and emits its first
+     P occupied-cell crossings as (cell, ray) pairs. Occupancy tests are
+     dense one-hot word extractions against the broadcast bitmap — no
+     gathers. Overflow (more than P occupied crossings) records a resume
+     distance for a rare follow-up round.
+  2. SORT pairs by cell id (lax.sort, measured ~free), ray state riding
+     as payloads — rays wanting the same cell become contiguous.
+  3. SERVE (Pallas): triangles are stored CSR-ordered by cell in
+     [16, 128]-triangle row slabs, so a block of B consecutive sorted
+     pairs needs one CONTIGUOUS row window [start(first cell) ..
+     end(last cell)]. One kernel program per block DMAs its own window
+     rows with a DYNAMIC trip count (total work is the sum of window
+     lengths, measured ~3.5k rows for 2M pairs on terrain64k — not
+     blocks x worst-case) and folds dense Möller-Trumbore over the
+     block. Extra candidates are harmless: binned triangles are real
+     scene geometry, so any tested hit is a true hit and min-t is exact.
+  4. REDUCE: one back-sort by pair index restores pairgen order; a
+     [P, N] min gives the per-ray closest hit.
+
+Fetch accounting: per closest query the memory traffic is the CSR
+window rows (shared block DMAs) instead of (rays x cell-steps) per-lane
+row fetches — the quantity the 80 M rows/s ceiling prices. Everything
+else is sorts and dense VPU work.
+
+Role: the reference's OptiX/Embree accelerated `Scene::ray_intersect` /
+`ray_test` (reference src/render/scene.cpp:197-245 dispatch,
+scene_optix.inl:397 launch) for large scenes on TPU.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.struct import pytree_dataclass, static_field
+from ..core.vec import Vec2, Vec3
+
+BIG = 3.4e38       # plain float: pallas kernels close over it
+K = 128            # triangles per CSR row slab
+B = 1024           # sorted pairs per serve block / kernel program
+MINT = 1e-6
+
+
+@pytree_dataclass
+class CellServe:
+    tris: jnp.ndarray       # [NR, 16, K] f32 CSR row slabs (9 = prim id)
+    start: jnp.ndarray      # [C + 2] i32 CSR offsets (start[C]=start[C+1]=T)
+    occ_words: jnp.ndarray  # [W] i32 occupancy bitmap (cell c -> word c>>5)
+    lo: jnp.ndarray         # [3] f32 grid origin
+    inv_cell: jnp.ndarray   # [3] f32 1 / cell size
+    res: int = static_field(default=0)
+    n_tris: int = static_field(default=0)
+    pair_slots: int = static_field(default=8)
+    max_steps: int = static_field(default=0)
+
+
+def build(p0, e1, e2, res: int | None = None, pair_slots: int = 8):
+    p0 = np.asarray(p0, np.float32)
+    e1 = np.asarray(e1, np.float32)
+    e2 = np.asarray(e2, np.float32)
+    # drop degenerate (padding) triangles: they can never produce a hit
+    area2 = np.linalg.norm(np.cross(e1, e2), axis=1)
+    keep = area2 > 0.0
+    prim_ids = np.nonzero(keep)[0].astype(np.int32)
+    p0k, e1k, e2k = p0[keep], e1[keep], e2[keep]
+    f = max(p0k.shape[0], 1)
+    if p0k.shape[0] == 0:
+        p0k = np.zeros((1, 3), np.float32)
+        e1k = np.zeros((1, 3), np.float32)
+        e2k = np.zeros((1, 3), np.float32)
+        prim_ids = np.full(1, -1, np.int32)
+
+    v1, v2 = p0k + e1k, p0k + e2k
+    bbmin = np.minimum(np.minimum(p0k, v1), v2)
+    bbmax = np.maximum(np.maximum(p0k, v1), v2)
+    lo = bbmin.min(axis=0)
+    hi = bbmax.max(axis=0)
+    span = np.maximum(hi - lo, 1e-6)
+    lo = lo - span * 1e-4
+    hi = hi + span * 1e-4
+    span = hi - lo
+    if res is None:
+        # coarse: the occupancy bitmap must stay small enough for dense
+        # one-hot lookups ([N, res^3/32] per DDA step)
+        res = int(np.clip(round((f / 16.0) ** (1.0 / 3.0)), 8, 24))
+    cell = span / res
+    inv_cell = 1.0 / cell
+    C = res ** 3
+
+    clo = np.clip(((bbmin - lo) * inv_cell).astype(np.int64), 0, res - 1)
+    chi = np.clip(((bbmax - lo) * inv_cell).astype(np.int64), 0, res - 1)
+    counts = (chi - clo + 1).prod(axis=1)
+    total = int(counts.sum())
+    tri_ids = np.repeat(np.arange(len(p0k)), counts)
+    seg = np.zeros(len(p0k) + 1, np.int64)
+    np.cumsum(counts, out=seg[1:])
+    within = np.arange(total) - seg[tri_ids]
+    nx = (chi[:, 0] - clo[:, 0] + 1)[tri_ids]
+    ny = (chi[:, 1] - clo[:, 1] + 1)[tri_ids]
+    cx = clo[tri_ids, 0] + within % nx
+    cy = clo[tri_ids, 1] + (within // nx) % ny
+    cz = clo[tri_ids, 2] + within // (nx * ny)
+    cell_ids = (cz * res + cy) * res + cx
+
+    order = np.argsort(cell_ids, kind="stable")
+    cell_sorted = cell_ids[order]
+    tri_sorted = tri_ids[order]
+
+    start = np.zeros(C + 2, np.int32)
+    np.add.at(start, cell_sorted + 1, 1)
+    np.cumsum(start, out=start)           # start[c] .. start[c+1] = cell c
+    start[C + 1] = start[C]               # sentinel cell C: empty range
+
+    occ = np.zeros(C, bool)
+    occ[np.unique(cell_sorted)] = True
+    W = -(-C // 32)
+    occ_words = np.zeros(W, np.uint32)
+    idx = np.nonzero(occ)[0]
+    np.bitwise_or.at(occ_words, idx >> 5,
+                     (np.uint32(1) << (idx & 31).astype(np.uint32)))
+
+    nr = -(-max(total, 1) // K)
+    flat = np.zeros((10, nr * K), np.float32)
+    flat[9, :] = -1.0
+    flat[0:3, :total] = p0k[tri_sorted].T
+    flat[3:6, :total] = e1k[tri_sorted].T
+    flat[6:9, :total] = e2k[tri_sorted].T
+    flat[9, :total] = prim_ids[tri_sorted].astype(np.float32)
+    rows = np.zeros((nr, 16, K), np.float32)
+    rows[:, 9, :] = -1.0
+    rows[:, :10, :] = flat.reshape(10, nr, K).transpose(1, 0, 2)
+
+    return CellServe(
+        tris=jnp.asarray(rows),
+        start=jnp.asarray(start),
+        occ_words=jnp.asarray(occ_words.view(np.int32)),
+        lo=jnp.asarray(lo, jnp.float32),
+        inv_cell=jnp.asarray(inv_cell, jnp.float32),
+        res=int(res), n_tris=total, pair_slots=int(pair_slots),
+        max_steps=3 * int(res) + 4)
+
+
+# ---------------------------------------------------------------------------
+# Pair generation: arithmetic DDA + bitmap occupancy, no gathers
+# ---------------------------------------------------------------------------
+
+def _grid_ray(acc: CellServe, o: Vec3, d: Vec3):
+    ogx = (o.x - acc.lo[0]) * acc.inv_cell[0]
+    ogy = (o.y - acc.lo[1]) * acc.inv_cell[1]
+    ogz = (o.z - acc.lo[2]) * acc.inv_cell[2]
+    tiny = 1e-12
+
+    def guard(c):
+        return jnp.where(jnp.abs(c) < tiny, tiny, c)
+
+    dgx = guard(d.x * acc.inv_cell[0])
+    dgy = guard(d.y * acc.inv_cell[1])
+    dgz = guard(d.z * acc.inv_cell[2])
+    return (ogx, ogy, ogz), (dgx, dgy, dgz)
+
+
+def _clip(acc, og, dg, maxt):
+    res = acc.res
+    ix, iy, iz = 1.0 / dg[0], 1.0 / dg[1], 1.0 / dg[2]
+    t0x, t1x = (0.0 - og[0]) * ix, (res - og[0]) * ix
+    t0y, t1y = (0.0 - og[1]) * iy, (res - og[1]) * iy
+    t0z, t1z = (0.0 - og[2]) * iz, (res - og[2]) * iz
+    t_in = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                   jnp.minimum(t0y, t1y)),
+                       jnp.maximum(jnp.minimum(t0z, t1z), 0.0))
+    t_out = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                    jnp.maximum(t0y, t1y)),
+                        jnp.maximum(t0z, t1z))
+    return t_in, jnp.minimum(t_out, maxt), (ix, iy, iz)
+
+
+def _occupied(acc: CellServe, cell):
+    """Dense bitmap test: one-hot word extraction, no gathers."""
+    W = acc.occ_words.shape[0]
+    widx = cell >> 5
+    sel = jnp.arange(W, dtype=jnp.int32)[None, :] == widx[:, None]
+    word = jnp.sum(jnp.where(sel, acc.occ_words[None, :], 0), axis=1)
+    return ((word >> (cell & 31)) & 1) != 0
+
+
+def _pairgen(acc: CellServe, og, dg, inv, t_in, t_out, active, t_from):
+    """March from max(t_in, t_from); emit up to P occupied-cell ids per
+    lane (sentinel C when unused). Returns (slots [P, N] i32,
+    resume_t [N], overflow [N] bool)."""
+    n = t_in.shape[0]
+    res, P, C = acc.res, acc.pair_slots, acc.res ** 3
+    max_comp = jnp.maximum(jnp.maximum(jnp.abs(dg[0]), jnp.abs(dg[1])),
+                           jnp.abs(dg[2]))
+    eps_t = 1e-4 / jnp.maximum(max_comp, 1e-12)
+    t_start = jnp.maximum(t_in, t_from)
+    miss = (t_start > t_out) | ~active
+
+    slots = jnp.full((P, n), C, jnp.int32)
+    count = jnp.zeros(n, jnp.int32)
+    state = (t_start + eps_t, slots, count,
+             jnp.full(n, BIG, jnp.float32),    # resume_t
+             jnp.zeros(n, bool),               # overflow
+             miss, jnp.int32(0))
+
+    def cond(s):
+        done, it = s[-2], s[-1]
+        return (~jnp.all(done)) & (it < acc.max_steps)
+
+    def body(s):
+        t_cur, slots, count, resume, ovf, done, it = s
+        px = og[0] + dg[0] * t_cur
+        py = og[1] + dg[1] * t_cur
+        pz = og[2] + dg[2] * t_cur
+        cx = jnp.clip(px.astype(jnp.int32) - (px < 0), 0, res - 1)
+        cy = jnp.clip(py.astype(jnp.int32) - (py < 0), 0, res - 1)
+        cz = jnp.clip(pz.astype(jnp.int32) - (pz < 0), 0, res - 1)
+        cell = (cz * res + cy) * res + cx
+        occ = _occupied(acc, cell) & ~done
+
+        full = occ & (count >= P)
+        emit = occ & ~full
+        for i in range(P):
+            slots = slots.at[i].set(
+                jnp.where(emit & (count == i), cell, slots[i]))
+        count = count + emit.astype(jnp.int32)
+        resume = jnp.where(full & ~ovf, t_cur, resume)
+        ovf = ovf | full
+
+        nbx = jnp.where(dg[0] > 0, cx + 1, cx).astype(jnp.float32)
+        nby = jnp.where(dg[1] > 0, cy + 1, cy).astype(jnp.float32)
+        nbz = jnp.where(dg[2] > 0, cz + 1, cz).astype(jnp.float32)
+        t_exit = jnp.minimum(jnp.minimum((nbx - og[0]) * inv[0],
+                                         (nby - og[1]) * inv[1]),
+                             (nbz - og[2]) * inv[2])
+        t_next = jnp.maximum(t_exit, t_cur) + eps_t
+        done2 = done | full | (t_next > t_out)
+        t_cur2 = jnp.where(done2, t_cur, t_next)
+        return (t_cur2, slots, count, resume, ovf, done2, it + 1)
+
+    t_cur, slots, count, resume, ovf, done, _ = jax.lax.while_loop(
+        cond, body, state)
+    return slots, resume, ovf
+
+
+# ---------------------------------------------------------------------------
+# Serve kernel: one program per block of B sorted pairs, dynamic trip
+# count over the block's CSR row window
+# ---------------------------------------------------------------------------
+
+def _mt_tile_first(tri, ox, oy, oz, dx, dy, dz, want_uv):
+    """tri [16, K] slab vs rays [1, R] -> per-lane best over the slab.
+    First-min-column select: dedup-safe when a triangle binned into
+    several cells appears twice in one window with identical t."""
+    p0x, p0y, p0z = tri[0, :][:, None], tri[1, :][:, None], tri[2, :][:, None]
+    e1x, e1y, e1z = tri[3, :][:, None], tri[4, :][:, None], tri[5, :][:, None]
+    e2x, e2y, e2z = tri[6, :][:, None], tri[7, :][:, None], tri[8, :][:, None]
+    ids = tri[9, :][:, None].astype(jnp.int32)
+    pvx = dy * e2z - dz * e2y
+    pvy = dz * e2x - dx * e2z
+    pvz = dx * e2y - dy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    ok = det != 0.0
+    dinv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    tvx, tvy, tvz = ox - p0x, oy - p0y, oz - p0z
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * dinv
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (dx * qvx + dy * qvy + dz * qvz) * dinv
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * dinv
+    hit = (ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+           & (t > MINT) & (ids >= 0))
+    t_m = jnp.where(hit, t, BIG)
+    tmin = jnp.min(t_m, axis=0)
+    if not want_uv:
+        return tmin, None, None, None
+    kk = tri.shape[1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (kk, 1), 0)
+    colw = jnp.where(t_m == tmin[None, :], cols, jnp.int32(kk))
+    jc = jnp.min(colw, axis=0)
+    oh = cols == jc[None, :]
+    prim = jnp.sum(jnp.where(oh, ids, 0), axis=0)
+    prim = jnp.where(tmin < BIG, prim, -1)
+    uu = jnp.sum(jnp.where(oh, u, 0.0), axis=0)
+    vv = jnp.sum(jnp.where(oh, v, 0.0), axis=0)
+    return tmin, prim, uu, vv
+
+
+def _serve_kernel(r0_ref, nr_ref, tris_ref, rays_ref,
+                  t_out, p_out, u_out, v_out, buf, sem, *, want_uv):
+    i = pl.program_id(0)
+    r0 = r0_ref[i]
+    nr = nr_ref[i]
+    t_out[...] = jnp.full((1, B), BIG, jnp.float32)
+    p_out[...] = jnp.full((1, B), -1, jnp.int32)
+    u_out[...] = jnp.zeros((1, B), jnp.float32)
+    v_out[...] = jnp.zeros((1, B), jnp.float32)
+
+    nsub = B // 128
+    rays = [(rays_ref[0, s * 128:(s + 1) * 128][None, :],
+             rays_ref[1, s * 128:(s + 1) * 128][None, :],
+             rays_ref[2, s * 128:(s + 1) * 128][None, :],
+             rays_ref[3, s * 128:(s + 1) * 128][None, :],
+             rays_ref[4, s * 128:(s + 1) * 128][None, :],
+             rays_ref[5, s * 128:(s + 1) * 128][None, :])
+            for s in range(nsub)]
+
+    @pl.when(nr > 0)
+    def _():
+        pltpu.make_async_copy(tris_ref.at[r0], buf.at[0], sem.at[0]).start()
+
+    def body(k, _):
+        # double-buffered: wait slab k (parity buffer), prefetch k+1
+        par = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < nr)
+        def _():
+            @pl.when(par == 0)
+            def _():
+                pltpu.make_async_copy(tris_ref.at[r0 + k + 1], buf.at[1],
+                                      sem.at[1]).start()
+
+            @pl.when(par == 1)
+            def _():
+                pltpu.make_async_copy(tris_ref.at[r0 + k + 1], buf.at[0],
+                                      sem.at[0]).start()
+
+        def serve_slab(slot):
+            pltpu.make_async_copy(tris_ref.at[r0 + k], buf.at[slot],
+                                  sem.at[slot]).wait()
+            tri = buf[slot]
+            for s in range(nsub):
+                sub = slice(s * 128, (s + 1) * 128)
+                ox, oy, oz, dx, dy, dz = rays[s]
+                tmin, prim, uu, vv = _mt_tile_first(tri, ox, oy, oz,
+                                                    dx, dy, dz, want_uv)
+                better = tmin < t_out[0, sub]
+                t_out[0, sub] = jnp.where(better, tmin, t_out[0, sub])
+                if want_uv:
+                    p_out[0, sub] = jnp.where(better, prim, p_out[0, sub])
+                    u_out[0, sub] = jnp.where(better, uu, u_out[0, sub])
+                    v_out[0, sub] = jnp.where(better, vv, v_out[0, sub])
+
+        @pl.when(par == 0)
+        def _():
+            serve_slab(0)
+
+        @pl.when(par == 1)
+        def _():
+            serve_slab(1)
+
+        return 0
+
+    jax.lax.fori_loop(0, nr, body, 0, unroll=False)
+
+
+def _serve_blocks(acc: CellServe, r0, nr, rays, want_uv, interpret):
+    np_pad = rays.shape[1]
+    nb = np_pad // B
+    kernel = functools.partial(_serve_kernel, want_uv=want_uv)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((8, B), lambda i, r0, nr: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((1, B), lambda i, r0, nr: (0, i),
+                                memory_space=pltpu.VMEM)] * 4,
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, K), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ])
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        interpret=interpret,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, np_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, np_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, np_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, np_pad), jnp.float32),
+        ])(r0, nr, acc.tris, rays)
+    t, p, u, v = outs
+    return t[0], p[0], u[0], v[0]
+
+
+def _serve(acc: CellServe, slots, o: Vec3, d: Vec3, want_uv: bool):
+    """slots [P, N] -> per-pair (t, prim, u, v) in pairgen order
+    ([P, N] each; t = BIG where no hit)."""
+    P, n = slots.shape
+    npairs = P * n
+    np_pad = -(-npairs // B) * B
+    C = acc.res ** 3
+    n_rows = acc.tris.shape[0]
+
+    def pad(x, fill):
+        return jnp.full(np_pad, fill, x.dtype).at[:npairs].set(x.reshape(-1))
+
+    # pair i of ray r sits at flat index i * n + r ([P, N] reshape order)
+    cells = pad(slots, C)
+    pid = jnp.arange(np_pad, dtype=jnp.int32)
+    ox = pad(jnp.broadcast_to(o.x, (P, n)), 0.0)
+    oy = pad(jnp.broadcast_to(o.y, (P, n)), 0.0)
+    oz = pad(jnp.broadcast_to(o.z, (P, n)), 0.0)
+    dx = pad(jnp.broadcast_to(d.x, (P, n)), 0.0)
+    dy = pad(jnp.broadcast_to(d.y, (P, n)), 0.0)
+    dz = pad(jnp.broadcast_to(d.z, (P, n)), 1.0)
+
+    cells_s, pid_s, ox, oy, oz, dx, dy, dz = jax.lax.sort(
+        (cells, pid, ox, oy, oz, dx, dy, dz), num_keys=1)
+
+    nb = np_pad // B
+    cells_sr = cells_s.reshape(nb, B)
+    c_first = cells_sr[:, 0]
+    # last NON-sentinel cell: sentinel pairs (cell C) sort to the block
+    # tail and map to start[C] = T, which would make a mixed block span
+    # the whole CSR array. -1 when the block is all-sentinel.
+    c_last = jnp.max(jnp.where(cells_sr < C, cells_sr, -1), axis=1)
+    starts = jnp.take(acc.start, jnp.minimum(c_first, c_last + 1))
+    ends = jnp.take(acc.start, c_last + 1)
+    r0 = jnp.clip(starts // K, 0, n_rows - 1)
+    nr = jnp.clip((ends - r0 * K + K - 1) // K, 0, n_rows - r0)
+    nr = jnp.where(c_last >= 0, nr, 0)
+
+    rays = jnp.stack([ox, oy, oz, dx, dy, dz, dz, dz], axis=0)
+    interpret = jax.default_backend() == "cpu"
+    bt, bp, bu, bv = _serve_blocks(acc, r0, nr, rays, want_uv, interpret)
+
+    # restore pairgen order: back-sort by unique pair id
+    if want_uv:
+        _, t_o, p_o, u_o, v_o = jax.lax.sort(
+            (pid_s, bt, bp, bu, bv), num_keys=1)
+        return (t_o[:npairs].reshape(P, n), p_o[:npairs].reshape(P, n),
+                u_o[:npairs].reshape(P, n), v_o[:npairs].reshape(P, n))
+    _, t_o = jax.lax.sort((pid_s, bt), num_keys=1)
+    return t_o[:npairs].reshape(P, n), None, None, None
+
+
+# ---------------------------------------------------------------------------
+# Queries
+# ---------------------------------------------------------------------------
+
+def _round(acc, og, dg, inv, t_in, t_out, o, d, maxt, closest,
+           unres, bt, bp, bu, bv, t_from):
+    """One pairgen+serve round over whatever width the inputs have.
+    Returns the updated (unres, bt, bp, bu, bv, resume)."""
+    slots, resume, ovf = _pairgen(acc, og, dg, inv, t_in, t_out,
+                                  unres, t_from)
+    st, sp, su, sv = _serve(acc, slots, o, d, want_uv=closest)
+    tmin = jnp.min(st, axis=0)
+    if closest:
+        j = jnp.argmin(st, axis=0)
+        onehot = jnp.arange(slots.shape[0])[:, None] == j[None, :]
+        pj = jnp.sum(jnp.where(onehot, sp, 0), axis=0)
+        uj = jnp.sum(jnp.where(onehot, su, 0.0), axis=0)
+        vj = jnp.sum(jnp.where(onehot, sv, 0.0), axis=0)
+    better = unres & (tmin < bt)
+    bt = jnp.where(better, tmin, bt)
+    if closest:
+        bp = jnp.where(better, pj, bp)
+        bu = jnp.where(better, uj, bu)
+        bv = jnp.where(better, vj, bv)
+    else:
+        bp = jnp.where(better & (tmin < BIG), jnp.int32(0), bp)
+    # resolved when: no overflow, or a hit at/before the resume point
+    unres2 = unres & ovf & (bt > resume)
+    if not closest:
+        unres2 = unres2 & ~(bt < maxt)
+    return unres2, bt, bp, bu, bv, resume
+
+
+@functools.partial(jax.jit, static_argnames=("closest",))
+def _trace(acc: CellServe, o: Vec3, d: Vec3, maxt, active, closest: bool):
+    n = o.x.shape[0]
+    og, dg = _grid_ray(acc, o, d)
+    t_in, t_out, inv = _clip(acc, og, dg, maxt)
+
+    best_t = jnp.full(n, BIG, jnp.float32)
+    best_p = jnp.full(n, -1, jnp.int32)
+    best_u = jnp.zeros(n, jnp.float32)
+    best_v = jnp.zeros(n, jnp.float32)
+    unresolved = active & (t_in <= t_out)
+    t_from = jnp.zeros(n, jnp.float32)
+
+    # phase A: one full-width round (resolves the vast majority)
+    unres, bt, bp, bu, bv, resume = _round(
+        acc, og, dg, inv, t_in, t_out, o, d, maxt, closest,
+        unresolved, best_t, best_p, best_u, best_v, t_from)
+
+    # phase B: straggler rounds at 1/8 width — unresolved lanes (rays
+    # with > P occupied crossings and no early hit) are compacted to a
+    # prefix and re-marched from their resume point, so the long tail
+    # of crossing counts never pays full-width sorts/serves again
+    nw = -(-max(n // 8, 1) // B) * B
+    if nw >= n or jax.default_backend() == "cpu":
+        # full-width straggler rounds: CPU (interpret-mode test backend)
+        # keeps one pipeline instantiation; small widths gain nothing
+        # from compaction
+        max_rounds = -(-3 * acc.res // acc.pair_slots) + 1
+
+        def cond(s):
+            return jnp.any(s[0]) & (s[-1] < max_rounds)
+
+        def body(s):
+            unres, bt, bp, bu, bv, t_from, r = s
+            unres, bt, bp, bu, bv, resume = _round(
+                acc, og, dg, inv, t_in, t_out, o, d, maxt, closest,
+                unres, bt, bp, bu, bv, t_from)
+            return (unres, bt, bp, bu, bv, resume, r + 1)
+
+        s = jax.lax.while_loop(
+            cond, body, (unres, bt, bp, bu, bv, resume, jnp.int32(0)))
+        _, bt, bp, bu, bv, _, _ = s
+    else:
+        max_tail = 8 * (-(-3 * acc.res // acc.pair_slots) + 1)
+
+        def cond(s):
+            return jnp.any(s[0]) & (s[-1] < max_tail)
+
+        def body(s):
+            unres, bt, bp, bu, bv, resume, r = s
+            # unresolved lanes first (stable: keeps them batched)
+            key = jnp.where(unres, 0, 1).astype(jnp.int32)
+            _, ids = jax.lax.sort(
+                (key, jnp.arange(n, dtype=jnp.int32)), num_keys=1,
+                is_stable=True)
+            sub = ids[:nw]
+            os_ = Vec3(o.x[sub], o.y[sub], o.z[sub])
+            ds_ = Vec3(d.x[sub], d.y[sub], d.z[sub])
+            ogs = tuple(x[sub] for x in og)
+            dgs = tuple(x[sub] for x in dg)
+            invs = tuple(x[sub] for x in inv)
+            un_s, bt_s, bp_s, bu_s, bv_s, rs_s = _round(
+                acc, ogs, dgs, invs, t_in[sub], t_out[sub], os_, ds_,
+                maxt[sub], closest, unres[sub], bt[sub], bp[sub],
+                bu[sub], bv[sub], resume[sub])
+            unres = unres.at[sub].set(un_s)
+            bt = bt.at[sub].set(bt_s)
+            bp = bp.at[sub].set(bp_s)
+            bu = bu.at[sub].set(bu_s)
+            bv = bv.at[sub].set(bv_s)
+            resume = resume.at[sub].set(rs_s)
+            return (unres, bt, bp, bu, bv, resume, r + 1)
+
+        s = jax.lax.while_loop(
+            cond, body, (unres, bt, bp, bu, bv, resume, jnp.int32(0)))
+        _, bt, bp, bu, bv, _, _ = s
+
+    valid = (bt < maxt) & active & (bp >= 0 if closest else bt < BIG)
+    return bt, bp, bu, bv, valid
+
+
+def intersect_cells(acc: CellServe, o: Vec3, d: Vec3, maxt, active=None):
+    """Closest hit -> (t [N], prim [N], uv Vec2, valid [N])."""
+    n = o.x.shape[0]
+    if active is None:
+        active = jnp.ones(n, bool)
+    sg = jax.lax.stop_gradient
+    o, d = jax.tree_util.tree_map(sg, (o, d))
+    maxt_v = jnp.broadcast_to(jnp.asarray(sg(maxt), jnp.float32), (n,))
+    t, prim, u, v, valid = _trace(acc, o, d, maxt_v, active, closest=True)
+    t = jnp.where(valid, t, BIG)
+    prim = jnp.where(valid, prim, -1)
+    return t, prim, Vec2(u, v), valid
+
+
+def occluded_cells(acc: CellServe, o: Vec3, d: Vec3, maxt, active=None):
+    """Any hit strictly inside (MINT, maxt) -> bool [N]."""
+    n = o.x.shape[0]
+    if active is None:
+        active = jnp.ones(n, bool)
+    sg = jax.lax.stop_gradient
+    o, d = jax.tree_util.tree_map(sg, (o, d))
+    maxt_v = jnp.broadcast_to(jnp.asarray(sg(maxt), jnp.float32), (n,)) \
+        * (1.0 - 1e-5)
+    _, _, _, _, valid = _trace(acc, o, d, maxt_v, active, closest=False)
+    return valid
+
+
+# bench_bvh.py protocol aliases
+def intersect_bvh(acc, o, d, maxt, active=None):
+    return intersect_cells(acc, o, d, maxt, active)
+
+
+def occluded_bvh(acc, o, d, maxt, active=None):
+    return occluded_cells(acc, o, d, maxt, active)
