@@ -941,11 +941,13 @@ def eval_parameterization(scene, shape_index: int, uv):
     """Inverse uv lookup on one shape (Shape::eval_parameterization,
     shape.h:804): find the triangle of `shape_index` whose per-corner uv
     chart contains each query `uv` and return the corresponding surface
-    point and normal. Dense one-hot search over the shape's faces (the
-    reference traces a ray against a uv-unwrapped copy of the mesh).
+    point and normal. Chunked one-hot search over the shape's faces —
+    memory O(N x 2048) so 64k+-face meshes work (the reference instead
+    traces a ray against a uv-unwrapped copy of the mesh).
 
     Returns (p Vec3, ng Vec3, prim [N] i32 (-1 = not found))."""
     f = scene.faces
+    F = f.shape[0]
     mine = scene.face_shape == shape_index
     uvf = scene.face_uv                      # [F, 3, 2]
     a_uv = uvf[:, 0]
@@ -953,19 +955,54 @@ def eval_parameterization(scene, shape_index: int, uv):
     e2_uv = uvf[:, 2] - uvf[:, 0]
     det = e1_uv[:, 0] * e2_uv[:, 1] - e1_uv[:, 1] * e2_uv[:, 0]
     inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
-    du = uv.x[:, None] - a_uv[None, :, 0]    # [N, F]
-    dv = uv.y[:, None] - a_uv[None, :, 1]
-    b1 = (du * e2_uv[None, :, 1] - dv * e2_uv[None, :, 0]) * inv_det[None]
-    b2 = (dv * e1_uv[None, :, 0] - du * e1_uv[None, :, 1]) * inv_det[None]
-    inside = ((b1 >= -1e-5) & (b2 >= -1e-5) & (b1 + b2 <= 1.0 + 1e-5)
-              & mine[None, :] & (jnp.abs(det) > 1e-12)[None, :])
-    col = jax.lax.broadcasted_iota(jnp.int32, inside.shape, 1)
-    prim = jnp.max(jnp.where(inside, col, -1), axis=1)
+
+    def search(a_uv, e1_uv, e2_uv, inv_det, mine, det, col):
+        du = uv.x[:, None] - a_uv[None, :, 0]    # [N, FC]
+        dv = uv.y[:, None] - a_uv[None, :, 1]
+        b1 = (du * e2_uv[None, :, 1] - dv * e2_uv[None, :, 0]) \
+            * inv_det[None]
+        b2 = (dv * e1_uv[None, :, 0] - du * e1_uv[None, :, 1]) \
+            * inv_det[None]
+        inside = ((b1 >= -1e-5) & (b2 >= -1e-5) & (b1 + b2 <= 1.0 + 1e-5)
+                  & mine[None, :] & (jnp.abs(det) > 1e-12)[None, :])
+        prim = jnp.max(jnp.where(inside, col[None, :], -1), axis=1)
+        sel = col[None, :] == prim[:, None]
+        b1s = jnp.sum(jnp.where(sel & inside, b1, 0.0), axis=1)
+        b2s = jnp.sum(jnp.where(sel & inside, b2, 0.0), axis=1)
+        return prim, b1s, b2s
+
+    FC = 2048
+    if F <= FC:
+        col = jnp.arange(F, dtype=jnp.int32)
+        prim, b1s, b2s = search(a_uv, e1_uv, e2_uv, inv_det, mine, det,
+                                col)
+    else:
+        nc = -(-F // FC)
+
+        def padc(x, fill=0.0):
+            pad_n = nc * FC - F
+            return jnp.concatenate(
+                [x, jnp.full((pad_n,) + x.shape[1:], fill, x.dtype)],
+                axis=0).reshape((nc, FC) + x.shape[1:])
+
+        chunks = (padc(a_uv), padc(e1_uv), padc(e2_uv), padc(inv_det),
+                  padc(mine, False), padc(det),
+                  padc(jnp.arange(F, dtype=jnp.int32), -1))
+
+        def body(carry, ch):
+            prim, b1c, b2c = carry
+            cp, cb1, cb2 = search(*ch)
+            better = cp > prim
+            return (jnp.where(better, cp, prim),
+                    jnp.where(better, cb1, b1c),
+                    jnp.where(better, cb2, b2c)), None
+
+        n = uv.x.shape[0]
+        init = (jnp.full(n, -1, jnp.int32), jnp.zeros(n, jnp.float32),
+                jnp.zeros(n, jnp.float32))
+        (prim, b1s, b2s), _ = jax.lax.scan(body, init, chunks)
     found = prim >= 0
     prim_c = jnp.clip(prim, 0, f.shape[0] - 1)
-    sel = col == prim_c[:, None]
-    b1s = jnp.sum(jnp.where(sel, b1, 0.0), axis=1)
-    b2s = jnp.sum(jnp.where(sel, b2, 0.0), axis=1)
     v = scene.vertices
     tp = v[f]                                 # [F, 3, 3]
     p0 = jnp.take(tp[:, 0], prim_c, axis=0)

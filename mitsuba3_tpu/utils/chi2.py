@@ -2,29 +2,77 @@
 src/python/python/chi2.py.
 
 Tests whether a sampling technique matches its claimed pdf: draw many
-samples, histogram them on a domain, numerically integrate the pdf per cell,
-and run Pearson's chi² test. Used for warps, BSDF sampling, emitter sampling
-and phase functions (reference chi2.py:100-300 semantics; simplified cell
-integration via midpoint refinement).
+samples, histogram them on a domain, numerically integrate the pdf per
+cell, and run Pearson's chi² test. Used for warps, BSDF sampling,
+emitter sampling and phase functions.
+
+Round-4 upgrade to reference semantics (chi2.py:100-300):
+- per-cell integration is a composite SIMPSON rule on an `ires`-refined
+  tensor grid with shared edge nodes (the reference's sub-cell
+  refinement); midpoint rules let sharp-peaked pdfs (high-alpha GGX,
+  envmap suns) pass with integration error absorbing sampler bias
+- p-values use the exact regularized incomplete gamma function
+  Q(dof/2, stat/2) (series + continued fraction), not the
+  Wilson-Hilferty normal approximation
 """
 from __future__ import annotations
 
+import math
+
 import numpy as np
-import jax.numpy as jnp
 
-from ..core import math as m
 
+# ---------------------------------------------------------------------------
+# Exact chi² survival function: Q(k/2, x/2) (regularized upper gamma)
+# ---------------------------------------------------------------------------
+
+def _gamma_p_series(a, x, eps=1e-14, max_iter=500):
+    """Lower regularized gamma P(a, x) by series (x < a + 1)."""
+    ap = a
+    s = 1.0 / a
+    term = s
+    for _ in range(max_iter):
+        ap += 1.0
+        term *= x / ap
+        s += term
+        if abs(term) < abs(s) * eps:
+            break
+    return s * math.exp(-x + a * math.log(x) - math.lgamma(a))
+
+def _gamma_q_cf(a, x, eps=1e-14, max_iter=500):
+    """Upper regularized gamma Q(a, x) by Lentz continued fraction
+    (x >= a + 1)."""
+    tiny = 1e-300
+    b = x + 1.0 - a
+    c = 1.0 / tiny
+    d = 1.0 / b
+    h = d
+    for i in range(1, max_iter + 1):
+        an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < tiny:
+            d = tiny
+        c = b + an / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < eps:
+            break
+    return h * math.exp(-x + a * math.log(x) - math.lgamma(a))
 
 def _chi2_sf(stat, dof):
-    """Survival function of the chi² distribution via the Wilson-Hilferty
-    normal approximation (adequate for the large dof used here)."""
+    """P(X >= stat) for X ~ chi²(dof), exact via regularized gamma."""
     if dof <= 0:
         return 1.0
-    z = ((stat / dof) ** (1.0 / 3.0) - (1.0 - 2.0 / (9.0 * dof))) / np.sqrt(
-        2.0 / (9.0 * dof))
-    # normal sf
-    from math import erfc, sqrt
-    return 0.5 * erfc(z / sqrt(2.0))
+    a, x = 0.5 * dof, 0.5 * float(stat)
+    if x <= 0.0:
+        return 1.0
+    if x < a + 1.0:
+        return max(0.0, min(1.0, 1.0 - _gamma_p_series(a, x)))
+    return max(0.0, min(1.0, _gamma_q_cf(a, x)))
 
 
 class SphericalDomain:
@@ -59,6 +107,22 @@ class PlanarDomain:
         return np.asarray(p)
 
 
+def _simpson_weights(n_cells, ires):
+    """Composite Simpson weights over n_cells cells with ires
+    subintervals each (ires forced even), on the SHARED-node grid of
+    n_cells * ires + 1 points. Returns weights scaled for a unit-length
+    axis (sum = 1)."""
+    ires = ires + (ires & 1)          # Simpson needs an even count
+    n = n_cells * ires
+    w = np.zeros(n + 1, np.float64)
+    # per-pair pattern 1,4,1 accumulated over the composite rule
+    w[0:n:2] += 1.0
+    w[1:n:2] += 4.0
+    w[2:n + 1:2] += 1.0
+    h = 1.0 / n
+    return w * (h / 3.0), ires
+
+
 def chi2_test(sample_fn, pdf_fn, domain, sample_count=1_000_000,
               res=(64, 32), ires=8, significance=0.01, seed=0):
     """Run the chi² test.
@@ -82,18 +146,38 @@ def chi2_test(sample_fn, pdf_fn, domain, sample_count=1_000_000,
     hist = np.bincount((iy[valid] * nx + ix[valid]), minlength=nx * ny).astype(
         np.float64)
 
-    # integrate pdf per cell with an ires x ires midpoint rule
-    xs = (np.arange(nx * ires) + 0.5) / (nx * ires) * extent[0] + lo[0]
-    ys = (np.arange(ny * ires) + 0.5) / (ny * ires) * extent[1] + lo[1]
+    # integrate pdf per cell: composite Simpson on a shared-node grid
+    wx, iresx = _simpson_weights(nx, ires)
+    wy, iresy = _simpson_weights(ny, ires)
+    xs = np.linspace(lo[0], hi[0], nx * iresx + 1)
+    ys = np.linspace(lo[1], hi[1], ny * iresy + 1)
     gx, gy = np.meshgrid(xs, ys, indexing="ij")
     pts = np.stack([gx.ravel(), gy.ravel()], -1)
     if isinstance(domain, SphericalDomain):
         eval_pts = domain.map_forward(pts)
     else:
         eval_pts = pts
-    pdf_vals = np.asarray(pdf_fn(eval_pts)).reshape(nx * ires, ny * ires)
-    cell_area = (extent[0] / (nx * ires)) * (extent[1] / (ny * ires))
-    integ = pdf_vals.reshape(nx, ires, ny, ires).sum((1, 3)) * cell_area
+    pdf_vals = np.asarray(pdf_fn(eval_pts), np.float64).reshape(
+        nx * iresx + 1, ny * iresy + 1)
+    wgrid = pdf_vals * wx[:, None] * wy[None, :]
+    # fold the shared-node grid into per-cell sums: cell (i, j) owns
+    # nodes [i*ires .. (i+1)*ires] x [j*ires .. (j+1)*ires] with edge
+    # nodes contributing to both neighbours exactly once via the
+    # composite weights — sum strictly interior + split edges
+    integ = np.zeros((nx, ny), np.float64)
+    for ci in range(nx):
+        sl_x = slice(ci * iresx, (ci + 1) * iresx + 1)
+        fx = np.ones(iresx + 1, np.float64)
+        fx[0] = 0.5 if ci > 0 else 1.0
+        fx[-1] = 0.5 if ci < nx - 1 else 1.0
+        block = wgrid[sl_x, :] * fx[:, None]
+        for cj in range(ny):
+            sl_y = slice(cj * iresy, (cj + 1) * iresy + 1)
+            fy = np.ones(iresy + 1, np.float64)
+            fy[0] = 0.5 if cj > 0 else 1.0
+            fy[-1] = 0.5 if cj < ny - 1 else 1.0
+            integ[ci, cj] = (block[:, sl_y] * fy[None, :]).sum()
+    integ *= extent[0] * extent[1]
     expected = (integ.T.ravel() * sample_count)  # match hist's iy-major layout
 
     total_expected = expected.sum()

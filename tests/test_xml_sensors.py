@@ -225,3 +225,42 @@ def test_load_string_matches_load_file(xml_path):
     img_f = np.asarray(mi.render(mi.load_file(xml_path, spp=4), seed=1))
     img_s = np.asarray(mi.render(mi.load_string(XML, spp=4), seed=1))
     np.testing.assert_array_equal(img_f, img_s)
+
+
+def test_eval_parameterization_large_mesh():
+    """Chunked eval_parameterization on a 64k-face mesh (the dense
+    [N, F] search would need gigabytes): uv chart is linear in position
+    on a grid plane, so recovered points must equal the chart value."""
+    import jax.numpy as jnp
+    from mitsuba3_tpu.core.vec import Vec2
+    from mitsuba3_tpu.render.scene import eval_parameterization
+
+    side = 182                      # 2*(side-1)^2 = 65522 faces
+    ij = np.arange(side) / (side - 1.0)
+    X, Y = np.meshgrid(ij, ij, indexing="ij")
+    V = np.stack([X, Y, 0.1 * np.sin(7 * X) * np.cos(5 * Y)],
+                 -1).reshape(-1, 3)
+    UV = np.stack([X, Y], -1).reshape(-1, 2)
+    idx = np.arange(side * side).reshape(side, side)
+    a = idx[:-1, :-1].ravel()
+    b = idx[1:, :-1].ravel()
+    c = idx[:-1, 1:].ravel()
+    d = idx[1:, 1:].ravel()
+    F = np.concatenate([np.stack([a, b, c], -1),
+                        np.stack([b, d, c], -1)], 0)
+    scene = mi.load_dict({
+        "type": "scene",
+        "integrator": {"type": "path"},
+        "sensor": {"type": "perspective",
+                   "film": {"width": 4, "height": 4},
+                   "sampler": {"type": "independent", "sample_count": 1}},
+        "m": {"type": "mesh", "vertices": V, "faces": F, "uvs": UV,
+              "bsdf": {"type": "diffuse"}},
+    })
+    rng = np.random.default_rng(3)
+    q = rng.uniform(0.01, 0.99, (64, 2)).astype(np.float32)
+    uv = Vec2(jnp.asarray(q[:, 0]), jnp.asarray(q[:, 1]))
+    p, ng, prim = eval_parameterization(scene, 0, uv)
+    assert (np.asarray(prim) >= 0).all()
+    np.testing.assert_allclose(np.asarray(p.x), q[:, 0], atol=2e-5)
+    np.testing.assert_allclose(np.asarray(p.y), q[:, 1], atol=2e-5)
