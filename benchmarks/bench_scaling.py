@@ -8,6 +8,13 @@ HLO), not speed — CPU "devices" share cores, so rays/s there is NOT a
 scaling measurement.
 
 Usage: python benchmarks/bench_scaling.py [n_devices ...]
+       python benchmarks/bench_scaling.py --weak [n_devices ...]
+
+--weak holds PIXELS PER DEVICE fixed (height scales with the mesh) —
+the regime a real slice runs in; strong scaling shrinks per-device work
+until fixed costs dominate. Both modes log the per-step collective
+payload (film psum + per-bounce gradient psums) so cross-host DCN
+traffic on a real slice is predictable from these numbers.
 """
 from __future__ import annotations
 
@@ -19,14 +26,30 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def run(n_dev: int, size: int = 64, spp: int = 8, iters: int = 3):
+def _collective_bytes(scene, h, w, params):
+    """Per-step all-reduce payload per device: film (image+weight) psum
+    + per-bounce parameter-gradient psums inside the PRB replay."""
+    film = (h * w * 3 + h * w) * 4
+    n_grad = sum(int(np.prod(np.asarray(p).shape))
+                 for p in jax.tree_util.tree_leaves(params))
+    bounces = scene.integrator.max_depth
+    return film, n_grad * 4 * bounces
+
+
+def run(n_dev: int, size: int = 64, spp: int = 8, iters: int = 3,
+        weak: bool = False):
     import optax
 
     import mitsuba3_tpu as mi
     from mitsuba3_tpu.parallel import make_mesh, train_step_sharded
 
     mesh = make_mesh(n_dev)
-    h = w = max(size, n_dev * 8)
+    if weak:
+        # fixed pixels/device: width stays, height rows scale with mesh
+        w = size
+        h = size * n_dev
+    else:
+        h = w = max(size, n_dev * 8)
     d = mi.cornell_box(width=w, height=h, max_depth=4)
     d["integrator"] = {"type": "prb", "max_depth": 4}
     scene = mi.load_dict(d)
@@ -57,24 +80,31 @@ def run(n_dev: int, size: int = 64, spp: int = 8, iters: int = 3):
     dt = (time.perf_counter() - t0) / iters
     # fwd+bwd sample count proxy: pixels*spp*(depth fwd + depth replay)
     rays = w * h * spp * scene.integrator.max_depth * 2
+    film_b, grad_b = _collective_bytes(scene, h, w, params)
     print(f"devices={n_dev:3d}  {w}x{h} spp={spp}: {dt*1e3:8.1f} ms/step  "
-          f"~{rays/dt/1e6:7.2f} Mray-bounces/s  loss={float(loss):.4f}")
+          f"~{rays/dt/1e6:7.2f} Mray-bounces/s  loss={float(loss):.4f}  "
+          f"collectives/step/dev: film {film_b/1e6:.2f} MB + "
+          f"grads {grad_b/1e3:.1f} kB")
     return rays / dt
 
 
 def main():
-    sizes = [int(a) for a in sys.argv[1:]] or [1, len(jax.devices())]
+    args = sys.argv[1:]
+    weak = "--weak" in args
+    args = [a for a in args if a != "--weak"]
+    sizes = [int(a) for a in args] or [1, len(jax.devices())]
     base = None
     for n in sizes:
         if n > len(jax.devices()):
             print(f"skip {n} (have {len(jax.devices())})")
             continue
-        r = run(n)
+        r = run(n, weak=weak)
         if base is None:
             base = r / sizes[0]
         else:
-            print(f"  scaling efficiency vs {sizes[0]}: "
-                  f"{r / (n * base) * 100:.0f}%")
+            eff = (r / (n * base) * 100) if not weak else (r / (n * base)
+                                                           * 100)
+            print(f"  scaling efficiency vs {sizes[0]}: {eff:.0f}%")
 
 
 if __name__ == "__main__":

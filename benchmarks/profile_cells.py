@@ -26,6 +26,31 @@ from mitsuba3_tpu.ops.cellserve import (_grid_ray, _clip, _pairgen,
                                         _serve, B)  # noqa: E402
 
 
+def _run_full(acc, o, d, maxt, n, reps):
+    @jax.jit
+    def closest_chain(maxt):
+        def body(c, i):
+            t, p, uv, valid = cellserve.intersect_cells(
+                acc, o, d, maxt + 0.0 * c)
+            return t, p
+        t, p = jax.lax.scan(body, jnp.zeros_like(maxt),
+                            jnp.arange(reps))
+        return t, p[-1]
+    dt, _ = timed(closest_chain, maxt, label="closest full")
+    print(f"  closest Mrays/s: {n / dt / 1e6:.2f}")
+
+    @jax.jit
+    def any_chain(maxt):
+        def body(c, i):
+            occ = cellserve.occluded_cells(acc, o, d, maxt + 0.0 * c)
+            return occ.astype(jnp.float32), None
+        occ, _ = jax.lax.scan(body, jnp.zeros_like(maxt),
+                              jnp.arange(reps))
+        return occ
+    dt, _ = timed(any_chain, maxt, label="anyhit full")
+    print(f"  anyhit Mrays/s: {n / dt / 1e6:.2f}")
+
+
 def timed(fn, *args, reps=5, label=""):
     out = jax.block_until_ready(fn(*args))  # compile
     t0 = time.perf_counter()
@@ -37,6 +62,8 @@ def timed(fn, *args, reps=5, label=""):
 
 def main():
     args = sys.argv[1:]
+    full_only = "--full-only" in args
+    args = [a for a in args if a != "--full-only"]
     n_tris = int(args[0]) if args else 65536
     n = int(args[1]) if len(args) > 1 else 1 << 19
     res = int(args[2]) if len(args) > 2 else None
@@ -59,6 +86,9 @@ def main():
         t_in, t_out, inv = _clip(acc, og, dg, maxt)
         act = t_in <= t_out
         print(f"[{kind}]")
+        if full_only:
+            _run_full(acc, o, d, maxt, n, reps)
+            continue
 
         @jax.jit
         def pg_chain(t_in, t_out):

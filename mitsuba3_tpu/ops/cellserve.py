@@ -303,55 +303,54 @@ def _mt_tile_first(tri, ox, oy, oz, dx, dy, dz, want_uv):
 def _serve_kernel(r0_ref, nr_ref, tris_ref,
                   rays_ref, t_out, p_out, u_out, v_out, buf, sem,
                   *, want_uv):
+    """One program per B sorted pairs; each 128-pair SUB-block runs its
+    own double-buffered fori over exactly its row range (r0/nr are
+    per-sub scalars). Work is the minimal sum of per-sub window rows —
+    no per-row branches (measured to serialize the pipeline) and no
+    8x spreading of every union row across all sub-blocks."""
     i = pl.program_id(0)
-    r0 = r0_ref[i]
-    nr = nr_ref[i]
     t_out[...] = jnp.full((1, B), BIG, jnp.float32)
     p_out[...] = jnp.full((1, B), -1, jnp.int32)
     u_out[...] = jnp.zeros((1, B), jnp.float32)
     v_out[...] = jnp.zeros((1, B), jnp.float32)
 
     nsub = B // 128
-    rays = [(rays_ref[0, s * 128:(s + 1) * 128][None, :],
-             rays_ref[1, s * 128:(s + 1) * 128][None, :],
-             rays_ref[2, s * 128:(s + 1) * 128][None, :],
-             rays_ref[3, s * 128:(s + 1) * 128][None, :],
-             rays_ref[4, s * 128:(s + 1) * 128][None, :],
-             rays_ref[5, s * 128:(s + 1) * 128][None, :])
-            for s in range(nsub)]
+    for s in range(nsub):
+        r0 = r0_ref[i * nsub + s]
+        nr = nr_ref[i * nsub + s]
+        sub = slice(s * 128, (s + 1) * 128)
+        ox = rays_ref[0, sub][None, :]
+        oy = rays_ref[1, sub][None, :]
+        oz = rays_ref[2, sub][None, :]
+        dx = rays_ref[3, sub][None, :]
+        dy = rays_ref[4, sub][None, :]
+        dz = rays_ref[5, sub][None, :]
 
-    @pl.when(nr > 0)
-    def _():
-        pltpu.make_async_copy(tris_ref.at[r0], buf.at[0], sem.at[0]).start()
+        @pl.when(nr > 0)
+        def _(r0=r0):
+            pltpu.make_async_copy(tris_ref.at[r0], buf.at[0],
+                                  sem.at[0]).start()
 
-    def body(k, _):
-        # double-buffered: wait slab k (parity buffer), prefetch k+1
-        par = jax.lax.rem(k, 2)
-        row = r0 + k
+        def body(k, _, r0=r0, nr=nr, sub=sub, ox=ox, oy=oy, oz=oz,
+                 dx=dx, dy=dy, dz=dz):
+            par = jax.lax.rem(k, 2)
 
-        @pl.when(k + 1 < nr)
-        def _():
-            @pl.when(par == 0)
+            @pl.when(k + 1 < nr)
             def _():
-                pltpu.make_async_copy(tris_ref.at[r0 + k + 1], buf.at[1],
-                                      sem.at[1]).start()
+                @pl.when(par == 0)
+                def _():
+                    pltpu.make_async_copy(tris_ref.at[r0 + k + 1],
+                                          buf.at[1], sem.at[1]).start()
 
-            @pl.when(par == 1)
-            def _():
-                pltpu.make_async_copy(tris_ref.at[r0 + k + 1], buf.at[0],
-                                      sem.at[0]).start()
+                @pl.when(par == 1)
+                def _():
+                    pltpu.make_async_copy(tris_ref.at[r0 + k + 1],
+                                          buf.at[0], sem.at[0]).start()
 
-        def serve_slab(slot):
-            pltpu.make_async_copy(tris_ref.at[row], buf.at[slot],
-                                  sem.at[slot]).wait()
-            tri = buf[slot]
-            # unconditional sub-MTs: a measured 1.5x win over gating
-            # each sub-block by its own row range with pl.when — the
-            # per-sub scalar branches serialize the vector pipeline
-            # (68 vs 46 ms serve at P=8 on terrain64k)
-            for s in range(nsub):
-                sub = slice(s * 128, (s + 1) * 128)
-                ox, oy, oz, dx, dy, dz = rays[s]
+            def serve_slab(slot):
+                pltpu.make_async_copy(tris_ref.at[r0 + k], buf.at[slot],
+                                      sem.at[slot]).wait()
+                tri = buf[slot]
                 tmin, prim, uu, vv = _mt_tile_first(
                     tri, ox, oy, oz, dx, dy, dz, want_uv)
                 better = tmin < t_out[0, sub]
@@ -361,17 +360,17 @@ def _serve_kernel(r0_ref, nr_ref, tris_ref,
                     u_out[0, sub] = jnp.where(better, uu, u_out[0, sub])
                     v_out[0, sub] = jnp.where(better, vv, v_out[0, sub])
 
-        @pl.when(par == 0)
-        def _():
-            serve_slab(0)
+            @pl.when(par == 0)
+            def _():
+                serve_slab(0)
 
-        @pl.when(par == 1)
-        def _():
-            serve_slab(1)
+            @pl.when(par == 1)
+            def _():
+                serve_slab(1)
 
-        return 0
+            return 0
 
-    jax.lax.fori_loop(0, nr, body, 0, unroll=False)
+        jax.lax.fori_loop(0, nr, body, 0, unroll=False)
 
 
 def _serve_blocks_xla(acc: CellServe, r0, nr, rays, want_uv):
@@ -529,14 +528,18 @@ def _serve(acc: CellServe, slots, o: Vec3, d: Vec3, want_uv: bool):
     s_ends = jnp.take(acc.start, s_last + 1)
     sub_lo = jnp.where(s_last >= 0, s_starts // K, n_rows)
     sub_hi = jnp.where(s_last >= 0, (s_ends + K - 1) // K, 0)
-    # block window = union of its sub-block ranges
-    r0 = jnp.clip(jnp.min(sub_lo.reshape(nb, nsub), axis=1), 0,
-                  n_rows - 1)
-    r1 = jnp.max(sub_hi.reshape(nb, nsub), axis=1)
-    nr = jnp.clip(r1 - r0, 0, n_rows - r0)
-
     rays = jnp.stack([ox, oy, oz, dx, dy, dz, dz, dz], axis=0)
     interpret = jax.default_backend() == "cpu"
+    if interpret:
+        # block-level union windows for the XLA reference serve
+        r0 = jnp.clip(jnp.min(sub_lo.reshape(nb, nsub), axis=1), 0,
+                      n_rows - 1)
+        r1 = jnp.max(sub_hi.reshape(nb, nsub), axis=1)
+        nr = jnp.clip(r1 - r0, 0, n_rows - r0)
+    else:
+        # per-sub-block windows for the Pallas kernel
+        r0 = jnp.clip(sub_lo, 0, n_rows - 1)
+        nr = jnp.clip(sub_hi - r0, 0, n_rows - r0)
     bt, bp, bu, bv = _serve_blocks(acc, r0, nr, rays, want_uv, interpret)
 
     # restore pairgen order: back-sort by unique pair id

@@ -35,6 +35,21 @@ def _pass_seed(seed, i):
     return jnp.uint32(seed) ^ (jnp.uint32(i) * jnp.uint32(0x9E3779B9))
 
 
+def _flat_index(mesh: Mesh):
+    """Flat device rank inside shard_map for an arbitrary N-D mesh —
+    row-major over the mesh axes, so a ("hosts", "chips") 2-D mesh and
+    the host-major flat ("chips",) mesh assign identical ranks (and
+    therefore identical per-chip seeds and pixel shards)."""
+    idx = jnp.int32(0)
+    for ax in mesh.axis_names:
+        idx = idx * jnp.int32(mesh.shape[ax]) + jax.lax.axis_index(ax)
+    return idx
+
+
+def _axes(mesh: Mesh):
+    return tuple(mesh.axis_names)
+
+
 def render_sharded(scene, mesh: Mesh, seed=0, spp=None, max_wavefront=1 << 19):
     """Forward render, pixels sharded over `mesh`. Returns image [H, W, 3]."""
     n_dev = mesh.devices.size
@@ -48,7 +63,7 @@ def render_sharded(scene, mesh: Mesh, seed=0, spp=None, max_wavefront=1 << 19):
     @partial(jax.shard_map, mesh=mesh, in_specs=(P(),), out_specs=P(),
              check_vma=False)
     def _render(scene):
-        chip = jax.lax.axis_index("chips")
+        chip = _flat_index(mesh)
 
         def body(i, acc):
             image, weight = acc
@@ -63,8 +78,8 @@ def render_sharded(scene, mesh: Mesh, seed=0, spp=None, max_wavefront=1 << 19):
         init = (jnp.zeros((h, w, 3), jnp.float32),
                 jnp.zeros((h, w), jnp.float32))
         image, weight = jax.lax.fori_loop(0, n_passes, body, init)
-        image = jax.lax.psum(image, "chips")
-        weight = jax.lax.psum(weight, "chips")
+        image = jax.lax.psum(image, _axes(mesh))
+        weight = jax.lax.psum(weight, _axes(mesh))
         return film_mod.develop(image, weight)
 
     return jax.jit(_render)(scene)
@@ -98,9 +113,9 @@ def train_step_sharded(scene, mesh: Mesh, target, opt_state, optimizer,
     # overlapped reduction
     prb_overlapped = getattr(scene.integrator, "type", "") == "prb"
     if prb_overlapped and getattr(scene.integrator, "psum_axis",
-                                  None) != "chips":
+                                  None) != _axes(mesh):
         scene = scene.replace(integrator=_dc.replace(
-            scene.integrator, psum_axis="chips"))
+            scene.integrator, psum_axis=_axes(mesh)))
 
     params = params_fn(scene, None)  # None => extract current params
 
@@ -108,7 +123,7 @@ def train_step_sharded(scene, mesh: Mesh, target, opt_state, optimizer,
              in_specs=(P(), P(), P()), out_specs=(P(), P()),
              check_vma=False)
     def _grad(scene, params, target):
-        chip = jax.lax.axis_index("chips")
+        chip = _flat_index(mesh)
 
         def loss_fn(p):
             s = params_fn(scene, p)
@@ -116,14 +131,14 @@ def train_step_sharded(scene, mesh: Mesh, target, opt_state, optimizer,
             img, wgt, _ = render_pass(s, ps, sppc,
                                       pixel_offset=chip * pix_per_dev,
                                       n_pixels=pix_per_dev)
-            img = jax.lax.psum(img, "chips")
-            wgt = jax.lax.psum(wgt, "chips")
+            img = jax.lax.psum(img, _axes(mesh))
+            wgt = jax.lax.psum(wgt, _axes(mesh))
             developed = film_mod.develop(img, wgt)
             return jnp.mean((developed - target) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         if not prb_overlapped:
-            grads = jax.lax.psum(grads, "chips")
+            grads = jax.lax.psum(grads, _axes(mesh))
         # with PRB the per-bounce psums in the replay already reduced the
         # custom_vjp path; loss is identical on all chips either way
         return loss, grads

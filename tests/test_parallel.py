@@ -108,3 +108,59 @@ def test_render_sharded_matches_shape_and_finite():
     img = render_sharded(scene, make_mesh(4), seed=0, spp=2)
     assert img.shape == (16, 16, 3)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_global_mesh_hosts_chips_matches_flat():
+    """Multi-host codepath (parallel/distributed.py): the same train
+    step on the 2-D ("hosts", "chips") global mesh must produce BIT-
+    IDENTICAL loss and parameters to the flat ("chips",) mesh — the 2-D
+    mesh only regroups the psum tree (host-major flat ranks keep seeds
+    and pixel shards identical)."""
+    import numpy as np
+    from jax.sharding import Mesh
+    from mitsuba3_tpu.parallel import distributed as dist
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    dist.initialize()          # single-process no-op branch
+    scene = _prb_scene(16)
+    target = jnp.zeros((16, 16, 3), jnp.float32)
+    optimizer = optax.adam(1e-2)
+    params = _params_fn(scene, None)
+
+    flat = Mesh(np.array(jax.devices()[:8]), axis_names=("chips",))
+    two_d = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                 axis_names=("hosts", "chips"))
+    assert dist.global_mesh().axis_names == ("hosts", "chips")
+
+    outs = []
+    for mesh in (flat, two_d):
+        opt_state = optimizer.init(params)
+        new_params, _, loss = train_step_sharded(
+            scene, mesh, target, opt_state, optimizer, _params_fn,
+            seed=11, spp=1)
+        outs.append((new_params, float(loss)))
+    (p1, l1), (p2, l2) = outs
+    assert l1 == l2
+    for k in p1:
+        np.testing.assert_array_equal(np.asarray(p1[k]),
+                                      np.asarray(p2[k]))
+    assert any(np.abs(np.asarray(p1[k])
+                      - np.asarray(params[k])).max() > 0 for k in p1)
+
+
+def test_render_sharded_2d_mesh_matches_flat():
+    """Forward path on the ("hosts", "chips") mesh == flat mesh image."""
+    import numpy as np
+    from jax.sharding import Mesh
+    from mitsuba3_tpu.parallel import render_sharded as rs
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    scene = _prb_scene(16)
+    flat = Mesh(np.array(jax.devices()[:8]), axis_names=("chips",))
+    two_d = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                 axis_names=("hosts", "chips"))
+    img1 = np.asarray(rs(scene, flat, seed=5, spp=2))
+    img2 = np.asarray(rs(scene, two_d, seed=5, spp=2))
+    np.testing.assert_array_equal(img1, img2)
