@@ -56,6 +56,12 @@ def _rgb(spec, default=(0.5, 0.5, 0.5)):
             # irregular}.cpp in RGB mode)
             from .core.spectrum import spd_to_rgb
             val = spec.get("value")
+            if val is None and "wavelengths" in spec:
+                # irregular.cpp property spelling: wavelengths + values
+                val = list(zip(np.asarray(spec["wavelengths"],
+                                          np.float64).tolist(),
+                               np.asarray(spec["values"],
+                                          np.float64).tolist()))
             if isinstance(val, str):
                 pairs = [p.split(":") for p in val.split(",")]
                 wl = [float(a) for a, _ in pairs]
@@ -206,6 +212,12 @@ def _spd_row(spec):
         return sp.resample_spd(wl, vals * scale)
     if t == "irregular":
         val = spec.get("value")
+        if val is None and "wavelengths" in spec:
+            # irregular.cpp property spelling: wavelengths + values
+            val = list(zip(np.asarray(spec["wavelengths"],
+                                      np.float64).tolist(),
+                           np.asarray(spec["values"],
+                                      np.float64).tolist()))
         if isinstance(val, str):
             pairs = [p_.split(":") for p_ in val.split(",")]
             wl = [float(a) for a, _ in pairs]
@@ -463,7 +475,8 @@ def _bsdf_row(spec: dict, textures: list, add_bsdf=None, measured=None,
                 g, _, _ = read_vol(vol["filename"])
                 g = np.asarray(g, np.float32)
             else:
-                g = np.asarray(vol["grid"], np.float32)
+                g = np.asarray(vol.get("grid", vol.get("data")),
+                               np.float32)
             if g.ndim == 3:
                 g = np.repeat(g[..., None], 3, axis=-1)
             tw = vol.get("to_world")

@@ -417,6 +417,10 @@ def render(scene, params=None, seed=0, spp=None, max_wavefront=1 << 19):
             scene = params.update()
         else:                           # an edited Scene pytree
             scene = params
+    if getattr(scene.integrator, "type", None) == "ptracer":
+        # light tracing splats to the film directly (ptracer.cpp role)
+        from ..integrators.ptracer import render_ptracer
+        return render_ptracer(scene, seed=seed, spp=spp or 16)
     sppc, n_passes = plan_passes(scene, spp, max_wavefront)
     if _compaction_eligible(scene, sppc, n_passes):
         img, _ = _render_compacted(scene, seed, sppc, n_passes)

@@ -1,14 +1,22 @@
-"""Inventory tripwire: every plugin name the reference ships
-(src/<family>/*.cpp plus the Python AD integrators) must be handled
-somewhere in this package, under its reference spelling or a documented
-alias. This is a static check — each plugin's behavior is covered by its
-own functional tests across the suite; this test exists so that dropping
-or renaming a plugin's spec handling fails loudly and the component
-inventory stays checkable line by line (SURVEY.md section 2.5)."""
-import pathlib
-import re
+"""Functional plugin inventory: every plugin name the reference ships
+(src/<family>/*.cpp plus the Python AD integrators) must CONSTRUCT a
+scene and RENDER a finite 4x4x1spp image under its reference spelling
+or a declared alias. Names that only exist as quoted strings fail here.
 
-PKG = pathlib.Path(__file__).resolve().parents[1] / "mitsuba3_tpu"
+Model: the reference's variant/plugin smoke fixtures
+(src/conftest.py:29-137); SURVEY.md section 2.5 inventory. Behavioral
+depth for each plugin lives in its own functional tests across the
+suite — this harness pins existence + constructability + evaluability.
+"""
+import pathlib
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+import mitsuba3_tpu as mi  # noqa: E402
 
 # reference plugin names by family (ls /root/reference/src/<family>)
 REFERENCE_PLUGINS = {
@@ -54,25 +62,464 @@ REFERENCE_PLUGINS = {
     "volumes": ["constvolume", "gridvolume"],
 }
 
-# names handled under a different spelling, with where/why
+# names handled under a different spelling or a documented simplification
+# (the declaration lives HERE, where the smoke test consumes it)
 ALIASES = {
-    "prb_basic": "prb",          # subsumed: prb with NEE/MIS is a superset
+    "prb_basic": "prb",            # subsumed: prb with NEE/MIS superset
+}
+SIMPLIFIED = {
+    "volpathmis": "hero-channel single-sample MIS over distance sampling "
+                  "(DESIGN.md), not the reference's two-strategy DRT",
+    "sunsky": "Preetham analytic fit baked to an envmap (Hosek-Wilkie "
+              "dataset absent from the reference snapshot)",
+    "bumpmap": "lowered to an equivalent normal map at load",
+    "bsplinecurve": "tessellated swept tube, not exact swept-sphere",
+    "linearcurve": "tessellated swept tube",
+    "roughplastic": "smooth Fresnel internal transmittance approximation",
 }
 
 
-def _package_source() -> str:
-    return "\n".join(p.read_text(errors="ignore")
-                     for p in PKG.rglob("*.py"))
+def _sensor(film_over=None, sampler_over=None):
+    film = {"width": 4, "height": 4, "rfilter": {"type": "box"}}
+    film.update(film_over or {})
+    sampler = {"type": "independent", "sample_count": 1}
+    sampler.update(sampler_over or {})
+    return {"type": "perspective", "fov": 45.0,
+            "to_world": mi.ScalarTransform4f().look_at(
+                origin=[0, 0.8, -2.5], target=[0, 0, 0], up=[0, 1, 0]),
+            "film": film, "sampler": sampler}
 
 
-def test_every_reference_plugin_name_is_handled():
-    src = _package_source()
-    missing = []
-    for family, names in REFERENCE_PLUGINS.items():
-        for name in names:
-            probe = ALIASES.get(name, name)
-            # the spec spelling must appear as a quoted string somewhere
-            # (loader dispatch, registry, or plugin module)
-            if not re.search(r"['\"]" + re.escape(probe) + r"['\"]", src):
-                missing.append(f"{family}/{name}")
-    assert not missing, f"unhandled reference plugins: {missing}"
+def _base(**over):
+    d = {
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 3},
+        "sensor": _sensor(),
+        "plate": {"type": "rectangle",
+                  "to_world": mi.ScalarTransform4f()
+                  .rotate([1, 0, 0], -90).scale(1.5),
+                  "bsdf": {"type": "diffuse"}},
+        "light": {"type": "rectangle",
+                  "to_world": mi.ScalarTransform4f()
+                  .translate([0, 3.0, -1.5]).rotate([1, 0, 0], 90)
+                  .scale(0.8),
+                  "emitter": {"type": "area",
+                              "radiance": {"type": "rgb",
+                                           "value": [10.0] * 3}}},
+    }
+    d.update(over)
+    return d
+
+
+def _render_ok(d, spectral=False, spp=1):
+    scene = mi.load_dict(d, spectral=spectral) if spectral \
+        else mi.load_dict(d)
+    img = np.asarray(mi.render(scene, spp=spp, seed=1))
+    assert np.isfinite(img).all(), "non-finite pixels"
+    return img
+
+
+def _fog_cube(integrator, phase=None, medium="homogeneous", volume=None):
+    med = {"type": medium,
+           "sigma_t": {"type": "rgb", "value": [0.6, 0.6, 0.6]},
+           "albedo": {"type": "rgb", "value": [0.7, 0.7, 0.7]}}
+    if phase is not None:
+        med["phase"] = phase
+    if medium == "heterogeneous":
+        med["sigma_t"] = volume if volume is not None else {
+            "type": "gridvolume",
+            "data": np.full((3, 3, 3), 0.8, np.float32)}
+        med["scale"] = 1.0
+    d = _base(integrator={"type": integrator, "max_depth": 4})
+    d["fog"] = {"type": "cube",
+                "to_world": mi.ScalarTransform4f().scale(0.7),
+                "bsdf": {"type": "null"},
+                "interior": med}
+    return d
+
+
+# ---------------------------------------------------------------------------
+# integrators
+# ---------------------------------------------------------------------------
+
+_INTEGRATOR_SPECS = {
+    "aov": {"type": "aov", "aovs": "dd:depth"},
+    "moment": {"type": "moment",
+               "nested": {"type": "path", "max_depth": 3}},
+    "stokes": {"type": "stokes",
+               "nested": {"type": "path", "max_depth": 3}},
+}
+
+
+@pytest.mark.parametrize("name", REFERENCE_PLUGINS["integrators"])
+def test_integrator_smoke(name):
+    name = ALIASES.get(name, name)
+    if name == "volprim_rf_basic":
+        d = {"type": "scene",
+             "integrator": {"type": "volprim_rf_basic"},
+             "sensor": _sensor(),
+             "cloud": {"type": "ellipsoids",
+                       "centers": [[0, 0, 0], [0.3, 0.1, 0.2]],
+                       "scales": [[0.2, 0.2, 0.2], [0.15, 0.1, 0.2]],
+                       "opacities": [0.8, 0.6],
+                       "colors": [[0.9, 0.2, 0.1], [0.1, 0.6, 0.9]]}}
+        _render_ok(d)
+        return
+    if name in ("volpath", "volpathmis", "prbvolpath"):
+        _render_ok(_fog_cube(name))
+        return
+    spec = _INTEGRATOR_SPECS.get(name, {"type": name, "max_depth": 3})
+    _render_ok(_base(integrator=spec))
+
+
+# ---------------------------------------------------------------------------
+# bsdfs
+# ---------------------------------------------------------------------------
+
+def _bsdf_spec(name):
+    from test_measured import _ggx_tables, _pbsdf_const_tables
+    diffuse = {"type": "diffuse"}
+    table = {
+        "blendbsdf": {"type": "blendbsdf", "weight": 0.4,
+                      "a": dict(diffuse), "b": {"type": "conductor"}},
+        "bumpmap": {"type": "bumpmap",
+                    "bump": {"type": "bitmap",
+                             "data": np.random.default_rng(0).random(
+                                 (8, 8)).astype(np.float32)},
+                    "nested": dict(diffuse)},
+        "normalmap": {"type": "normalmap",
+                      "normalmap": {"type": "bitmap",
+                                    "data": np.tile(
+                                        np.float32([0.5, 0.5, 1.0]),
+                                        (8, 8, 1))},
+                      "nested": dict(diffuse)},
+        "mask": {"type": "mask", "opacity": 0.7, "nested": dict(diffuse)},
+        "twosided": {"type": "twosided", "nested": dict(diffuse)},
+        "measured": {"type": "measured", "tables": _ggx_tables()},
+        "measured_polarized": {
+            "type": "measured_polarized", "alpha_sample": 0.3,
+            "tables": _pbsdf_const_tables(
+                np.diag([0.2, 0.05, 0.05, 0.02]).astype(np.float32),
+                nw=3)},
+        "hair": {"type": "hair"},
+        "polarizer": {"type": "polarizer"},
+        "retarder": {"type": "retarder"},
+        "circular": {"type": "circular"},
+    }
+    return table.get(name, {"type": name})
+
+
+@pytest.mark.parametrize("name", REFERENCE_PLUGINS["bsdfs"])
+def test_bsdf_smoke(name):
+    d = _base()
+    d["plate"]["bsdf"] = _bsdf_spec(ALIASES.get(name, name))
+    _render_ok(d)
+
+
+# ---------------------------------------------------------------------------
+# shapes
+# ---------------------------------------------------------------------------
+
+def _shape_spec(name, tmp_path):
+    t = mi.ScalarTransform4f().translate([0, 0.3, 0]).scale(0.4)
+    simple = {"type": name, "to_world": t, "bsdf": {"type": "diffuse"}}
+    if name in ("rectangle", "disk", "cube", "sphere", "cylinder"):
+        return simple
+    if name == "sdfgrid":
+        z = np.linspace(-1, 1, 8)
+        X, Y, Z = np.meshgrid(z, z, z, indexing="ij")
+        sdf = (np.sqrt(X**2 + Y**2 + Z**2) - 0.6).astype(np.float32)
+        return {"type": "sdfgrid", "grid": sdf, "to_world": t,
+                "bsdf": {"type": "diffuse"}}
+    if name in ("linearcurve", "bsplinecurve"):
+        pts = np.array([[-.5, 0, 0, .05], [-.2, .3, 0, .05],
+                        [.2, .3, 0, .04], [.5, 0, 0, .03]], np.float32)
+        return {"type": name, "control_points": pts, "to_world": t,
+                "bsdf": {"type": "diffuse"}}
+    if name == "ellipsoids":
+        return {"type": "ellipsoids", "centers": [[0, 0.3, 0]],
+                "scales": [[0.3, 0.2, 0.25]]}
+    if name == "ellipsoidsmesh":
+        return {"type": "ellipsoidsmesh", "centers": [[0, 0.3, 0]],
+                "scales": [[0.3, 0.2, 0.25]]}
+    if name == "obj":
+        fn = tmp_path / "tri.obj"
+        fn.write_text("v -0.5 0 0\nv 0.5 0 0\nv 0 0.8 0\nf 1 2 3\n")
+        return {"type": "obj", "filename": str(fn),
+                "bsdf": {"type": "diffuse"}}
+    if name == "ply":
+        fn = tmp_path / "tri.ply"
+        fn.write_text(
+            "ply\nformat ascii 1.0\nelement vertex 3\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "element face 1\nproperty list uchar int vertex_indices\n"
+            "end_header\n-0.5 0 0\n0.5 0 0\n0 0.8 0\n3 0 1 2\n")
+        return {"type": "ply", "filename": str(fn),
+                "bsdf": {"type": "diffuse"}}
+    if name == "serialized":
+        from mitsuba3_tpu.shapes.serialized_io import write_serialized
+        fn = tmp_path / "tri.serialized"
+        write_serialized(str(fn),
+                         np.float32([[-.5, 0, 0], [.5, 0, 0], [0, .8, 0]]),
+                         np.int32([[0, 1, 2]]))
+        return {"type": "serialized", "filename": str(fn),
+                "bsdf": {"type": "diffuse"}}
+    if name == "merge":
+        return {"type": "merge",
+                "a": {"type": "sphere", "to_world": t,
+                      "bsdf": {"type": "diffuse"}},
+                "b": {"type": "cube",
+                      "to_world": mi.ScalarTransform4f()
+                      .translate([0.8, 0.3, 0]).scale(0.2),
+                      "bsdf": {"type": "diffuse"}}}
+    raise KeyError(name)
+
+
+@pytest.mark.parametrize("name", REFERENCE_PLUGINS["shapes"])
+def test_shape_smoke(name, tmp_path):
+    d = _base()
+    if name in ("instance", "shapegroup"):
+        d["grp"] = {"type": "shapegroup",
+                    "child": {"type": "sphere",
+                              "to_world": mi.ScalarTransform4f()
+                              .scale(0.3),
+                              "bsdf": {"type": "diffuse"}}}
+        d["inst"] = {"type": "instance", "shapegroup": {"type": "ref",
+                                                        "id": "grp"},
+                     "to_world": mi.ScalarTransform4f()
+                     .translate([0, 0.4, 0])}
+        _render_ok(d)
+        return
+    d["shape"] = _shape_spec(name, tmp_path)
+    _render_ok(d)
+
+
+# ---------------------------------------------------------------------------
+# emitters
+# ---------------------------------------------------------------------------
+
+def _emitter_scene(name):
+    d = _base()
+    if name == "area":
+        return d
+    if name == "directionalarea":
+        d["light"]["emitter"] = {"type": "directionalarea",
+                                 "radiance": {"type": "rgb",
+                                              "value": [10.0] * 3}}
+        return d
+    del d["light"]
+    if name == "constant":
+        d["em"] = {"type": "constant",
+                   "radiance": {"type": "rgb", "value": [0.8] * 3}}
+    elif name == "envmap":
+        img = np.random.default_rng(0).random((8, 16, 3)).astype(
+            np.float32)
+        d["em"] = {"type": "envmap", "data": img}
+    elif name == "directional":
+        d["em"] = {"type": "directional", "direction": [0.2, -1.0, 0.3],
+                   "irradiance": {"type": "rgb", "value": [3.0] * 3}}
+    elif name == "point":
+        d["em"] = {"type": "point", "position": [0, 2.0, -0.5],
+                   "intensity": {"type": "rgb", "value": [8.0] * 3}}
+    elif name == "spot":
+        d["em"] = {"type": "spot",
+                   "to_world": mi.ScalarTransform4f().look_at(
+                       origin=[0, 2.0, -0.5], target=[0, 0, 0],
+                       up=[0, 0, 1]),
+                   "intensity": {"type": "rgb", "value": [8.0] * 3}}
+    elif name == "projector":
+        d["em"] = {"type": "projector",
+                   "to_world": mi.ScalarTransform4f().look_at(
+                       origin=[0, 2.0, -0.5], target=[0, 0, 0],
+                       up=[0, 0, 1]),
+                   "irradiance": {"type": "bitmap",
+                                  "data": np.random.default_rng(1).random(
+                                      (8, 8, 3)).astype(np.float32)},
+                   "fov": 40.0}
+    elif name == "sunsky":
+        d["em"] = {"type": "sunsky", "turbidity": 3.0,
+                   "sun_direction": [0.3, 1.0, 0.2]}
+    elif name == "timed_sunsky":
+        d["em"] = {"type": "timed_sunsky", "turbidity": 3.0,
+                   "year": 2024, "month": 6, "day": 21, "hour": 12.0,
+                   "latitude": 35.0, "longitude": 139.0, "timezone": 9.0}
+    else:
+        raise KeyError(name)
+    return d
+
+
+@pytest.mark.parametrize("name", REFERENCE_PLUGINS["emitters"])
+def test_emitter_smoke(name):
+    _render_ok(_emitter_scene(ALIASES.get(name, name)))
+
+
+# ---------------------------------------------------------------------------
+# sensors / films / rfilters / samplers
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name", REFERENCE_PLUGINS["sensors"])
+def test_sensor_smoke(name):
+    d = _base()
+    if name == "batch":
+        s1 = _sensor()
+        s2 = _sensor()
+        s2["to_world"] = mi.ScalarTransform4f().look_at(
+            origin=[1.5, 0.8, -2.0], target=[0, 0, 0], up=[0, 1, 0])
+        del s1["film"], s2["film"]
+        del s1["sampler"], s2["sampler"]
+        d["sensor"] = {"type": "batch", "s1": s1, "s2": s2,
+                       "film": {"width": 8, "height": 4,
+                                "rfilter": {"type": "box"}},
+                       "sampler": {"type": "independent",
+                                   "sample_count": 1}}
+    elif name == "distant":
+        d["sensor"] = {"type": "distant", "direction": [0, -1, 0.2],
+                       "film": {"width": 4, "height": 4,
+                                "rfilter": {"type": "box"}},
+                       "sampler": {"type": "independent",
+                                   "sample_count": 1}}
+    elif name in ("irradiancemeter", "radiancemeter"):
+        d["sensor"] = {"type": name,
+                       "film": {"width": 2, "height": 2,
+                                "rfilter": {"type": "box"}},
+                       "sampler": {"type": "independent",
+                                   "sample_count": 1}}
+        if name == "irradiancemeter":
+            d["plate"]["sensor"] = d.pop("sensor")
+    else:
+        d["sensor"] = _sensor()
+        d["sensor"]["type"] = name
+        if name == "thinlens":
+            d["sensor"]["aperture_radius"] = 0.1
+            d["sensor"]["focus_distance"] = 2.5
+    _render_ok(d)
+
+
+@pytest.mark.parametrize("name", REFERENCE_PLUGINS["films"])
+def test_film_smoke(name):
+    d = _base()
+    if name == "specfilm":
+        def srf(center):
+            wl = np.linspace(center - 40, center + 40, 5)
+            vals = np.exp(-0.5 * ((wl - center) / 20.0) ** 2)
+            return {"type": "irregular",
+                    "wavelengths": wl.tolist(), "values": vals.tolist()}
+        d["sensor"]["film"] = {"type": "specfilm", "width": 4,
+                               "height": 4, "rfilter": {"type": "box"},
+                               "band1": srf(540.0), "band2": srf(650.0)}
+        scene = mi.load_dict(d, spectral=True)
+        img = np.asarray(mi.render(scene, spp=1, seed=1))
+        assert np.isfinite(img).all()
+        return
+    d["sensor"]["film"]["type"] = "hdrfilm"
+    _render_ok(d)
+
+
+@pytest.mark.parametrize("name", REFERENCE_PLUGINS["rfilters"])
+def test_rfilter_smoke(name):
+    d = _base()
+    d["sensor"]["film"]["rfilter"] = {"type": name}
+    _render_ok(d)
+
+
+@pytest.mark.parametrize("name", REFERENCE_PLUGINS["samplers"])
+def test_sampler_smoke(name):
+    d = _base()
+    d["sensor"]["sampler"] = {"type": name, "sample_count": 4}
+    _render_ok(d, spp=4)
+
+
+# ---------------------------------------------------------------------------
+# textures / spectra
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name", REFERENCE_PLUGINS["textures"])
+def test_texture_smoke(name):
+    d = _base()
+    if name == "bitmap":
+        tex = {"type": "bitmap",
+               "data": np.random.default_rng(0).random((8, 8, 3)).astype(
+                   np.float32)}
+    elif name == "checkerboard":
+        tex = {"type": "checkerboard", "color0": 0.2, "color1": 0.8}
+    elif name == "volume":
+        tex = {"type": "volume",
+               "volume": {"type": "gridvolume",
+                          "data": np.random.default_rng(0).random(
+                              (4, 4, 4)).astype(np.float32)}}
+    elif name == "mesh_attribute":
+        d["plate"] = {"type": "mesh",
+                      "vertices": [[-1, 0, -1], [1, 0, -1], [1, 0, 1],
+                                   [-1, 0, 1]],
+                      "faces": [[0, 1, 2], [2, 3, 0]],
+                      "vertex_colors": [[1, 0, 0], [0, 1, 0], [0, 0, 1],
+                                        [1, 1, 0]],
+                      "bsdf": {"type": "diffuse",
+                               "reflectance": {
+                                   "type": "mesh_attribute",
+                                   "name": "vertex_color"}}}
+        _render_ok(d)
+        return
+    else:
+        raise KeyError(name)
+    d["plate"]["bsdf"] = {"type": "diffuse", "reflectance": tex}
+    _render_ok(d)
+
+
+_SPECTRA = {
+    "blackbody": {"type": "blackbody", "temperature": 5000.0},
+    "d65": {"type": "d65"},
+    "irregular": {"type": "irregular",
+                  "wavelengths": [400.0, 500.0, 600.0, 700.0],
+                  "values": [0.2, 0.8, 0.9, 0.3]},
+    "rawconstant": {"type": "rawconstant", "value": 0.7},
+    "regular": {"type": "regular", "lambda_min": 400.0,
+                "lambda_max": 700.0, "values": [0.2, 0.9, 0.4]},
+    "srgb": {"type": "srgb", "color": [0.4, 0.6, 0.2]},
+    "uniform": {"type": "uniform", "value": 0.6},
+}
+
+
+@pytest.mark.parametrize("name", REFERENCE_PLUGINS["spectra"])
+def test_spectrum_smoke(name):
+    d = _base()
+    d["light"]["emitter"]["radiance"] = _SPECTRA[name]
+    _render_ok(d, spectral=True)
+
+
+# ---------------------------------------------------------------------------
+# media / phase / volumes
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name", REFERENCE_PLUGINS["media"])
+def test_medium_smoke(name):
+    _render_ok(_fog_cube("volpath", medium=name))
+
+
+_PHASES = {
+    "hg": {"type": "hg", "g": 0.4},
+    "isotropic": {"type": "isotropic"},
+    "rayleigh": {"type": "rayleigh"},
+    "sggx": {"type": "sggx", "S": [0.8, 1.0, 0.5, 0.0, 0.0, 0.0]},
+    "tabphase": {"type": "tabphase",
+                 "values": [0.5, 1.0, 1.5, 1.0, 0.5]},
+    "blendphase": {"type": "blendphase", "weight": 0.3,
+                   "a": {"type": "isotropic"}, "b": {"type": "hg",
+                                                     "g": 0.5}},
+}
+
+
+@pytest.mark.parametrize("name", REFERENCE_PLUGINS["phase"])
+def test_phase_smoke(name):
+    _render_ok(_fog_cube("volpath", phase=_PHASES[name]))
+
+
+@pytest.mark.parametrize("name", REFERENCE_PLUGINS["volumes"])
+def test_volume_smoke(name):
+    if name == "constvolume":
+        vol = {"type": "constvolume", "value": 0.8}
+    else:
+        vol = {"type": "gridvolume",
+               "data": np.random.default_rng(0).random((4, 4, 4)).astype(
+                   np.float32) + 0.2}
+    _render_ok(_fog_cube("volpath", medium="heterogeneous", volume=vol))
