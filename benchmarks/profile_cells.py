@@ -120,24 +120,50 @@ def main():
             return r
         timed(sort_chain, cells, label="sort 8-col")
 
+        # serial dependency must ride a FLOAT (0.0*x cannot fold;
+        # 0*int folds and the loop body gets hoisted out of the scan)
         @jax.jit
         def serve_chain(slots):
             def body(c, i):
-                t, p, u, v = _serve(acc, slots + 0 * c, o, d, want_uv=True)
-                return slots * 0 + p, t
-            r, t = jax.lax.scan(body, slots * 0, jnp.arange(reps))
-            return t[-1]
+                s2 = slots + (0.0 * c[:, :1]).astype(jnp.int32)
+                t, p, u, v = _serve(acc, s2, o, d, want_uv=True)
+                return t, None
+            t, _ = jax.lax.scan(body, jnp.zeros(slots.shape, jnp.float32),
+                                jnp.arange(reps))
+            return t
         timed(serve_chain, slots, label="serve+sorts (uv)")
 
         @jax.jit
         def serve_chain_any(slots):
             def body(c, i):
-                t, _, _, _ = _serve(acc, slots + 0 * c, o, d,
-                                    want_uv=False)
-                return slots * 0, t
-            r, t = jax.lax.scan(body, slots * 0, jnp.arange(reps))
-            return t[-1]
+                s2 = slots + (0.0 * c[:, :1]).astype(jnp.int32)
+                t, _, _, _ = _serve(acc, s2, o, d, want_uv=False)
+                return t, None
+            t, _ = jax.lax.scan(body, jnp.zeros(slots.shape, jnp.float32),
+                                jnp.arange(reps))
+            return t
         timed(serve_chain_any, slots, label="serve+sorts (any)")
+
+        from mitsuba3_tpu.ops.cellserve import _round
+
+        @jax.jit
+        def round_chain(maxt):
+            def body(c, i):
+                mt2 = maxt + 0.0 * c
+                t_in2, t_out2, inv2 = _clip(acc, og, dg, mt2)
+                unres = t_in2 <= t_out2
+                import jax.numpy as jnp2
+                bt = jnp2.full(n, 3.4e38, jnp2.float32)
+                bp = jnp2.full(n, -1, jnp2.int32)
+                bu = jnp2.zeros(n); bv = jnp2.zeros(n)
+                un2, bt, bp, bu, bv, resume = _round(
+                    acc, og, dg, inv2, t_in2, t_out2, o, d, mt2, True,
+                    unres, bt, bp, bu, bv, jnp2.zeros(n))
+                return bt, None
+            t, _ = jax.lax.scan(body, jnp.zeros_like(maxt),
+                                jnp.arange(reps))
+            return t
+        timed(round_chain, maxt, label="phase A (1 round, uv)")
 
         @jax.jit
         def closest_chain(maxt):

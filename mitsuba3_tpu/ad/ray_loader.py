@@ -25,9 +25,11 @@ class RayDataLoader:
     """Iterate random pixel mini-batches against reference images.
 
     references: [S, H, W, 3] (or [H, W, 3]) target images, one per
-    sensor viewpoint (multi-sensor support mirrors the reference's
-    sensor stacking; v1 renders viewpoint 0's scene — pass per-sensor
-    scenes alongside for multi-view optimization).
+    sensor viewpoint. For S > 1 load the scene with a `batch` sensor of
+    the S viewpoints (film width S*W): batches then mix pixels from ALL
+    viewpoints and the returned pixel ids index the batch film directly
+    (`render_batch` dispatches them to the right sub-sensor), which is
+    the reference's multi-sensor stacking (ray_loader.py + batch.cpp).
     """
 
     def __init__(self, references, batch_size: int = 4096, seed: int = 0,
@@ -46,12 +48,25 @@ class RayDataLoader:
     def __iter__(self):
         return self
 
+    def batch_film_ids(self, sensor, pix):
+        """Map (sensor, per-view pixel id) -> pixel id in the batch
+        film whose columns stack the S views side by side."""
+        row = pix // self.width
+        col = pix % self.width
+        return row * (self.width * self.n_sensors) \
+            + sensor * self.width + col
+
     def __next__(self):
-        sensor = int(self._rng.integers(self.n_sensors))
+        """Yields (batch-film pixel ids [B], reference values [B, 3]).
+        Pixels are drawn across all viewpoints (single-view loaders get
+        plain film ids unchanged)."""
+        sensor = self._rng.integers(self.n_sensors, size=self.batch_size)
         pix = self._rng.integers(0, self.height * self.width,
                                  self.batch_size)
         target = self._flat[sensor, pix]
-        return (sensor, jnp.asarray(pix.astype(np.int32)),
+        ids = self.batch_film_ids(sensor, pix) if self.n_sensors > 1 \
+            else pix
+        return (jnp.asarray(ids.astype(np.int32)),
                 jnp.asarray(target))
 
 
@@ -75,11 +90,21 @@ def render_batch(scene, pixel_ids, seed=0, spp: int = 4):
     rng, jitter = sampler_mod.next_2d(rng)
     pos01 = Vec2((px + jitter.x) / w, (py + jitter.y) / h)
     stype = scene.sensor_config.type
-    ap = None
-    if stype == "thinlens":
-        rng, ap = sampler_mod.next_2d(rng)
-    ray = sensors.sample_ray(scene.sensor, pos01, stype=stype,
-                             aperture_sample=ap)
+    if stype == "batch":
+        # multi-view: film columns dispatch to sub-sensors (batch.cpp)
+        sub_types = scene.sensor_config.sub_types
+        ap = None
+        if "thinlens" in sub_types:
+            rng, ap = sampler_mod.next_2d(rng)
+        ray = sensors.sample_ray_batch(scene.sensor, pos01,
+                                       sub_types=sub_types,
+                                       aperture_sample=ap)
+    else:
+        ap = None
+        if stype == "thinlens":
+            rng, ap = sampler_mod.next_2d(rng)
+        ray = sensors.sample_ray(scene.sensor, pos01, stype=stype,
+                                 aperture_sample=ap)
     if scene.spectral:
         from ..core import spectral as spectral_mod
         rng, u_wl = sampler_mod.next_1d(rng)

@@ -107,30 +107,46 @@ class PlanarDomain:
         return np.asarray(p)
 
 
-def _simpson_weights(n_cells, ires):
-    """Composite Simpson weights over n_cells cells with ires
-    subintervals each (ires forced even), on the SHARED-node grid of
-    n_cells * ires + 1 points. Returns weights scaled for a unit-length
-    axis (sum = 1)."""
+def _cell_nodes(lo, hi, n_cells, ires, rule="simpson"):
+    """Per-cell quadrature node positions and weights. Each cell gets
+    its OWN nodes (Simpson endpoints nudged into the cell interior), so
+    cells never share node values and pdfs with jumps on cell
+    boundaries (hemisphere ct=0) integrate exactly on each side.
+    rule="uniform" gives ires midpoints with equal weights instead.
+    Returns (positions [n_cells, k], weights [k] summing to 1)."""
+    edges = np.linspace(lo, hi, n_cells + 1)
+    cw = (hi - lo) / n_cells
+    if rule == "uniform":
+        frac = (np.arange(ires) + 0.5) / ires
+        w = np.full(ires, 1.0 / ires)
+        pos = edges[:-1, None] + frac[None, :] * cw
+        return pos, w, ires
     ires = ires + (ires & 1)          # Simpson needs an even count
-    n = n_cells * ires
-    w = np.zeros(n + 1, np.float64)
-    # per-pair pattern 1,4,1 accumulated over the composite rule
-    w[0:n:2] += 1.0
-    w[1:n:2] += 4.0
-    w[2:n + 1:2] += 1.0
-    h = 1.0 / n
-    return w * (h / 3.0), ires
+    w = np.ones(ires + 1, np.float64)
+    w[1:ires:2] = 4.0
+    w[2:ires:2] = 2.0
+    w /= w.sum()                      # sum-normalized: exact for const
+    frac = np.arange(ires + 1) / ires
+    pos = edges[:-1, None] + frac[None, :] * cw
+    eps = cw * 1e-6
+    pos[:, 0] += eps
+    pos[:, -1] -= eps
+    return pos, w, ires
 
 
 def chi2_test(sample_fn, pdf_fn, domain, sample_count=1_000_000,
-              res=(64, 32), ires=8, significance=0.01, seed=0):
+              res=(64, 32), ires=8, significance=0.01, seed=0,
+              rule="simpson"):
     """Run the chi² test.
 
     sample_fn(n, seed) -> [n, D] samples in target space
     pdf_fn(points [M, D]) -> [M] pdf in DOMAIN PARAMETER measure
       (for SphericalDomain: per unit (phi, cos_theta), i.e. solid-angle pdf
        directly since d(omega) = d(phi) d(cos_theta)).
+    rule: "simpson" (default — higher order, right for smooth/peaked
+      pdfs) or "uniform" (equal sub-cell weights — right for piecewise-
+      CONSTANT pdfs like per-texel envmaps, where Simpson's unequal
+      stencil weights amplify step discontinuities).
     Returns (passed: bool, message: str).
     """
     bounds = domain.bounds()
@@ -146,38 +162,22 @@ def chi2_test(sample_fn, pdf_fn, domain, sample_count=1_000_000,
     hist = np.bincount((iy[valid] * nx + ix[valid]), minlength=nx * ny).astype(
         np.float64)
 
-    # integrate pdf per cell: composite Simpson on a shared-node grid
-    wx, iresx = _simpson_weights(nx, ires)
-    wy, iresy = _simpson_weights(ny, ires)
-    xs = np.linspace(lo[0], hi[0], nx * iresx + 1)
-    ys = np.linspace(lo[1], hi[1], ny * iresy + 1)
-    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    # integrate pdf per cell: per-cell node grids (endpoints nudged
+    # inward so boundary jumps stay on the right side)
+    px, wxc, iresx = _cell_nodes(lo[0], hi[0], nx, ires, rule)
+    py, wyc, iresy = _cell_nodes(lo[1], hi[1], ny, ires, rule)
+    kx, ky = px.shape[1], py.shape[1]
+    gx = np.broadcast_to(px.reshape(nx, kx, 1, 1), (nx, kx, ny, ky))
+    gy = np.broadcast_to(py.reshape(1, 1, ny, ky), (nx, kx, ny, ky))
     pts = np.stack([gx.ravel(), gy.ravel()], -1)
     if isinstance(domain, SphericalDomain):
         eval_pts = domain.map_forward(pts)
     else:
         eval_pts = pts
     pdf_vals = np.asarray(pdf_fn(eval_pts), np.float64).reshape(
-        nx * iresx + 1, ny * iresy + 1)
-    wgrid = pdf_vals * wx[:, None] * wy[None, :]
-    # fold the shared-node grid into per-cell sums: cell (i, j) owns
-    # nodes [i*ires .. (i+1)*ires] x [j*ires .. (j+1)*ires] with edge
-    # nodes contributing to both neighbours exactly once via the
-    # composite weights — sum strictly interior + split edges
-    integ = np.zeros((nx, ny), np.float64)
-    for ci in range(nx):
-        sl_x = slice(ci * iresx, (ci + 1) * iresx + 1)
-        fx = np.ones(iresx + 1, np.float64)
-        fx[0] = 0.5 if ci > 0 else 1.0
-        fx[-1] = 0.5 if ci < nx - 1 else 1.0
-        block = wgrid[sl_x, :] * fx[:, None]
-        for cj in range(ny):
-            sl_y = slice(cj * iresy, (cj + 1) * iresy + 1)
-            fy = np.ones(iresy + 1, np.float64)
-            fy[0] = 0.5 if cj > 0 else 1.0
-            fy[-1] = 0.5 if cj < ny - 1 else 1.0
-            integ[ci, cj] = (block[:, sl_y] * fy[None, :]).sum()
-    integ *= extent[0] * extent[1]
+        nx, kx, ny, ky)
+    cell_area = (extent[0] / nx) * (extent[1] / ny)
+    integ = np.einsum("iajb,a,b->ij", pdf_vals, wxc, wyc) * cell_area
     expected = (integ.T.ravel() * sample_count)  # match hist's iy-major layout
 
     total_expected = expected.sum()

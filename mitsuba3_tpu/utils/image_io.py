@@ -36,7 +36,7 @@ def write_image(path: str, img: np.ndarray):
         write_exr(p, img.astype(np.float32))
     elif p.endswith((".hdr", ".rgbe")):
         _write_rgbe(p, img.astype(np.float32))
-    elif p.endswith((".png", ".jpg", ".jpeg")):
+    elif p.endswith((".png", ".jpg", ".jpeg", ".tga", ".bmp")):
         from PIL import Image
         x = np.clip(img, 0.0, 1.0)
         x = np.where(x <= 0.0031308, x * 12.92,

@@ -123,8 +123,12 @@ def test_envmap_warp_chi2():
         v = Vec3.from_array(jnp.asarray(dirs, jnp.float32))
         return np.asarray(env_mod.pdf_env_dir(scene, v))
 
+    # rule="uniform": the envmap pdf is piecewise-constant per texel;
+    # Simpson's unequal stencil weights amplify the step discontinuities
+    # while equal-weight sub-cell averaging integrates steps correctly
     passed, msg = chi2_test(sample_fn, pdf_fn, SphericalDomain(),
-                            sample_count=400_000, res=(48, 24), ires=32)
+                            sample_count=400_000, res=(48, 24), ires=32,
+                            rule="uniform")
     assert passed, msg
 
 

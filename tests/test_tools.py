@@ -286,7 +286,7 @@ def test_ray_loader_batches_match_full_render():
     scene = mi.load_dict(mi.cornell_box(width=8, height=8, max_depth=3))
     full = np.asarray(mi.render(scene, spp=16, seed=0))
     loader = RayDataLoader(full, batch_size=16, seed=1, spp=16)
-    sensor, pix, target = next(loader)
+    pix, target = next(loader)
     vals = np.asarray(render_batch(scene, pix, seed=0, spp=16))
     ref = full.reshape(-1, 3)[np.asarray(pix)]
     # stochastic agreement: same scene, independent sample sets
@@ -407,3 +407,36 @@ def test_bitmap_class_and_type_aliases(tmp_path):
     v = mi.Point3f(1.0, 2.0, 3.0)
     assert float(mi.luminance(v)) > 0
     assert mi.Float == jnp.float32 and mi.UInt32 == jnp.uint32
+
+
+def test_ray_loader_multi_view_batch_sensor():
+    """Multi-view RayDataLoader: a batch sensor stacks S viewpoints in
+    film columns; the loader mixes pixels from all views in one batch
+    and render_batch dispatches each to its sub-sensor
+    (ad/loaders/ray_loader.py + batch.cpp counterpart)."""
+    import mitsuba3_tpu as mi
+    from mitsuba3_tpu.ad.ray_loader import RayDataLoader, render_batch
+
+    w = h = 8
+    d = mi.cornell_box(width=w, height=h, max_depth=3)
+    view1 = d["sensor"]["to_world"]
+    view2 = mi.ScalarTransform4f().look_at(
+        origin=[0.6, 0.9, 3.1], target=[0, 1, 0], up=[0, 1, 0])
+    s1 = dict(d["sensor"]); s1.pop("film", None); s1.pop("sampler", None)
+    s2 = dict(s1); s2 = {**s2, "to_world": view2}
+    d["sensor"] = {"type": "batch", "s1": s1, "s2": s2,
+                   "film": {"width": 2 * w, "height": h,
+                            "rfilter": {"type": "box"}},
+                   "sampler": {"type": "independent", "sample_count": 4}}
+    scene = mi.load_dict(d)
+    full = np.asarray(mi.render(scene, spp=32, seed=0))  # [h, 2w, 3]
+    refs = np.stack([full[:, :w], full[:, w:]], 0)       # [2, h, w, 3]
+
+    loader = RayDataLoader(refs, batch_size=32, seed=2, spp=32)
+    assert loader.n_sensors == 2
+    pix, target = next(loader)
+    vals = np.asarray(render_batch(scene, pix, seed=5, spp=32))
+    ref = full.reshape(-1, 3)[np.asarray(pix)]
+    np.testing.assert_allclose(np.asarray(target), ref, atol=1e-6)
+    assert np.isfinite(vals).all()
+    assert np.abs(vals - ref).mean() < 0.15, np.abs(vals - ref).mean()
