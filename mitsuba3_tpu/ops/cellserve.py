@@ -59,7 +59,8 @@ MINT = 1e-6
 class CellServe:
     tris: jnp.ndarray       # [NR, 16, K] f32 CSR row slabs (9 = prim id)
     start: jnp.ndarray      # [C + 2] i32 CSR offsets (start[C]=start[C+1]=T)
-    occ_words: jnp.ndarray  # [W] i32 occupancy bitmap (cell c -> word c>>5)
+    occ_bytes: jnp.ndarray  # [G, 32] bf16 occupancy bytes (cell c ->
+    #                         row c>>8, col (c>>3)&31, bit c&7)
     lo: jnp.ndarray         # [3] f32 grid origin
     inv_cell: jnp.ndarray   # [3] f32 1 / cell size
     res: int = static_field(default=0)
@@ -127,11 +128,13 @@ def build(p0, e1, e2, res: int | None = None, pair_slots: int = 8):
 
     occ = np.zeros(C, bool)
     occ[np.unique(cell_sorted)] = True
-    W = -(-C // 32)
-    occ_words = np.zeros(W, np.uint32)
+    nbytes = -(-C // 8)
+    G = -(-nbytes // 32)
+    occ_b = np.zeros(G * 32, np.uint8)
     idx = np.nonzero(occ)[0]
-    np.bitwise_or.at(occ_words, idx >> 5,
-                     (np.uint32(1) << (idx & 31).astype(np.uint32)))
+    np.bitwise_or.at(occ_b, idx >> 3,
+                     (np.uint8(1) << (idx & 7).astype(np.uint8)))
+    occ_bytes = occ_b.reshape(G, 32).astype(np.float32)
 
     nr = -(-max(total, 1) // K)
     flat = np.zeros((10, nr * K), np.float32)
@@ -147,7 +150,7 @@ def build(p0, e1, e2, res: int | None = None, pair_slots: int = 8):
     return CellServe(
         tris=jnp.asarray(rows),
         start=jnp.asarray(start),
-        occ_words=jnp.asarray(occ_words.view(np.int32)),
+        occ_bytes=jnp.asarray(occ_bytes, jnp.bfloat16),
         lo=jnp.asarray(lo, jnp.float32),
         inv_cell=jnp.asarray(inv_cell, jnp.float32),
         res=int(res), n_tris=total, pair_slots=int(pair_slots),
@@ -189,12 +192,20 @@ def _clip(acc, og, dg, maxt):
 
 
 def _occupied(acc: CellServe, cell):
-    """Dense bitmap test: one-hot word extraction, no gathers."""
-    W = acc.occ_words.shape[0]
-    widx = cell >> 5
-    sel = jnp.arange(W, dtype=jnp.int32)[None, :] == widx[:, None]
-    word = jnp.sum(jnp.where(sel, acc.occ_words[None, :], 0), axis=1)
-    return ((word >> (cell & 31)) & 1) != 0
+    """Dense two-level bitmap test, no gathers: a [N, G] one-hot MATMUL
+    selects the 32-byte occupancy row (bytes are 0-255, exact in bf16),
+    a [N, 32] one-hot picks the byte, a shift extracts the bit. ~3x
+    cheaper per DDA step than a flat [N, W] word sweep."""
+    G = acc.occ_bytes.shape[0]
+    row = cell >> 8
+    col = (cell >> 3) & 31
+    oh = (jnp.arange(G, dtype=jnp.int32)[None, :]
+          == row[:, None]).astype(jnp.bfloat16)
+    bytes32 = jnp.matmul(oh, acc.occ_bytes,
+                         preferred_element_type=jnp.float32)  # [N, 32]
+    sel = jnp.arange(32, dtype=jnp.int32)[None, :] == col[:, None]
+    byte = jnp.sum(jnp.where(sel, bytes32, 0.0), axis=1).astype(jnp.int32)
+    return ((byte >> (cell & 7)) & 1) != 0
 
 
 def _pairgen(acc: CellServe, og, dg, inv, t_in, t_out, active, t_from):
@@ -315,6 +326,15 @@ def _serve_kernel(r0_ref, nr_ref, tris_ref,
     v_out[...] = jnp.zeros((1, B), jnp.float32)
 
     nsub = B // 128
+    # prologue: first-row DMAs for ALL sub-blocks fly together, so a
+    # sub's first fetch overlaps the previous sub's compute instead of
+    # stalling its fori serially (~2 us x nsub x programs otherwise)
+    for s in range(nsub):
+        @pl.when(nr_ref[i * nsub + s] > 0)
+        def _(s=s):
+            pltpu.make_async_copy(tris_ref.at[r0_ref[i * nsub + s]],
+                                  buf.at[s, 0], sem.at[s, 0]).start()
+
     for s in range(nsub):
         r0 = r0_ref[i * nsub + s]
         nr = nr_ref[i * nsub + s]
@@ -326,12 +346,7 @@ def _serve_kernel(r0_ref, nr_ref, tris_ref,
         dy = rays_ref[4, sub][None, :]
         dz = rays_ref[5, sub][None, :]
 
-        @pl.when(nr > 0)
-        def _(r0=r0):
-            pltpu.make_async_copy(tris_ref.at[r0], buf.at[0],
-                                  sem.at[0]).start()
-
-        def body(k, _, r0=r0, nr=nr, sub=sub, ox=ox, oy=oy, oz=oz,
+        def body(k, _, r0=r0, nr=nr, s=s, sub=sub, ox=ox, oy=oy, oz=oz,
                  dx=dx, dy=dy, dz=dz):
             par = jax.lax.rem(k, 2)
 
@@ -340,17 +355,20 @@ def _serve_kernel(r0_ref, nr_ref, tris_ref,
                 @pl.when(par == 0)
                 def _():
                     pltpu.make_async_copy(tris_ref.at[r0 + k + 1],
-                                          buf.at[1], sem.at[1]).start()
+                                          buf.at[s, 1],
+                                          sem.at[s, 1]).start()
 
                 @pl.when(par == 1)
                 def _():
                     pltpu.make_async_copy(tris_ref.at[r0 + k + 1],
-                                          buf.at[0], sem.at[0]).start()
+                                          buf.at[s, 0],
+                                          sem.at[s, 0]).start()
 
             def serve_slab(slot):
-                pltpu.make_async_copy(tris_ref.at[r0 + k], buf.at[slot],
-                                      sem.at[slot]).wait()
-                tri = buf[slot]
+                pltpu.make_async_copy(tris_ref.at[r0 + k],
+                                      buf.at[s, slot],
+                                      sem.at[s, slot]).wait()
+                tri = buf[s, slot]
                 tmin, prim, uu, vv = _mt_tile_first(
                     tri, ox, oy, oz, dx, dy, dz, want_uv)
                 better = tmin < t_out[0, sub]
@@ -474,8 +492,8 @@ def _serve_blocks(acc: CellServe, r0, nr, rays, want_uv,
         out_specs=[pl.BlockSpec((1, B), lambda i, *_: (0, i),
                                 memory_space=pltpu.VMEM)] * 4,
         scratch_shapes=[
-            pltpu.VMEM((2, 16, K), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((B // 128, 2, 16, K), jnp.float32),
+            pltpu.SemaphoreType.DMA((B // 128, 2)),
         ])
     outs = pl.pallas_call(
         kernel,
