@@ -18,12 +18,25 @@ traffic on a real slice is predictable from these numbers.
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+if "--cpu" in sys.argv:
+    # axon sitecustomize ignores JAX_PLATFORMS; force 8 virtual devices
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8")
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+    sys.argv.remove("--cpu")
 
 
 def _collective_bytes(scene, h, w, params):
