@@ -294,7 +294,7 @@ def test_ray_loader_batches_match_full_render():
     assert np.abs(vals - ref).mean() < 0.15, np.abs(vals - ref).mean()
 
 
-def test_polvis_and_sys_info():
+def test_polvis_and_sys_info(tmp_path):
     from mitsuba3_tpu.utils import polvis, sys_info
     img = np.zeros((4, 4, 12), np.float32)
     img[..., 0:3] = 1.0    # S0 = white
@@ -303,8 +303,26 @@ def test_polvis_and_sys_info():
     assert s["s1"].shape == (4, 4, 3)
     dop = polvis.degree_of_polarization(img)
     np.testing.assert_allclose(dop, 0.5, atol=1e-6)
+    # reference color convention: green = positive, red = negative
     fc = polvis.false_color(img, "s1")
-    assert (fc[..., 0] > 0).all() and (fc[..., 2] == 0).all()
+    assert (fc[..., 1] > 0).all() and (fc[..., 0] == 0).all()
+    # virtual polarizer (Malus): 0 deg passes (S0+S1)/2, 90 deg the rest
+    p0 = polvis.through_polarizer(img, 0.0)
+    p90 = polvis.through_polarizer(img, 90.0)
+    np.testing.assert_allclose(p0, 0.75, atol=1e-5)
+    np.testing.assert_allclose(p90, 0.25, atol=1e-5)
+    # type/plane/chirality maps: pure-S1 light is fully linear
+    top = polvis.type_of_polarization(img)
+    assert (top[..., 2] > 0).all()        # cyan component present
+    assert np.allclose(top[..., 0], 0.0)  # no circular (yellow-red)
+    lin = polvis.linear_plane(img)
+    assert (lin[..., 1] > 0).all()        # +S1 -> green
+    cir = polvis.chirality(img)
+    np.testing.assert_allclose(cir, 0.0, atol=1e-6)
+    # driver writes the full output set
+    paths = polvis.polvis(img, str(tmp_path / "view"), polarizer=45.0)
+    import os
+    assert len(paths) == 10 and all(os.path.exists(p) for p in paths)
     inf = sys_info.info()
     assert "jax" in inf and "devices" in inf
 
