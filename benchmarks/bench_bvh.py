@@ -53,6 +53,80 @@ def make_terrain(side: int, seed: int = 0):
     return p0, v[:, 1] - p0, v[:, 2] - p0
 
 
+def make_interior(n_tris_target: int, seed: int = 0):
+    """Non-heightfield large scene: a closed room filled with randomly
+    placed, rotated, tessellated boxes and spheres (furniture-like
+    clutter) — the occupancy/coherence profile of an instanced interior
+    (VERDICT round-3 'second large scene' target)."""
+    rng = np.random.default_rng(seed)
+    tris = []
+
+    def add_box(center, half, rot):
+        c = np.array([[-1, -1, -1], [1, -1, -1], [1, 1, -1], [-1, 1, -1],
+                      [-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1]],
+                     np.float32) * half
+        c = c @ rot.T + center
+        faces = [(0, 1, 2), (0, 2, 3), (4, 6, 5), (4, 7, 6),
+                 (0, 4, 5), (0, 5, 1), (3, 2, 6), (3, 6, 7),
+                 (0, 3, 7), (0, 7, 4), (1, 5, 6), (1, 6, 2)]
+        for a, b, d in faces:
+            tris.append((c[a], c[b], c[d]))
+
+    def add_sphere(center, radius, res):
+        th = np.linspace(0, np.pi, res + 1)
+        ph = np.linspace(0, 2 * np.pi, 2 * res + 1)
+        P = np.stack([np.outer(np.sin(th), np.cos(ph)),
+                      np.outer(np.sin(th), np.sin(ph)),
+                      np.outer(np.cos(th), np.ones_like(ph))],
+                     -1) * radius + center
+        for i in range(res):
+            for j in range(2 * res):
+                a, b = P[i, j], P[i + 1, j]
+                c2, d = P[i + 1, j + 1], P[i, j + 1]
+                tris.append((a, b, c2))
+                tris.append((a, c2, d))
+
+    # room shell (12 tris) 20 x 20 x 6
+    add_box(np.array([0, 0, 3.0]), np.array([10, 10, 3.0]), np.eye(3))
+    # clutter until the budget is reached
+    while len(tris) < n_tris_target - 400:
+        kind = rng.random()
+        pos = np.array([rng.uniform(-9, 9), rng.uniform(-9, 9),
+                        rng.uniform(0.2, 2.5)])
+        if kind < 0.5:
+            ang = rng.uniform(0, np.pi)
+            ca, sa = np.cos(ang), np.sin(ang)
+            rot = np.array([[ca, -sa, 0], [sa, ca, 0], [0, 0, 1]],
+                           np.float32)
+            add_box(pos, rng.uniform(0.15, 0.9, 3), rot)
+        else:
+            add_sphere(pos, rng.uniform(0.2, 0.7),
+                       int(rng.integers(6, 14)))
+    t = np.asarray(tris, np.float32)
+    p0 = t[:, 0]
+    return p0, t[:, 1] - p0, t[:, 2] - p0
+
+
+def make_interior_rays(n: int, seed: int, kind: str):
+    rng = np.random.default_rng(seed)
+    if kind == "primary":
+        side = int(np.ceil(np.sqrt(n)))
+        u = (np.arange(side) + 0.5) / side
+        U, V = np.meshgrid(u, u, indexing="ij")
+        U, V = U.ravel()[:n], V.ravel()[:n]
+        o = np.tile(np.array([[0.0, -8.5, 1.7]], np.float32), (n, 1))
+        tgt = np.stack([(U - 0.5) * 16, np.full(n, 2.0),
+                        (0.5 - V) * 5 + 1.5], -1).astype(np.float32)
+        d = tgt - o
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+    else:
+        o = np.stack([rng.uniform(-9, 9, n), rng.uniform(-9, 9, n),
+                      rng.uniform(0.2, 5.0, n)], -1).astype(np.float32)
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return o.astype(np.float32), d.astype(np.float32)
+
+
 def make_rays(n: int, seed: int, kind: str):
     rng = np.random.default_rng(seed)
     if kind == "primary":
@@ -77,11 +151,17 @@ def make_rays(n: int, seed: int, kind: str):
     return o.astype(np.float32), d.astype(np.float32)
 
 
-def run(impl: str, n_tris_target: int, n_rays: int):
+def run(impl: str, n_tris_target: int, n_rays: int,
+        scene: str = "terrain"):
     from mitsuba3_tpu.core.vec import Vec3
 
-    side = int(np.sqrt(n_tris_target / 2)) + 1
-    p0n, e1n, e2n = make_terrain(side)
+    if scene == "interior":
+        p0n, e1n, e2n = make_interior(n_tris_target)
+        rays_fn = make_interior_rays
+    else:
+        side = int(np.sqrt(n_tris_target / 2)) + 1
+        p0n, e1n, e2n = make_terrain(side)
+        rays_fn = make_rays
     n_tris = len(p0n)
 
     if impl in ("tiled", "dense", "bvh2", "grid", "serve", "queue",
@@ -135,7 +215,7 @@ def run(impl: str, n_tris_target: int, n_rays: int):
     results = {}
     reps = 5
     for kind in ("primary", "bounce"):
-        on, dn = make_rays(n_rays, 1, kind)
+        on, dn = rays_fn(n_rays, 1, kind)
         o = Vec3.from_array(jnp.asarray(on))
         d = Vec3.from_array(jnp.asarray(dn))
         maxt = jnp.full(n_rays, 1e30, jnp.float32)
@@ -192,12 +272,15 @@ def run(impl: str, n_tris_target: int, n_rays: int):
 
 def main():
     args = sys.argv[1:]
+    scene = "interior" if "--interior" in args else "terrain"
+    args = [a for a in args if a != "--interior"]
     n_tris = int(args[0]) if args else 65536
     n_rays = int(args[1]) if len(args) > 1 else 1 << 19
     impls = args[2:] or ["tiled"]
-    print(f"backend={jax.default_backend()} n_tris~{n_tris} n_rays={n_rays}")
+    print(f"backend={jax.default_backend()} scene={scene} "
+          f"n_tris~{n_tris} n_rays={n_rays}")
     for impl in impls:
-        run(impl, n_tris, n_rays)
+        run(impl, n_tris, n_rays, scene=scene)
 
 
 if __name__ == "__main__":
