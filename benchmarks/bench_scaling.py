@@ -115,8 +115,9 @@ def main():
         if base is None:
             base = r / sizes[0]
         else:
-            eff = (r / (n * base) * 100) if not weak else (r / (n * base)
-                                                           * 100)
+            # base is the per-device rate, so this is the efficiency
+            # formula for both strong and weak scaling
+            eff = r / (n * base) * 100
             print(f"  scaling efficiency vs {sizes[0]}: {eff:.0f}%")
 
 

@@ -630,7 +630,7 @@ def _trace(acc: CellServe, o: Vec3, d: Vec3, maxt, active, closest: bool):
         # full-width straggler rounds: CPU (interpret-mode test backend)
         # keeps one pipeline instantiation; small widths gain nothing
         # from compaction
-        max_rounds = -(-3 * acc.res // acc.pair_slots) + 1
+        max_rounds = -(-(3 * acc.res + 4) // acc.pair_slots) + 1
 
         def cond(s):
             return jnp.any(s[0]) & (s[-1] < max_rounds)
@@ -646,7 +646,12 @@ def _trace(acc: CellServe, o: Vec3, d: Vec3, maxt, active, closest: bool):
             cond, body, (unres, bt, bp, bu, bv, resume, jnp.int32(0)))
         _, bt, bp, bu, bv, _, _ = s
     else:
-        max_tail = 8 * (-(-3 * acc.res // acc.pair_slots) + 1)
+        # worst case: all n lanes need the full R resume rounds. Each
+        # tail iteration advances n/8 lanes one round -> 8R iterations
+        # while the unresolved set exceeds the compaction width, plus up
+        # to R more to drain the final group (+ slack)
+        R = -(-(3 * acc.res + 4) // acc.pair_slots) + 1
+        max_tail = 9 * R + 8
 
         def cond(s):
             return jnp.any(s[0]) & (s[-1] < max_tail)
@@ -705,8 +710,10 @@ def occluded_cells(acc: CellServe, o: Vec3, d: Vec3, maxt, active=None):
         active = jnp.ones(n, bool)
     sg = jax.lax.stop_gradient
     o, d = jax.tree_util.tree_map(sg, (o, d))
-    maxt_v = jnp.broadcast_to(jnp.asarray(sg(maxt), jnp.float32), (n,)) \
-        * (1.0 - 1e-5)
+    # maxt is used as-is: shadow epsilons are the caller's job
+    # (records.spawn_ray_to applies ShadowEpsilon), matching bvh_serve
+    # and the reference's caller-side convention
+    maxt_v = jnp.broadcast_to(jnp.asarray(sg(maxt), jnp.float32), (n,))
     _, _, _, _, valid = _trace(acc, o, d, maxt_v, active, closest=False)
     return valid
 

@@ -265,3 +265,75 @@ def test_queue_matches_oracle(np_rng):
         _, _, _, v3 = bvh_queue.intersect_bvh(bvh, ov, dv, maxt,
                                               active=act)
         assert not np.asarray(v3)[~np.asarray(act)].any()
+
+
+@pytest.mark.parametrize("pair_slots", [8, 2])
+def test_cells_matches_oracle(np_rng, pair_slots):
+    """Cell-major pair-serve intersector (ops/cellserve.py, the
+    round-5 production accel) vs the dense oracle on the CPU/XLA
+    reference serve path: closest hit (t/prim/uv), any-hit, short
+    maxt, active mask and axis-aligned rays. pair_slots=2 forces the
+    overflow/resume straggler rounds (rays crossing more than P
+    occupied cells must re-march from their resume point)."""
+    from mitsuba3_tpu.ops import cellserve
+    n_tri, n_ray = 2000, 1024
+    p0n, e1n, e2n = _rand_tris(np_rng, n_tri)
+    acc = cellserve.build(p0n, e1n, e2n, pair_slots=pair_slots)
+    assert acc.n_tris >= n_tri
+
+    p0 = Vec3.from_array(jnp.asarray(p0n))
+    e1 = Vec3.from_array(jnp.asarray(e1n))
+    e2 = Vec3.from_array(jnp.asarray(e2n))
+
+    o = np_rng.uniform(-4, 4, (n_ray, 3)).astype(np.float32)
+    d = np_rng.normal(size=(n_ray, 3)).astype(np.float32)
+    # a block of axis-aligned rays (DDA eps / guard paths) + a block of
+    # rays from deep inside the geometry (every lane overflows P)
+    d[:64] = 0.0
+    d[0:64:3, 0] = 1.0
+    d[1:64:3, 1] = -1.0
+    d[2:64:3, 2] = 1.0
+    o[64:128] = np_rng.uniform(-0.5, 0.5, (64, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    ov = Vec3.from_array(jnp.asarray(o))
+    dv = Vec3.from_array(jnp.asarray(d))
+    maxt = jnp.full(n_ray, 1e30, jnp.float32)
+
+    t1, pr1, uv1, v1 = intersect_naive(ov, dv, maxt, p0, e1, e2)
+    t2, pr2, uv2, v2 = cellserve.intersect_cells(acc, ov, dv, maxt)
+    v1n, v2n = np.asarray(v1), np.asarray(v2)
+    assert (v1n == v2n).all()
+    sel = v1n
+    # same edge-grazing tolerance as the queue test: FMA fusion may
+    # flip sliver acceptance between compilations; real missed cells
+    # would show t2 > t1
+    p_eq = np.asarray(pr1)[sel] == np.asarray(pr2)[sel]
+    assert p_eq.mean() > 0.999
+    assert np.allclose(np.asarray(t1)[sel][p_eq],
+                       np.asarray(t2)[sel][p_eq],
+                       rtol=1e-4, atol=1e-5)
+    assert (np.asarray(t2)[sel][~p_eq]
+            <= np.asarray(t1)[sel][~p_eq] + 1e-4).all()
+    assert np.allclose(np.asarray(uv1.x)[sel][p_eq],
+                       np.asarray(uv2.x)[sel][p_eq], atol=2e-3)
+    assert np.allclose(np.asarray(uv1.y)[sel][p_eq],
+                       np.asarray(uv2.y)[sel][p_eq], atol=2e-3)
+
+    # anyhit with a maxt below every true hit reports no occlusion
+    short = jnp.where(v1, t1 * 0.9, 1e30)
+    occ_s = np.asarray(cellserve.occluded_cells(acc, ov, dv, short))
+    assert not occ_s[sel].any()
+    occ1 = np.asarray(occluded_naive(ov, dv, jnp.full(n_ray, 2.0),
+                                     p0, e1, e2))
+    occ2 = np.asarray(cellserve.occluded_cells(acc, ov, dv,
+                                               jnp.full(n_ray, 2.0)))
+    assert (occ1 == occ2).all()
+
+    # inactive lanes never report hits
+    act = jnp.asarray(np.arange(n_ray) % 2 == 0)
+    _, _, _, v3 = cellserve.intersect_cells(acc, ov, dv, maxt,
+                                            active=act)
+    assert not np.asarray(v3)[~np.asarray(act)].any()
+    occ3 = np.asarray(cellserve.occluded_cells(
+        acc, ov, dv, jnp.full(n_ray, 2.0), active=act))
+    assert not occ3[~np.asarray(act)].any()
