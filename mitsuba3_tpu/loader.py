@@ -6,6 +6,8 @@ Host-side (NumPy) lowering of a mitsuba-style scene dict to the flat SoA
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -1302,18 +1304,38 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
         p0w = vertices[faces[:, 0]]
         e1w = vertices[faces[:, 1]] - p0w
         e2w = vertices[faces[:, 2]] - p0w
-        if jax.default_backend() == "cpu":
+        # MI3T_ACCEL overrides the default choice (testing / perf work):
+        # auto | xla | cells | serve | grid | tiled | none
+        choice = os.environ.get("MI3T_ACCEL", "auto")
+        if choice == "auto":
+            choice = ("xla" if jax.default_backend() == "cpu"
+                      else "cells")
+        if choice == "xla":
             # per-lane stackless traversal: pure XLA, fast enough on CPU
             from .ops import bvh_xla
             accel = bvh_xla.build(p0w, e1w, e2w)
-        else:
-            # TPU: round-based nearest-leaf cull/sort/serve intersector
-            # (ops/bvh_serve.py) — measured 5.4/5.7 Mrays/s closest
-            # (bounce/primary) and 5.6/11.3 any-hit on terrain64k,
-            # beating both the DDA grid closest path (~2.0) and the
-            # sorted-tile any-hit path (0.8 incoherent / 5.8 coherent).
+        elif choice == "cells":
+            # TPU production path: cell-major pair-serve intersector
+            # (ops/cellserve.py). Round-5 switch from bvh_serve: exact
+            # on every scene class where bvh_serve's nearest-first
+            # pruning collapses on enclosed geometry (120k-tri interior
+            # 0.24 Mrays/s vs 6.3, benchmarks/INTERIOR_r4.txt), and its
+            # host build is ~25x faster (10.8 s vs 272.7 s at 120k
+            # tris) — vertex-optimization loops rebuild per step.
+            from .ops import cellserve
+            accel = cellserve.build(p0w, e1w, e2w)
+        elif choice == "serve":
+            # round-2-4 production path: nearest-leaf cull/sort/serve
             from .ops import bvh_serve
             accel = bvh_serve.build(p0w, e1w, e2w)
+        elif choice == "grid":
+            from .ops import grid as grid_mod
+            accel = grid_mod.build(p0w, e1w, e2w)
+        elif choice == "tiled":
+            from .ops import bvh_tiled
+            accel = bvh_tiled.build(p0w, e1w, e2w)
+        elif choice != "none":
+            raise ValueError(f"MI3T_ACCEL: unknown accel {choice!r}")
 
     return Scene(
         vertices=jnp.asarray(vertices),

@@ -285,7 +285,7 @@ class Scene:
 
     def ray_intersect_preliminary(self, ray: Ray, active=None) -> PreliminaryIntersection:
         if self.accel is not None:
-            from ..ops import bvh_serve, bvh_tiled, bvh_xla, \
+            from ..ops import bvh_serve, bvh_tiled, bvh_xla, cellserve, \
                 grid as grid_mod
             acc = self.accel.closest if isinstance(self.accel,
                                                    HybridAccel) \
@@ -293,6 +293,10 @@ class Scene:
             if isinstance(acc, bvh_xla.BVHXLA):
                 # per-lane stackless traversal (CPU/debug backend)
                 t, prim, uv, valid = bvh_xla.intersect_bvh(
+                    acc, ray.o, ray.d, ray.maxt, active=active)
+            elif isinstance(acc, cellserve.CellServe):
+                # TPU production: cell-major pair-serve (shared-fetch)
+                t, prim, uv, valid = cellserve.intersect_cells(
                     acc, ray.o, ray.d, ray.maxt, active=active)
             elif isinstance(acc, bvh_serve.BVHServe):
                 # TPU: round-based nearest-leaf cull/sort/serve kernel
@@ -351,13 +355,16 @@ class Scene:
 
     def ray_test(self, ray: Ray, active=None):
         if self.accel is not None:
-            from ..ops import bvh_serve, bvh_tiled, bvh_xla, \
+            from ..ops import bvh_serve, bvh_tiled, bvh_xla, cellserve, \
                 grid as grid_mod
             acc = self.accel.anyhit if isinstance(self.accel,
                                                   HybridAccel) \
                 else self.accel
             if isinstance(acc, bvh_xla.BVHXLA):
                 occ = bvh_xla.occluded_bvh(
+                    acc, ray.o, ray.d, ray.maxt, active=active)
+            elif isinstance(acc, cellserve.CellServe):
+                occ = cellserve.occluded_cells(
                     acc, ray.o, ray.d, ray.maxt, active=active)
             elif isinstance(acc, bvh_serve.BVHServe):
                 occ = bvh_serve.occluded_bvh(

@@ -155,7 +155,7 @@ def _rebuild_geometry_derived(scene):
         # CPU, the round-based serve intersector on TPU — mixing types
         # would feed the wrong traversal (scene.py dispatches by
         # isinstance)
-        from ..ops import bvh_serve, bvh_tiled, bvh_xla, \
+        from ..ops import bvh_serve, bvh_tiled, bvh_xla, cellserve, \
             grid as grid_mod
         from ..render.scene import HybridAccel
         p0 = p[:, 0]
@@ -163,6 +163,9 @@ def _rebuild_geometry_derived(scene):
         e2 = p[:, 2] - p0
         if isinstance(scene.accel, bvh_xla.BVHXLA):
             scene = scene.replace(accel=bvh_xla.build(p0, e1, e2))
+        elif isinstance(scene.accel, cellserve.CellServe):
+            scene = scene.replace(accel=cellserve.build(
+                p0, e1, e2, pair_slots=scene.accel.pair_slots))
         elif isinstance(scene.accel, bvh_serve.BVHServe):
             scene = scene.replace(accel=bvh_serve.build(p0, e1, e2))
         elif isinstance(scene.accel, HybridAccel):
