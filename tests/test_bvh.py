@@ -337,3 +337,60 @@ def test_cells_matches_oracle(np_rng, pair_slots):
     occ3 = np.asarray(cellserve.occluded_cells(
         acc, ov, dv, jnp.full(n_ray, 2.0), active=act))
     assert not occ3[~np.asarray(act)].any()
+
+
+def test_cells_end_to_end_render(monkeypatch):
+    """Full-renderer check of the round-5 production accel: a
+    >8192-face scene rendered through cellserve (forced via MI3T_ACCEL;
+    the CPU loader default is bvh_xla) matches the bvh_xla render.
+    Both intersectors are exact, so with identical sampling the images
+    agree except at edge-grazing slivers."""
+    import mitsuba3_tpu as mi
+
+    # 68x68 heightfield -> 8978 faces (> the 8192 accel threshold)
+    side = 68
+    rng = np.random.default_rng(3)
+    xs = np.linspace(-2, 2, side, dtype=np.float32)
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    Z = (0.3 * np.sin(2 * X) * np.cos(3 * Y)
+         + 0.05 * rng.normal(size=X.shape)).astype(np.float32)
+    verts = np.stack([X, Y, Z], -1).reshape(-1, 3)
+    idx = np.arange(side * side).reshape(side, side)
+    a, b = idx[:-1, :-1].ravel(), idx[1:, :-1].ravel()
+    c, dd = idx[:-1, 1:].ravel(), idx[1:, 1:].ravel()
+    faces = np.concatenate([np.stack([a, b, c], -1),
+                            np.stack([b, dd, c], -1)], 0)
+    d = {
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 3},
+        "sensor": {"type": "perspective", "fov": 50.0,
+                   "to_world": mi.ScalarTransform4f().look_at(
+                       origin=[0, -4, 3], target=[0, 0, 0],
+                       up=[0, 0, 1]),
+                   "film": {"width": 24, "height": 24,
+                            "rfilter": {"type": "box"}},
+                   "sampler": {"type": "independent",
+                               "sample_count": 4}},
+        "terrain": {"type": "mesh",
+                    "vertices": verts.tolist(),
+                    "faces": faces.tolist(),
+                    "bsdf": {"type": "diffuse"}},
+        "env": {"type": "constant",
+                "radiance": {"type": "rgb", "value": 1.0}},
+    }
+
+    from mitsuba3_tpu.ops import bvh_xla, cellserve
+    monkeypatch.setenv("MI3T_ACCEL", "xla")
+    s_ref = mi.load_dict(d)
+    assert isinstance(s_ref.accel, bvh_xla.BVHXLA)
+    img_ref = np.asarray(mi.render(s_ref, spp=4, seed=5))
+
+    monkeypatch.setenv("MI3T_ACCEL", "cells")
+    s_cells = mi.load_dict(d)
+    assert isinstance(s_cells.accel, cellserve.CellServe)
+    img_cells = np.asarray(mi.render(s_cells, spp=4, seed=5))
+
+    assert np.isfinite(img_cells).all()
+    close = np.isclose(img_cells, img_ref, rtol=1e-3, atol=1e-3)
+    assert close.mean() > 0.995
+    assert np.allclose(img_cells.mean(), img_ref.mean(), rtol=1e-3)
