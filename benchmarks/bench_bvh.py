@@ -169,13 +169,13 @@ def run(impl: str, n_tris_target: int, n_rays: int,
         if impl == "dense":
             from mitsuba3_tpu.ops import bvh_dense as mod
         elif impl == "bvh2":
-            from mitsuba3_tpu.ops import bvh2 as mod
+            from mitsuba3_tpu.ops.attic import bvh2 as mod
         elif impl == "cells":
             from mitsuba3_tpu.ops import cellserve as mod
         elif impl == "serve":
             from mitsuba3_tpu.ops import bvh_serve as mod
         elif impl == "queue":
-            from mitsuba3_tpu.ops import bvh_queue as mod
+            from mitsuba3_tpu.ops.attic import bvh_queue as mod
         elif impl == "grid":
             from mitsuba3_tpu.ops import grid as mod
             mod.intersect_bvh = mod.intersect_grid

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from bench_bvh import make_terrain, make_rays
 from mitsuba3_tpu.core.vec import Vec3
-from mitsuba3_tpu.ops import bvh_queue as bq
+from mitsuba3_tpu.ops.attic import bvh_queue as bq
 from mitsuba3_tpu.ops import intersect as naive
 
 

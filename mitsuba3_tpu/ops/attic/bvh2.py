@@ -53,8 +53,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.struct import pytree_dataclass, static_field
-from ..core.vec import Vec2, Vec3
+from ...core.struct import pytree_dataclass, static_field
+from ...core.vec import Vec2, Vec3
 
 LEAF = 32         # triangles per supernode
 CHUNK = 128       # rays per serving chunk
@@ -75,7 +75,7 @@ class BVH2:
 
 
 def build(p0, e1, e2, leaf_size=LEAF):
-    from .. import native
+    from ... import native
     p0 = np.asarray(p0, np.float32)
     e1 = np.asarray(e1, np.float32)
     e2 = np.asarray(e2, np.float32)

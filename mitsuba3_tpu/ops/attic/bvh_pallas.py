@@ -28,7 +28,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.vec import Vec2, Vec3
+from ...core.vec import Vec2, Vec3
 
 TILE = 1024
 STACK = 128
@@ -39,7 +39,7 @@ K = 128  # leaf capacity (lane width)
 # Host-side packing
 # ---------------------------------------------------------------------------
 
-from ..core.struct import pytree_dataclass, static_field
+from ...core.struct import pytree_dataclass, static_field
 
 
 @pytree_dataclass
@@ -54,7 +54,7 @@ class BVHData:
 
 def build(p0, e1, e2, leaf_size=K):
     """Build from world-space triangle SoA (host NumPy)."""
-    from .. import native
+    from ... import native
     p0 = np.asarray(p0, np.float32)
     e1 = np.asarray(e1, np.float32)
     e2 = np.asarray(e2, np.float32)

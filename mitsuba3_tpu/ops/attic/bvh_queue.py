@@ -40,9 +40,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.vec import Vec2, Vec3
-from . import bvh_serve as bsv
-from .bvh_serve import (BIG, BLK, IDW, LC, MIN_W, NONE, RCHUNK, SBLK,
+from ...core.vec import Vec2, Vec3
+from .. import bvh_serve as bsv
+from ..bvh_serve import (BIG, BLK, IDW, LC, MIN_W, NONE, RCHUNK, SBLK,
                         BVHServe, _mt_soa, _mt_tile)
 
 KQ = 8           # queued nearest leaves per ray per cull

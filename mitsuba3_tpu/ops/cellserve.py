@@ -123,10 +123,39 @@ def build(p0, e1, e2, res: int | None = None, pair_slots: int = 8):
     cell_sorted = cell_ids[order]
     tri_sorted = tri_ids[order]
 
-    start = np.zeros(C + 2, np.int32)
-    np.add.at(start, cell_sorted + 1, 1)
-    np.cumsum(start, out=start)           # start[c] .. start[c+1] = cell c
-    start[C + 1] = start[C]               # sentinel cell C: empty range
+    # cell-aligned CSR: cells with >= PAD_MIN triangles get a K-aligned
+    # start and a K-multiple length, so a serve sub-block whose pairs
+    # sit inside one popular cell DMAs EXACTLY that cell's rows instead
+    # of boundary rows shared with neighbours (the measured ~2-row
+    # window at ~1.2-row need). Small cells stay packed — padding them
+    # would blow up sparse multi-cell windows. Gaps hold degenerate
+    # id=-1 slots (never hit).
+    PAD_MIN = 64
+    counts_c = np.bincount(cell_sorted, minlength=C).astype(np.int64)
+    start64 = np.zeros(C + 2, np.int64)
+    off = 0
+    for c in np.nonzero(counts_c)[0]:
+        start64[c] = off
+        n_c = int(counts_c[c])
+        if n_c >= PAD_MIN:
+            off = -(-off // K) * K
+            start64[c] = off
+            off += -(-n_c // K) * K
+        else:
+            off += n_c
+    # empty cells point at the next occupied cell's start (ranges stay
+    # monotone; window arithmetic spans gaps with degenerate slots)
+    nz = counts_c > 0
+    start64[:C][~nz] = -1
+    run = off
+    for c in range(C - 1, -1, -1):
+        if start64[c] < 0:
+            start64[c] = run
+        else:
+            run = start64[c]
+    total_padded = off
+    start64[C] = start64[C + 1] = total_padded
+    start = start64.astype(np.int32)
 
     occ = np.zeros(C, bool)
     occ[np.unique(cell_sorted)] = True
@@ -150,7 +179,12 @@ def build(p0, e1, e2, res: int | None = None, pair_slots: int = 8):
     # so the serve kernel does 19 transpose-free FMAs per tile: feature
     # rows slice on sublanes, ray columns are transposed once per
     # sub-block, cross products moved to build time.
-    nr = -(-max(total, 1) // K)
+    nr = -(-max(total_padded, 1) // K)
+    # scatter each sorted triangle to its cell-aligned CSR slot
+    old_first = np.zeros(C + 1, np.int64)
+    np.cumsum(counts_c, out=old_first[1:])
+    pos = (start64[cell_sorted]
+           + (np.arange(total) - old_first[cell_sorted]))
     p0l = p0k - lo[None, :].astype(np.float32)
     nrm = np.cross(e1k, e2k)
     pxe1 = np.cross(p0l, e1k)
@@ -158,13 +192,13 @@ def build(p0, e1, e2, res: int | None = None, pair_slots: int = 8):
     p0n = np.einsum("ij,ij->i", p0l, nrm)
     flat = np.zeros((24, nr * K), np.float32)
     flat[16, :] = -1.0
-    flat[0:3, :total] = nrm[tri_sorted].T
-    flat[3:6, :total] = e1k[tri_sorted].T
-    flat[6:9, :total] = e2k[tri_sorted].T
-    flat[9:12, :total] = pxe1[tri_sorted].T
-    flat[12:15, :total] = pxe2[tri_sorted].T
-    flat[15, :total] = p0n[tri_sorted]
-    flat[16, :total] = prim_ids[tri_sorted].astype(np.float32)
+    flat[0:3, pos] = nrm[tri_sorted].T
+    flat[3:6, pos] = e1k[tri_sorted].T
+    flat[6:9, pos] = e2k[tri_sorted].T
+    flat[9:12, pos] = pxe1[tri_sorted].T
+    flat[12:15, pos] = pxe2[tri_sorted].T
+    flat[15, pos] = p0n[tri_sorted]
+    flat[16, pos] = prim_ids[tri_sorted].astype(np.float32)
     rows = flat.reshape(24, nr, K).transpose(1, 0, 2)
 
     return CellServe(
@@ -377,49 +411,60 @@ def _serve_kernel(r0_ref, nr_ref, tris_ref,
         mzc = oxc * dyc - oyc * dxc
         oc, dc, mc = (oxc, oyc, ozc), (dxc, dyc, dzc), (mxc, myc, mzc)
 
-        def body(k, carry, r0=r0, nr=nr, s=s, oc=oc, dc=dc, mc=mc):
-            par = jax.lax.rem(k, 2)
+        last = r0 + jnp.maximum(nr - 1, 0)
 
-            @pl.when(k + 1 < nr)
-            def _():
-                @pl.when(par == 0)
-                def _():
-                    pltpu.make_async_copy(tris_ref.at[r0 + k + 1],
-                                          buf.at[s, 1],
-                                          sem.at[s, 1]).start()
+        def serve_slab(slot, c, oc=oc, dc=dc, mc=mc, s=s):
+            tri = buf[s, slot]
+            tmin, prim, uu, vv = _mt_tile_first(tri, oc, dc, mc,
+                                                want_uv)
+            bt, bp, bu, bv = c
+            better = tmin < bt
+            bt = jnp.where(better, tmin, bt)
+            if want_uv:
+                bp = jnp.where(better, prim, bp)
+                bu = jnp.where(better, uu, bu)
+                bv = jnp.where(better, vv, bv)
+            return (bt, bp, bu, bv)
 
-                @pl.when(par == 1)
-                def _():
-                    pltpu.make_async_copy(tris_ref.at[r0 + k + 1],
-                                          buf.at[s, 0],
-                                          sem.at[s, 0]).start()
-
-            def serve_slab(slot, c):
-                pltpu.make_async_copy(tris_ref.at[r0 + k],
-                                      buf.at[s, slot],
-                                      sem.at[s, slot]).wait()
-                tri = buf[s, slot]
-                tmin, prim, uu, vv = _mt_tile_first(tri, oc, dc, mc,
-                                                    want_uv)
-                bt, bp, bu, bv = c
-                better = tmin < bt
-                bt = jnp.where(better, tmin, bt)
-                if want_uv:
-                    bp = jnp.where(better, prim, bp)
-                    bu = jnp.where(better, uu, bu)
-                    bv = jnp.where(better, vv, bv)
-                return (bt, bp, bu, bv)
-
-            return jax.lax.cond(par == 0,
-                                lambda c: serve_slab(0, c),
-                                lambda c: serve_slab(1, c), carry)
+        def body(k2, carry, r0=r0, s=s, last=last):
+            # two rows per iteration, STATIC slots, row indices clamped
+            # into the window — no conditional control flow in the hot
+            # loop (measured: per-iteration gating serializes the
+            # pipeline). Clamped duplicate rows are real geometry and
+            # the first-min select is dedup-safe, so trailing extras
+            # are harmless to the exact min.
+            r = r0 + 2 * k2
+            pltpu.make_async_copy(tris_ref.at[jnp.minimum(r, last)],
+                                  buf.at[s, 0], sem.at[s, 0]).wait()
+            carry = serve_slab(0, carry)
+            pltpu.make_async_copy(
+                tris_ref.at[jnp.minimum(r + 2, last)],
+                buf.at[s, 0], sem.at[s, 0]).start()
+            pltpu.make_async_copy(tris_ref.at[jnp.minimum(r + 1, last)],
+                                  buf.at[s, 1], sem.at[s, 1]).wait()
+            carry = serve_slab(1, carry)
+            pltpu.make_async_copy(
+                tris_ref.at[jnp.minimum(r + 3, last)],
+                buf.at[s, 1], sem.at[s, 1]).start()
+            return carry
 
         init = (jnp.full((128, 1), BIG, jnp.float32),
                 jnp.full((128, 1), -1, jnp.int32),
                 jnp.zeros((128, 1), jnp.float32),
                 jnp.zeros((128, 1), jnp.float32))
-        bt, bp, bu, bv = jax.lax.fori_loop(0, nr, body, init,
+        nr2 = jax.lax.div(nr + 1, 2)
+        bt, bp, bu, bv = jax.lax.fori_loop(0, nr2, body, init,
                                            unroll=False)
+
+        @pl.when(nr > 0)
+        def _(s=s):
+            # drain the two dangling prefetches issued by the last
+            # iteration (clamped in-window rows; data unused)
+            pltpu.make_async_copy(tris_ref.at[last], buf.at[s, 0],
+                                  sem.at[s, 0]).wait()
+            pltpu.make_async_copy(tris_ref.at[last], buf.at[s, 1],
+                                  sem.at[s, 1]).wait()
+
         t_out[0, sub] = jnp.transpose(bt)[0]
         if want_uv:
             p_out[0, sub] = jnp.transpose(bp)[0]

@@ -5,7 +5,7 @@ import pytest
 
 from mitsuba3_tpu.core.vec import Vec3
 from mitsuba3_tpu.native import build_bvh, build_bvh_numpy
-from mitsuba3_tpu.ops import bvh_pallas
+from mitsuba3_tpu.ops.attic import bvh_pallas
 from mitsuba3_tpu.ops.intersect import intersect_naive, occluded_naive
 
 
@@ -217,7 +217,7 @@ def test_queue_matches_oracle(np_rng):
     oracle: closest hit, any-hit, short maxt, active mask. Uses enough
     rays that the wide serve-multi kernel path runs (npad > 2*MIN_W),
     plus a second narrow batch for the gather-tail path."""
-    from mitsuba3_tpu.ops import bvh_queue
+    from mitsuba3_tpu.ops.attic import bvh_queue
     n_tri = 2000
     p0n, e1n, e2n = _rand_tris(np_rng, n_tri)
     bvh = bvh_queue.build(p0n, e1n, e2n)

@@ -68,8 +68,9 @@ ALIASES = {
     "prb_basic": "prb",            # subsumed: prb with NEE/MIS superset
 }
 SIMPLIFIED = {
-    "volpathmis": "hero-channel single-sample MIS over distance sampling "
-                  "(DESIGN.md), not the reference's two-strategy DRT",
+    "volpathmis": "per-channel chain pdfs through null collisions + NEE "
+                  "transmittance (media/__init__.py); residual: the "
+                  "NEE-vs-phase strategy weight itself (DESIGN.md)",
     "sunsky": "Preetham analytic fit baked to an envmap (Hosek-Wilkie "
               "dataset absent from the reference snapshot)",
     "bumpmap": "lowered to an equivalent normal map at load",
