@@ -391,8 +391,13 @@ def _serve_kernel(r0_ref, nr_ref, tris_ref,
     for s in range(nsub):
         @pl.when(nr_ref[i * nsub + s] > 0)
         def _(s=s):
-            pltpu.make_async_copy(tris_ref.at[r0_ref[i * nsub + s]],
+            r0p = r0_ref[i * nsub + s]
+            lastp = r0p + jnp.maximum(nr_ref[i * nsub + s] - 1, 0)
+            pltpu.make_async_copy(tris_ref.at[r0p],
                                   buf.at[s, 0], sem.at[s, 0]).start()
+            pltpu.make_async_copy(tris_ref.at[jnp.minimum(r0p + 1,
+                                                          lastp)],
+                                  buf.at[s, 1], sem.at[s, 1]).start()
 
     for s in range(nsub):
         r0 = r0_ref[i * nsub + s]
