@@ -848,6 +848,7 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
         return idx
 
     shape_items = []  # (name, spec)
+    instance_specs = []  # (shapegroup id, Transform4f) — true instancing
     env_spec = None
     delta_specs: list[dict] = []  # point/spot/directional emitters
     em_directional: list[int] = []  # directionalarea emitter slots
@@ -922,21 +923,28 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
         elif vtype == "shapegroup":
             pass  # collected in the pre-pass above
         elif vtype == "instance":
-            # flattened instancing: bake the instance transform into copies
-            # of the group members (the reference shares one BLAS,
-            # instance.cpp; geometry dedup is a future-round optimization)
             ref = next(v for v in val.values()
                        if isinstance(v, dict) and v.get("type") == "ref")
             t_inst = val.get("to_world", Transform4f())
-            for gi, member in enumerate(shapegroups[ref["id"]]):
-                member = dict(member)
-                t_m = member.get("to_world", Transform4f())
-                if not isinstance(t_m, Transform4f):
-                    t_m = Transform4f(np.asarray(t_m, np.float64))
-                t_i = t_inst if isinstance(t_inst, Transform4f) else \
-                    Transform4f(np.asarray(t_inst, np.float64))
-                member["to_world"] = t_i @ t_m
-                shape_items.append((f"{key}_{gi}", member))
+            if not isinstance(t_inst, Transform4f):
+                t_inst = Transform4f(np.asarray(t_inst, np.float64))
+            if os.environ.get("MI3T_FLATTEN_INSTANCES"):
+                # legacy flattening (rounds 1-4; kept as the oracle for
+                # the true-instancing tests): bake the transform into
+                # copies of the group members
+                for gi, member in enumerate(shapegroups[ref["id"]]):
+                    member = dict(member)
+                    t_m = member.get("to_world", Transform4f())
+                    if not isinstance(t_m, Transform4f):
+                        t_m = Transform4f(np.asarray(t_m, np.float64))
+                    member["to_world"] = t_inst @ t_m
+                    shape_items.append((f"{key}_{gi}", member))
+            else:
+                # true instancing (render/instancing.py; instance.cpp
+                # role): geometry + accel stored once per shapegroup,
+                # each instance adds only transforms — memory
+                # O(prototype)
+                instance_specs.append((ref["id"], t_inst))
         elif vtype == "merge":
             # merge.cpp: container that collapses child meshes; here all
             # meshes flatten into one global SoA buffer anyway, so the
@@ -1337,6 +1345,186 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
         elif choice != "none":
             raise ValueError(f"MI3T_ACCEL: unknown accel {choice!r}")
 
+    # ---- true instancing: lower each referenced shapegroup ONCE into
+    # prototype-space faces appended past the base (queryable) range,
+    # build per-prototype accels, and tabulate per-instance transforms
+    # (render/instancing.py; reference src/shapes/instance.cpp:1 +
+    # nested accels scene_embree.inl:224-284) ----
+    instances_tbl = None
+    proto_accels: tuple = ()
+    proto_ranges: tuple = ()
+    n_query_faces = 0
+    n_shapes_total = len(shape_items)
+    if instance_specs:
+        from .render.instancing import InstanceTable
+        n_query_faces = faces.shape[0]
+        proto_slot: dict[str, int] = {}
+        ranges = []
+        proto_lo, proto_hi = [], []
+        acc_list = []
+        v_parts, f_parts = [vertices], [faces]
+        fs_p, fb_p, fe_p, fm_p, ita_p = [], [], [], [], []
+        uv_p, ns_p, col_p = [], [], []
+        v_off2 = vertices.shape[0]
+        f_total = faces.shape[0]
+        for gid, _t in instance_specs:
+            if gid in proto_slot:
+                continue
+            if gid not in shapegroups:
+                raise ValueError(f"instance references unknown "
+                                 f"shapegroup {gid!r}")
+            proto_slot[gid] = len(ranges)
+            base = f_total
+            g_lo = np.full(3, np.inf, np.float32)
+            g_hi = np.full(3, -np.inf, np.float32)
+            for member in shapegroups[gid]:
+                mtype = member.get("type")
+                if mtype in ("sdfgrid", "ellipsoids"):
+                    raise ValueError(
+                        f"shapegroup member type {mtype!r} cannot be "
+                        f"instanced (triangle meshes only)")
+                if member.get("emitter") is not None:
+                    raise ValueError(
+                        "emitters inside shapegroups are not supported "
+                        "(matches the reference instance.cpp restriction)")
+                mesh = shapes_pkg.build_shape(member)
+                bspec = member.get("bsdf")
+                if bspec is None:
+                    b_idx = add_bsdf({"type": "diffuse"})
+                elif bspec.get("type") == "ref":
+                    b_idx = named_bsdf[bspec["id"]]
+                else:
+                    b_idx = add_bsdf(bspec)
+                nf = mesh.faces.shape[0]
+                mv = mesh.vertices.astype(np.float32)
+                v_parts.append(mv)
+                f_parts.append((mesh.faces + v_off2).astype(np.int32))
+                fs_p.extend([n_shapes_total] * nf)
+                fb_p.extend([b_idx] * nf)
+                fe_p.extend([-1] * nf)
+                fm_p.extend([(-2, -2)] * nf)
+                ita_p.extend([0.0] * nf)
+                uv_p.append(mesh.uvs[mesh.faces] if mesh.uvs is not None
+                            else np.zeros((nf, 3, 2)))
+                ns_p.append(mesh.normals[mesh.faces]
+                            if mesh.normals is not None
+                            else np.zeros((nf, 3, 3)))
+                col_p.append(np.zeros((nf, 3, 3)))
+                g_lo = np.minimum(g_lo, mv.min(axis=0))
+                g_hi = np.maximum(g_hi, mv.max(axis=0))
+                v_off2 += mv.shape[0]
+                f_total += nf
+                n_shapes_total += 1
+            count_raw = f_total - base
+            padp = (-count_raw) % TRI_CHUNK
+            if padp:
+                f_parts.append(np.zeros((padp, 3), np.int32))
+                fs_p.extend([-1] * padp)
+                fb_p.extend([0] * padp)
+                fe_p.extend([-1] * padp)
+                fm_p.extend([(-2, -2)] * padp)
+                ita_p.extend([0.0] * padp)
+                uv_p.append(np.zeros((padp, 3, 2)))
+                ns_p.append(np.zeros((padp, 3, 3)))
+                col_p.append(np.zeros((padp, 3, 3)))
+                f_total += padp
+            ranges.append((int(base), int(count_raw + padp)))
+            proto_lo.append(g_lo)
+            proto_hi.append(g_hi)
+
+        vertices = np.concatenate(v_parts, 0).astype(np.float32)
+        faces = np.concatenate(f_parts, 0).astype(np.int32)
+        face_shape = np.concatenate(
+            [face_shape, np.asarray(fs_p, np.int32)])
+        face_bsdf = np.concatenate(
+            [face_bsdf, np.asarray(fb_p, np.int32)])
+        face_emitter = np.concatenate(
+            [face_emitter, np.asarray(fe_p, np.int32)])
+        face_medium = np.concatenate(
+            [face_medium,
+             np.asarray(fm_p, np.int32).reshape(-1, 2)], 0)
+        face_inv_total_area = np.concatenate(
+            [face_inv_total_area, np.asarray(ita_p, np.float32)])
+        face_uv = np.concatenate(
+            [face_uv] + [np.asarray(u, np.float32) for u in uv_p], 0)
+        face_normals = np.concatenate(
+            [face_normals] + [np.asarray(x, np.float32) for x in ns_p],
+            0)
+        face_colors_arr = np.concatenate(
+            [face_colors_arr]
+            + [np.asarray(x, np.float32) for x in col_p], 0)
+
+        # per-prototype accel (shared by every instance)
+        for (base, count) in ranges:
+            if count > 8192:
+                from .ops import cellserve
+                fp = faces[base:base + count]
+                pp0 = vertices[fp[:, 0]]
+                acc_list.append(cellserve.build(
+                    pp0, vertices[fp[:, 1]] - pp0,
+                    vertices[fp[:, 2]] - pp0))
+            else:
+                acc_list.append(None)
+
+        # per-instance transforms + world AABBs (8 transformed corners)
+        n_inst = len(instance_specs)
+        tw_rows = np.zeros((n_inst, 12), np.float32)
+        tp_rows = np.zeros((n_inst, 12), np.float32)
+        nm_rows = np.zeros((n_inst, 9), np.float32)
+        lo_rows = np.zeros((n_inst, 3), np.float32)
+        hi_rows = np.zeros((n_inst, 3), np.float32)
+        proto_of = np.zeros(n_inst, np.int32)
+        for ix, (gid, t) in enumerate(instance_specs):
+            slot = proto_slot[gid]
+            proto_of[ix] = slot
+            mtx = np.asarray(t.matrix, np.float64)
+            inv = np.linalg.inv(mtx)
+            tw_rows[ix] = mtx[:3, :4].reshape(-1)
+            tp_rows[ix] = inv[:3, :4].reshape(-1)
+            nm_rows[ix] = inv[:3, :3].T.reshape(-1)
+            lo, hi = proto_lo[slot], proto_hi[slot]
+            corners = np.array([[lo[0], lo[1], lo[2]], [hi[0], lo[1], lo[2]],
+                                [lo[0], hi[1], lo[2]], [hi[0], hi[1], lo[2]],
+                                [lo[0], lo[1], hi[2]], [hi[0], lo[1], hi[2]],
+                                [lo[0], hi[1], hi[2]], [hi[0], hi[1], hi[2]]])
+            wc = corners @ mtx[:3, :3].T + mtx[:3, 3]
+            lo_rows[ix] = wc.min(axis=0)
+            hi_rows[ix] = wc.max(axis=0)
+
+        # pad the instance table to the candidate-chunk width with
+        # never-hit AABBs (lo > hi) so chunked dynamic slices stay
+        # aligned
+        pad_i = (-n_inst) % 128
+        if pad_i:
+            tw_rows = np.concatenate(
+                [tw_rows, np.tile(np.eye(3, 4, dtype=np.float32)
+                                  .reshape(1, 12), (pad_i, 1))])
+            tp_rows = np.concatenate(
+                [tp_rows, np.tile(np.eye(3, 4, dtype=np.float32)
+                                  .reshape(1, 12), (pad_i, 1))])
+            nm_rows = np.concatenate(
+                [nm_rows, np.tile(np.eye(3, dtype=np.float32)
+                                  .reshape(1, 9), (pad_i, 1))])
+            # NaN boxes: every slab comparison is False, so padding
+            # rows can never become candidates (lo > hi would NOT work:
+            # the slab test's min/max swaps the planes back into a box)
+            lo_rows = np.concatenate(
+                [lo_rows, np.full((pad_i, 3), np.nan, np.float32)])
+            hi_rows = np.concatenate(
+                [hi_rows, np.full((pad_i, 3), np.nan, np.float32)])
+            proto_of = np.concatenate(
+                [proto_of, np.zeros(pad_i, np.int32)])
+
+        instances_tbl = InstanceTable(
+            to_world=jnp.asarray(tw_rows),
+            to_proto=jnp.asarray(tp_rows),
+            n_mat=jnp.asarray(nm_rows),
+            aabb_lo=jnp.asarray(lo_rows),
+            aabb_hi=jnp.asarray(hi_rows),
+            proto_of=jnp.asarray(proto_of))
+        proto_accels = tuple(acc_list)
+        proto_ranges = tuple(ranges)
+
     return Scene(
         vertices=jnp.asarray(vertices),
         accel=accel,
@@ -1399,7 +1587,11 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
         face_medium=jnp.asarray(face_medium),
         face_normals=jnp.asarray(face_normals),
         de_params=(jnp.asarray(np.stack(de_rows, 0)) if de_rows else None),
-        n_shapes=len(shape_items),
+        n_shapes=n_shapes_total,
+        instances=instances_tbl,
+        proto_accels=proto_accels,
+        proto_ranges=proto_ranges,
+        n_query_faces=n_query_faces,
         n_emitters=n_emitters,
         bsdf_types=tuple(bsdf_types),
         bsdf_flags=_slot_flags(bsdf_types, bsdf_params),

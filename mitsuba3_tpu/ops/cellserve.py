@@ -57,9 +57,12 @@ MINT = 1e-6
 
 @pytree_dataclass
 class CellServe:
-    tris: jnp.ndarray       # [NR, 24, K] f32 CSR row slabs: 16 Plücker
-    #                         features + prim id on sublanes (row 16 =
-    #                         prim id), tris on lanes (see build())
+    tris: jnp.ndarray       # [NR, K, 128] f32 CSR row slabs: tris on
+    #                         sublanes, 16 Plücker features + prim id on
+    #                         lanes (lane 16 = prim id; see build()).
+    #                         Lane dim 128 keeps DMA slices tile-aligned
+    #                         and feature access a cheap lane-broadcast;
+    #                         reductions stay on the sublane axis.
     start: jnp.ndarray      # [C + 2] i32 CSR offsets (start[C]=start[C+1]=T)
     occ_bytes: jnp.ndarray  # [G, 32] bf16 occupancy bytes (cell c ->
     #                         row c>>8, col (c>>3)&31, bit c&7)
@@ -167,18 +170,21 @@ def build(p0, e1, e2, res: int | None = None, pair_slots: int = 8):
                      (np.uint8(1) << (idx & 7).astype(np.uint8)))
     occ_bytes = occ_b.reshape(G, 32).astype(np.float32)
 
-    # Plücker/feature slabs: 16 per-triangle features + prim id on the
-    # SUBLANE axis (DMA-aligned: the lane dim stays K=128), tris on
-    # lanes. The four MT quantities are bilinear forms between these
-    # features and per-ray features [o, d, m = o x d] (grid-LOCAL o):
+    # Plücker/feature slabs: tris on the SUBLANE axis, 16 per-triangle
+    # features + prim id on LANES padded to 128. DMA slices stay
+    # tile-aligned; a feature access is a cheap [K, 1] lane-broadcast;
+    # every tile reduction stays on the cheap sublane axis and the ray
+    # features stay [1, R] rows — ZERO relayouts per tile (the measured
+    # loser orientations pay either ~10 lane->sublane transposes or 5
+    # lane-axis log-reductions per tile). The four MT quantities are
+    # bilinear forms between these features and per-ray features
+    # [o, d, m = o x d] (grid-LOCAL o):
     #   det = -(n . d)
     #   u'  =  (m . e2) + (d . p0xe2)        u = u'/det
     #   v'  = -(m . e1) - (d . p0xe1)        v = v'/det
     #   t'  =  (o . n)  - p0n                t = t'/det
-    # (p0 rebased to the grid origin: cancellation-safe at camera range)
-    # so the serve kernel does 19 transpose-free FMAs per tile: feature
-    # rows slice on sublanes, ray columns are transposed once per
-    # sub-block, cross products moved to build time.
+    # (p0 rebased to the grid origin: cancellation-safe at camera
+    # range); cross products move to build time.
     nr = -(-max(total_padded, 1) // K)
     # scatter each sorted triangle to its cell-aligned CSR slot
     old_first = np.zeros(C + 1, np.int64)
@@ -190,16 +196,16 @@ def build(p0, e1, e2, res: int | None = None, pair_slots: int = 8):
     pxe1 = np.cross(p0l, e1k)
     pxe2 = np.cross(p0l, e2k)
     p0n = np.einsum("ij,ij->i", p0l, nrm)
-    flat = np.zeros((24, nr * K), np.float32)
-    flat[16, :] = -1.0
-    flat[0:3, pos] = nrm[tri_sorted].T
-    flat[3:6, pos] = e1k[tri_sorted].T
-    flat[6:9, pos] = e2k[tri_sorted].T
-    flat[9:12, pos] = pxe1[tri_sorted].T
-    flat[12:15, pos] = pxe2[tri_sorted].T
-    flat[15, pos] = p0n[tri_sorted]
-    flat[16, pos] = prim_ids[tri_sorted].astype(np.float32)
-    rows = flat.reshape(24, nr, K).transpose(1, 0, 2)
+    feat = np.zeros((nr * K, 128), np.float32)
+    feat[:, 16] = -1.0
+    feat[pos, 0:3] = nrm[tri_sorted]
+    feat[pos, 3:6] = e1k[tri_sorted]
+    feat[pos, 6:9] = e2k[tri_sorted]
+    feat[pos, 9:12] = pxe1[tri_sorted]
+    feat[pos, 12:15] = pxe2[tri_sorted]
+    feat[pos, 15] = p0n[tri_sorted]
+    feat[pos, 16] = prim_ids[tri_sorted].astype(np.float32)
+    rows = feat.reshape(nr, K, 128)
 
     return CellServe(
         tris=jnp.asarray(rows),
@@ -326,26 +332,26 @@ def _pairgen(acc: CellServe, og, dg, inv, t_in, t_out, active, t_from):
 # count over the block's CSR row window
 # ---------------------------------------------------------------------------
 
-def _mt_tile_first(tri, oc, dc, mc, want_uv):
-    """tri [24, K] feature slab vs ray COLUMNS ([R, 1] each; see
-    build() for the bilinear-form layout) -> per-ray best over the slab
-    as [R, 1] columns. Every op is a transpose-free [1, K] x [R, 1]
-    FMA: feature rows are plain sublane slices, ray columns were
-    transposed once per sub-block. o is grid-local; m = o x d.
-    First-min-column select: dedup-safe when a triangle binned into
+def _mt_tile_first(tri, orow, drow, mrow, want_uv):
+    """tri [K, 128] feature slab (tris on sublanes, features on lanes;
+    see build()) vs ray ROWS ([1, R] each) -> per-ray best over the
+    slab as [1, R] rows. Zero relayouts: a feature is a [K, 1]
+    lane-broadcast, every op a [K, 1] x [1, R] FMA, every reduction a
+    cheap sublane (axis 0) tree. o is grid-local; m = o x d.
+    First-min-row select: dedup-safe when a triangle binned into
     several cells appears twice in one window with identical t."""
-    oxc, oyc, ozc = oc
-    dxc, dyc, dzc = dc
-    mxc, myc, mzc = mc
+    ox, oy, oz = orow
+    dx, dy, dz = drow
+    mx, my, mz = mrow
 
     def f(j):
-        return tri[j:j + 1, :]                    # [1, K] sublane slice
-    d0 = -(f(0) * dxc + f(1) * dyc + f(2) * dzc)                   # det
-    d1 = (f(6) * mxc + f(7) * myc + f(8) * mzc
-          + f(12) * dxc + f(13) * dyc + f(14) * dzc)               # u*det
-    d2 = -(f(3) * mxc + f(4) * myc + f(5) * mzc) \
-        - (f(9) * dxc + f(10) * dyc + f(11) * dzc)                 # v*det
-    d3 = f(0) * oxc + f(1) * oyc + f(2) * ozc - f(15)              # t*det
+        return tri[:, j:j + 1]              # [K, 1] lane slice
+    d0 = -(f(0) * dx + f(1) * dy + f(2) * dz)                      # det
+    d1 = (f(6) * mx + f(7) * my + f(8) * mz
+          + f(12) * dx + f(13) * dy + f(14) * dz)                  # u*det
+    d2 = -(f(3) * mx + f(4) * my + f(5) * mz) \
+        - (f(9) * dx + f(10) * dy + f(11) * dz)                    # v*det
+    d3 = f(0) * ox + f(1) * oy + f(2) * oz - f(15)                 # t*det
     ids = f(16).astype(jnp.int32)
     ok = d0 != 0.0
     dinv = jnp.where(ok, 1.0 / jnp.where(ok, d0, 1.0), 0.0)
@@ -354,19 +360,19 @@ def _mt_tile_first(tri, oc, dc, mc, want_uv):
     t = d3 * dinv
     hit = (ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
            & (t > MINT) & (ids >= 0))
-    t_m = jnp.where(hit, t, BIG)                  # [R, K]
-    tmin = jnp.min(t_m, axis=1, keepdims=True)    # [R, 1]
+    t_m = jnp.where(hit, t, BIG)                  # [K, R]
+    tmin = jnp.min(t_m, axis=0, keepdims=True)    # [1, R]
     if not want_uv:
         return tmin, None, None, None
-    kk = tri.shape[1]
-    cols = jax.lax.broadcasted_iota(jnp.int32, (1, kk), 1)
-    colw = jnp.where(t_m == tmin, cols, jnp.int32(kk))
-    jc = jnp.min(colw, axis=1, keepdims=True)
-    oh = cols == jc
-    prim = jnp.sum(jnp.where(oh, ids, 0), axis=1, keepdims=True)
+    kk = tri.shape[0]
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (kk, 1), 0)
+    roww = jnp.where(t_m == tmin, rows_i, jnp.int32(kk))
+    jr = jnp.min(roww, axis=0, keepdims=True)
+    oh = rows_i == jr
+    prim = jnp.sum(jnp.where(oh, ids, 0), axis=0, keepdims=True)
     prim = jnp.where(tmin < BIG, prim, -1)
-    uu = jnp.sum(jnp.where(oh, u, 0.0), axis=1, keepdims=True)
-    vv = jnp.sum(jnp.where(oh, v, 0.0), axis=1, keepdims=True)
+    uu = jnp.sum(jnp.where(oh, u, 0.0), axis=0, keepdims=True)
+    vv = jnp.sum(jnp.where(oh, v, 0.0), axis=0, keepdims=True)
     return tmin, prim, uu, vv
 
 
@@ -403,18 +409,18 @@ def _serve_kernel(r0_ref, nr_ref, tris_ref,
         r0 = r0_ref[i * nsub + s]
         nr = nr_ref[i * nsub + s]
         sub = slice(s * 128, (s + 1) * 128)
-        # ray features as [R, 1] COLUMNS (transposed once per sub-block
-        # so the per-row tile-MT is relayout-free; o is grid-local)
-        oxc = jnp.transpose(rays_ref[0, sub][None, :])
-        oyc = jnp.transpose(rays_ref[1, sub][None, :])
-        ozc = jnp.transpose(rays_ref[2, sub][None, :])
-        dxc = jnp.transpose(rays_ref[3, sub][None, :])
-        dyc = jnp.transpose(rays_ref[4, sub][None, :])
-        dzc = jnp.transpose(rays_ref[5, sub][None, :])
-        mxc = oyc * dzc - ozc * dyc
-        myc = ozc * dxc - oxc * dzc
-        mzc = oxc * dyc - oyc * dxc
-        oc, dc, mc = (oxc, oyc, ozc), (dxc, dyc, dzc), (mxc, myc, mzc)
+        # ray features as [1, R] rows — the tile planes are [K, R] with
+        # tris on sublanes, so no relayout anywhere (o is grid-local)
+        ox = rays_ref[0, sub][None, :]
+        oy = rays_ref[1, sub][None, :]
+        oz = rays_ref[2, sub][None, :]
+        dx = rays_ref[3, sub][None, :]
+        dy = rays_ref[4, sub][None, :]
+        dz = rays_ref[5, sub][None, :]
+        mx = oy * dz - oz * dy
+        my = oz * dx - ox * dz
+        mz = ox * dy - oy * dx
+        oc, dc, mc = (ox, oy, oz), (dx, dy, dz), (mx, my, mz)
 
         last = r0 + jnp.maximum(nr - 1, 0)
 
@@ -453,10 +459,10 @@ def _serve_kernel(r0_ref, nr_ref, tris_ref,
                 buf.at[s, 1], sem.at[s, 1]).start()
             return carry
 
-        init = (jnp.full((128, 1), BIG, jnp.float32),
-                jnp.full((128, 1), -1, jnp.int32),
-                jnp.zeros((128, 1), jnp.float32),
-                jnp.zeros((128, 1), jnp.float32))
+        init = (jnp.full((1, 128), BIG, jnp.float32),
+                jnp.full((1, 128), -1, jnp.int32),
+                jnp.zeros((1, 128), jnp.float32),
+                jnp.zeros((1, 128), jnp.float32))
         nr2 = jax.lax.div(nr + 1, 2)
         bt, bp, bu, bv = jax.lax.fori_loop(0, nr2, body, init,
                                            unroll=False)
@@ -470,11 +476,11 @@ def _serve_kernel(r0_ref, nr_ref, tris_ref,
             pltpu.make_async_copy(tris_ref.at[last], buf.at[s, 1],
                                   sem.at[s, 1]).wait()
 
-        t_out[0, sub] = jnp.transpose(bt)[0]
+        t_out[0, sub] = bt[0]
         if want_uv:
-            p_out[0, sub] = jnp.transpose(bp)[0]
-            u_out[0, sub] = jnp.transpose(bu)[0]
-            v_out[0, sub] = jnp.transpose(bv)[0]
+            p_out[0, sub] = bp[0]
+            u_out[0, sub] = bu[0]
+            v_out[0, sub] = bv[0]
 
 
 def _serve_blocks_xla(acc: CellServe, r0, nr, rays, want_uv):
@@ -487,7 +493,7 @@ def _serve_blocks_xla(acc: CellServe, r0, nr, rays, want_uv):
     n_rows = acc.tris.shape[0]
 
     def slab_at(rows_idx):
-        return jax.vmap(lambda r: acc.tris[r])(rows_idx)  # [NB, 24, K]
+        return jax.vmap(lambda r: acc.tris[r])(rows_idx)  # [NB, K, 128]
 
     rx = rays[0].reshape(nb, B)
     ry = rays[1].reshape(nb, B)
@@ -500,10 +506,10 @@ def _serve_blocks_xla(acc: CellServe, r0, nr, rays, want_uv):
     rmz = rx * rdy - ry * rdx
 
     def mt(slab):
-        """[NB, 24, K] feature slab vs rays [NB, B] -> per-pair best
+        """[NB, K, 128] feature slab vs rays [NB, B] -> per-pair best
         this slab (same bilinear forms as the Pallas kernel)."""
         def c(i):
-            return slab[:, i, :][:, None, :]          # [NB, 1, K]
+            return slab[:, :, i][:, None, :]          # [NB, 1, K]
         Dx, Dy, Dz = rdx[:, :, None], rdy[:, :, None], rdz[:, :, None]
         Ox, Oy, Oz = rx[:, :, None], ry[:, :, None], rz[:, :, None]
         Mx, My, Mz = rmx[:, :, None], rmy[:, :, None], rmz[:, :, None]
@@ -576,7 +582,7 @@ def _serve_blocks(acc: CellServe, r0, nr, rays, want_uv,
         out_specs=[pl.BlockSpec((1, B), lambda i, *_: (0, i),
                                 memory_space=pltpu.VMEM)] * 4,
         scratch_shapes=[
-            pltpu.VMEM((B // 128, 2, 24, K), jnp.float32),
+            pltpu.VMEM((B // 128, 2, K, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((B // 128, 2)),
         ])
     outs = pl.pallas_call(

@@ -9,6 +9,8 @@ and Pallas kernels unchanged.
 """
 from __future__ import annotations
 
+from typing import Any
+
 import jax.numpy as jnp
 
 from ..core import math as m
@@ -44,6 +46,10 @@ class PreliminaryIntersection:
     prim_uv: Vec2            # [N] barycentric (b1, b2)
     prim_index: jnp.ndarray  # [N] int32 triangle/primitive index
     shape_index: jnp.ndarray # [N] int32 shape index, -1 = miss
+    instance_index: Any = None  # [N] i32 instance id (-1 = direct hit),
+    #                             None when the scene has no instances
+    #                             (interaction.h PreliminaryIntersection
+    #                             .instance role)
 
     def is_valid(self):
         return self.shape_index >= 0

@@ -187,7 +187,16 @@ class Scene:
     # volprim.py) — dict pytree or None ----
     gaussians: Any = None
 
+    # ---- true instancing (render/instancing.py; instance.cpp role):
+    # prototype faces live at the END of the global face table in
+    # PROTOTYPE space and are excluded from the base query by
+    # n_query_faces ----
+    instances: Any = None           # InstanceTable or None
+    proto_accels: tuple = ()        # per-prototype accel (None = dense)
+
     # ---- static topology / config ----
+    n_query_faces: int = static_field(default=0)  # 0 = all faces
+    proto_ranges: tuple = static_field(default=())  # ((base, count), ..)
     n_shapes: int = static_field(default=0)
     n_emitters: int = static_field(default=0)
     bsdf_types: tuple = static_field(default=())       # type id per bsdf slot
@@ -213,14 +222,29 @@ class Scene:
     # Geometry access
     # ------------------------------------------------------------------
 
-    def triangle_soa(self):
-        """(p0, e1, e2) as Vec3 of [F] for the intersector. Padding faces
-        index vertex 0 three times → degenerate, never hit."""
+    def triangle_soa(self, query_only: bool = True):
+        """(p0, e1, e2) as Vec3 of [F]. With query_only (the
+        intersector's view), prototype faces appended past
+        n_query_faces — stored in PROTOTYPE space — are excluded; they
+        are only reached through the instance path. Padding faces index
+        vertex 0 three times → degenerate, never hit."""
         v = self.vertices
-        p = v[self.faces]  # [F, 3, 3] — tiny (F ~ hundreds), padding is fine
+        f = (self.faces[:self.n_query_faces]
+             if query_only and self.n_query_faces else self.faces)
+        p = v[f]  # [F, 3, 3] — tiny (F ~ hundreds), padding is fine
         p0 = Vec3(p[:, 0, 0], p[:, 0, 1], p[:, 0, 2])
         p1 = Vec3(p[:, 1, 0], p[:, 1, 1], p[:, 1, 2])
         p2 = Vec3(p[:, 2, 0], p[:, 2, 1], p[:, 2, 2])
+        return p0, p1 - p0, p2 - p0
+
+    def proto_soa(self, p: int):
+        """(p0, e1, e2) of prototype p's faces, PROTOTYPE space."""
+        base, count = self.proto_ranges[p]
+        v = self.vertices
+        pp = v[self.faces[base:base + count]]
+        p0 = Vec3(pp[:, 0, 0], pp[:, 0, 1], pp[:, 0, 2])
+        p1 = Vec3(pp[:, 1, 0], pp[:, 1, 1], pp[:, 1, 2])
+        p2 = Vec3(pp[:, 2, 0], pp[:, 2, 1], pp[:, 2, 2])
         return p0, p1 - p0, p2 - p0
 
     def _face_table(self):
@@ -230,7 +254,7 @@ class Scene:
         16 face_emitter, 17 face_bsdf, 18 face_shape, 19-20 interior/exterior
         medium (int rows as exact f32).
         """
-        p0, e1, e2 = self.triangle_soa()
+        p0, e1, e2 = self.triangle_soa(query_only=False)
         uv = self.face_uv  # [F, 3, 2]
         f = self.faces.shape[0]
         if self.face_medium is not None:
@@ -315,6 +339,21 @@ class Scene:
             t, prim, uv, valid = ops_intersect.intersect_naive(
                 ray.o, ray.d, ray.maxt, p0, e1, e2, active=active,
                 chunk=TRI_CHUNK)
+        inst_idx = None
+        if self.instances is not None:
+            from . import instancing
+            act = (jnp.ones_like(valid) if active is None
+                   else jnp.asarray(active))
+            ti, pri, uvi, ii, vi = instancing.intersect_instances(
+                self, ray.o, ray.d, ray.maxt, act)
+            better = vi & (~valid | (ti < t))
+            t = jnp.where(better, ti, t)
+            prim = jnp.where(better, pri, prim)
+            uv = Vec2(jnp.where(better, uvi.x, uv.x),
+                      jnp.where(better, uvi.y, uv.y))
+            valid = valid | better
+            prim = jnp.where(valid, prim, -1)
+            inst_idx = jnp.where(better, ii, -1)
         if self.analytic_prims is not None \
                 and self.analytic_prims.shape[0] > 0:
             from ..ops import analytic
@@ -330,6 +369,8 @@ class Scene:
                       jnp.where(better, uva.y, uv.y))
             valid = valid | better
             prim = jnp.where(valid, prim, -1)
+            if inst_idx is not None:
+                inst_idx = jnp.where(better, -1, inst_idx)
         if self.sdf_rows is not None and len(self.sdf_grids) > 0:
             from ..ops import sdf as sdf_mod
             f_count = self.faces.shape[0]
@@ -347,11 +388,14 @@ class Scene:
                 uv = Vec2(jnp.where(better, ux, uv.x),
                           jnp.where(better, uy, uv.y))
                 valid = valid | better
+                if inst_idx is not None:
+                    inst_idx = jnp.where(better, -1, inst_idx)
             prim = jnp.where(valid, prim, -1)
         # shape id resolved later from the attribute bundle; store hit mask
         shape_idx = jnp.where(valid, prim, -1)
         return PreliminaryIntersection(
-            t=t, prim_uv=uv, prim_index=prim, shape_index=shape_idx)
+            t=t, prim_uv=uv, prim_index=prim, shape_index=shape_idx,
+            instance_index=inst_idx)
 
     def ray_test(self, ray: Ray, active=None):
         if self.accel is not None:
@@ -380,6 +424,12 @@ class Scene:
             occ = ops_intersect.occluded_naive(
                 ray.o, ray.d, ray.maxt, p0, e1, e2, active=active,
                 chunk=TRI_CHUNK)
+        if self.instances is not None:
+            from . import instancing
+            act = ((jnp.ones_like(occ) if active is None
+                    else jnp.asarray(active)) & ~occ)
+            occ = occ | instancing.occluded_instances(
+                self, ray.o, ray.d, ray.maxt, act)
         if self.analytic_prims is not None \
                 and self.analytic_prims.shape[0] > 0:
             from ..ops import analytic
@@ -423,6 +473,29 @@ class Scene:
                   a[23] * w0 + a[26] * b1 + a[29] * b2)
         has_ns = ns.squared_norm() > 1e-12
         ns = Vec3.where(has_ns, ns.normalize(), ng)
+        if self.instances is not None and pi.instance_index is not None:
+            # instanced hit: the prototype faces live in PROTOTYPE
+            # space — map position by the instance's to_world and
+            # normals by its inverse-transpose (instance.cpp
+            # compute_surface_interaction role). Instance transforms
+            # are not differentiable parameters (documented deviation).
+            from . import instancing
+            ii = pi.instance_index
+            n_inst = self.instances.proto_of.shape[0]
+            iw = jnp.take(
+                jax.lax.stop_gradient(self.instances.to_world),
+                jnp.clip(ii, 0, n_inst - 1), axis=0)
+            nm = jnp.take(
+                jax.lax.stop_gradient(self.instances.n_mat),
+                jnp.clip(ii, 0, n_inst - 1), axis=0)
+            is_inst = ii >= 0
+            p = Vec3.where(is_inst, instancing.affine_apply(iw, p), p)
+            ng = Vec3.where(
+                is_inst, instancing.linear9_apply(nm, ng).normalize(),
+                ng)
+            ns = Vec3.where(
+                is_inst, instancing.linear9_apply(nm, ns).normalize(),
+                ns)
         sh_frame = Frame.from_normal(ns)
         wi = sh_frame.to_local(-ray.d)
         w0 = 1.0 - b1 - b2

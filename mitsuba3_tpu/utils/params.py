@@ -158,9 +158,10 @@ def _rebuild_geometry_derived(scene):
         from ..ops import bvh_serve, bvh_tiled, bvh_xla, cellserve, \
             grid as grid_mod
         from ..render.scene import HybridAccel
-        p0 = p[:, 0]
-        e1 = p[:, 1] - p0
-        e2 = p[:, 2] - p0
+        nq = scene.n_query_faces or p.shape[0]
+        p0 = p[:nq, 0]
+        e1 = p[:nq, 1] - p0
+        e2 = p[:nq, 2] - p0
         if isinstance(scene.accel, bvh_xla.BVHXLA):
             scene = scene.replace(accel=bvh_xla.build(p0, e1, e2))
         elif isinstance(scene.accel, cellserve.CellServe):
@@ -176,6 +177,20 @@ def _rebuild_geometry_derived(scene):
             scene = scene.replace(accel=grid_mod.build(p0, e1, e2))
         else:
             scene = scene.replace(accel=bvh_tiled.build(p0, e1, e2))
+    if scene.instances is not None and scene.proto_ranges:
+        # prototype geometry may share edited vertices: rebuild the
+        # per-prototype accels that exist
+        from ..ops import cellserve
+        accs = []
+        for slot, (base, count) in enumerate(scene.proto_ranges):
+            if scene.proto_accels[slot] is None:
+                accs.append(None)
+                continue
+            fp = np.asarray(scene.faces)[base:base + count]
+            pp0 = v[fp[:, 0]]
+            accs.append(cellserve.build(pp0, v[fp[:, 1]] - pp0,
+                                        v[fp[:, 2]] - pp0))
+        scene = scene.replace(proto_accels=tuple(accs))
     return scene
 
 
