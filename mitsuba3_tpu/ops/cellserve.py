@@ -391,18 +391,27 @@ def _serve_kernel(r0_ref, nr_ref, tris_ref,
     v_out[...] = jnp.zeros((1, B), jnp.float32)
 
     nsub = B // 128
+    # one-time: zero slot-1 buffers so a first-program sub with an odd
+    # window never serves uninitialized scratch (zero features -> det=0,
+    # id=-1 -> no hit; on later programs the stale slab is real geometry
+    # of an earlier block, harmless to an exact min)
+    @pl.when(i == 0)
+    def _():
+        for s in range(nsub):
+            buf[s, 1] = jnp.zeros((K, 128), jnp.float32)
+
     # prologue: first-row DMAs for ALL sub-blocks fly together, so a
     # sub's first fetch overlaps the previous sub's compute instead of
     # stalling its fori serially (~2 us x nsub x programs otherwise)
     for s in range(nsub):
         @pl.when(nr_ref[i * nsub + s] > 0)
         def _(s=s):
-            r0p = r0_ref[i * nsub + s]
-            lastp = r0p + jnp.maximum(nr_ref[i * nsub + s] - 1, 0)
-            pltpu.make_async_copy(tris_ref.at[r0p],
+            pltpu.make_async_copy(tris_ref.at[r0_ref[i * nsub + s]],
                                   buf.at[s, 0], sem.at[s, 0]).start()
-            pltpu.make_async_copy(tris_ref.at[jnp.minimum(r0p + 1,
-                                                          lastp)],
+
+        @pl.when(nr_ref[i * nsub + s] > 1)
+        def _(s=s):
+            pltpu.make_async_copy(tris_ref.at[r0_ref[i * nsub + s] + 1],
                                   buf.at[s, 1], sem.at[s, 1]).start()
 
     for s in range(nsub):
@@ -437,26 +446,37 @@ def _serve_kernel(r0_ref, nr_ref, tris_ref,
                 bv = jnp.where(better, vv, bv)
             return (bt, bp, bu, bv)
 
-        def body(k2, carry, r0=r0, s=s, last=last):
-            # two rows per iteration, STATIC slots, row indices clamped
-            # into the window — no conditional control flow in the hot
-            # loop (measured: per-iteration gating serializes the
-            # pipeline). Clamped duplicate rows are real geometry and
-            # the first-min select is dedup-safe, so trailing extras
-            # are harmless to the exact min.
+        def body(k2, carry, r0=r0, nr=nr, s=s, last=last):
+            # two rows per iteration, STATIC slots. Starts and waits
+            # are gated by the SAME predicates (no dangling DMAs — a
+            # post-loop drain was measured to expose one full DMA
+            # latency per sub, ~2 us x 32k subs). Only side-effecting
+            # DMA ops sit under pl.when; the value-carrying serves run
+            # unconditionally: when row r+1 does not exist, slot 1
+            # holds a previously-served (or zeroed) slab — a duplicate
+            # real-geometry serve that the exact min ignores.
             r = r0 + 2 * k2
             pltpu.make_async_copy(tris_ref.at[jnp.minimum(r, last)],
                                   buf.at[s, 0], sem.at[s, 0]).wait()
             carry = serve_slab(0, carry)
-            pltpu.make_async_copy(
-                tris_ref.at[jnp.minimum(r + 2, last)],
-                buf.at[s, 0], sem.at[s, 0]).start()
-            pltpu.make_async_copy(tris_ref.at[jnp.minimum(r + 1, last)],
-                                  buf.at[s, 1], sem.at[s, 1]).wait()
+
+            @pl.when(r + 2 - r0 < nr)
+            def _():
+                pltpu.make_async_copy(tris_ref.at[r + 2],
+                                      buf.at[s, 0], sem.at[s, 0]).start()
+
+            @pl.when(r + 1 - r0 < nr)
+            def _():
+                pltpu.make_async_copy(tris_ref.at[r + 1],
+                                      buf.at[s, 1], sem.at[s, 1]).wait()
+
             carry = serve_slab(1, carry)
-            pltpu.make_async_copy(
-                tris_ref.at[jnp.minimum(r + 3, last)],
-                buf.at[s, 1], sem.at[s, 1]).start()
+
+            @pl.when(r + 3 - r0 < nr)
+            def _():
+                pltpu.make_async_copy(tris_ref.at[r + 3],
+                                      buf.at[s, 1], sem.at[s, 1]).start()
+
             return carry
 
         init = (jnp.full((1, 128), BIG, jnp.float32),
@@ -466,15 +486,6 @@ def _serve_kernel(r0_ref, nr_ref, tris_ref,
         nr2 = jax.lax.div(nr + 1, 2)
         bt, bp, bu, bv = jax.lax.fori_loop(0, nr2, body, init,
                                            unroll=False)
-
-        @pl.when(nr > 0)
-        def _(s=s):
-            # drain the two dangling prefetches issued by the last
-            # iteration (clamped in-window rows; data unused)
-            pltpu.make_async_copy(tris_ref.at[last], buf.at[s, 0],
-                                  sem.at[s, 0]).wait()
-            pltpu.make_async_copy(tris_ref.at[last], buf.at[s, 1],
-                                  sem.at[s, 1]).wait()
 
         t_out[0, sub] = bt[0]
         if want_uv:

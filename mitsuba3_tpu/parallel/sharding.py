@@ -67,12 +67,17 @@ def render_sharded(scene, mesh: Mesh, seed=0, spp=None, max_wavefront=1 << 19):
 
         def body(i, acc):
             image, weight = acc
-            # decorrelate chips AND passes in the seed
-            ps = _pass_seed(seed, i) ^ (jnp.uint32(chip) * jnp.uint32(0x85EBCA6B))
+            # the sampler seeds per (pass_seed, GLOBAL pixel id, sample
+            # index), so chips need no extra decorrelation — and must
+            # not get any: identical seeds per pixel-shard slot make an
+            # N-device render equal the 1-device (and unsharded) render
+            # by construction, anchoring the sharded path to ground
+            # truth and making results mesh-shape-invariant
+            ps = _pass_seed(seed, i)
             img_i, wgt_i, _ = render_pass(
                 scene, ps, sppc,
                 pixel_offset=chip * pix_per_dev, n_pixels=pix_per_dev,
-                pass_idx=i, spp_total=sppc * n_passes)
+                pass_idx=i, spp_total=sppc * n_passes, base_seed=seed)
             return image + img_i, weight + wgt_i
 
         init = (jnp.zeros((h, w, 3), jnp.float32),
@@ -127,10 +132,13 @@ def train_step_sharded(scene, mesh: Mesh, target, opt_state, optimizer,
 
         def loss_fn(p):
             s = params_fn(scene, p)
-            ps = jnp.uint32(seed) ^ (jnp.uint32(chip) * jnp.uint32(0x85EBCA6B))
-            img, wgt, _ = render_pass(s, ps, sppc,
+            # no per-chip seed term: the sampler seeds per global pixel
+            # id, so the N-device loss/gradients match 1-device (and
+            # any mesh shape) by construction
+            img, wgt, _ = render_pass(s, jnp.uint32(seed), sppc,
                                       pixel_offset=chip * pix_per_dev,
-                                      n_pixels=pix_per_dev)
+                                      n_pixels=pix_per_dev,
+                                      base_seed=seed)
             img = jax.lax.psum(img, _axes(mesh))
             wgt = jax.lax.psum(wgt, _axes(mesh))
             developed = film_mod.develop(img, wgt)

@@ -109,11 +109,21 @@ def seed(seed_value, wavefront_size: int, sample_idx=None, pixel_id=None,
     """sampler.seed(seed, wavefront) contract (integrator.cpp:312)."""
     idx = jnp.arange(wavefront_size, dtype=u32)
     seed_value = jnp.asarray(seed_value, u32)
-    v0, v1 = sample_tea_32(jnp.broadcast_to(seed_value, idx.shape), idx)
-    zeros = jnp.zeros_like(v0)
-    rng = PCG32.seed(zeros, v0, zeros, v1)
     if sample_idx is None:
         sample_idx = jnp.zeros(wavefront_size, u32)
+    # stream key: GLOBAL (pixel, sample) id when known, so a pixel
+    # shard's sample streams are identical to the same pixels of a
+    # full-wavefront render — sharded/cropped/pass-split renders agree
+    # with the unsharded one by construction. Local lane index only as
+    # the anonymous fallback.
+    if pixel_id is not None:
+        key = (pixel_id.astype(u32) * u32(max(int(spp), 1))
+               + sample_idx.astype(u32))
+    else:
+        key = idx
+    v0, v1 = sample_tea_32(jnp.broadcast_to(seed_value, idx.shape), key)
+    zeros = jnp.zeros_like(v0)
+    rng = PCG32.seed(zeros, v0, zeros, v1)
     if pixel_id is None:
         pixel_hash = jnp.zeros(wavefront_size, u32)
     else:

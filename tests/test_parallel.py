@@ -27,30 +27,52 @@ def _params_fn(s, p):
                      bsdf_params=p["bsdf_params"])
 
 
+def test_render_sharded_matches_unsharded():
+    """Ground-truth anchor: a mesh-of-1 render_sharded is BIT-equal to
+    the unsharded renderer (same pass seeds, same splat path, identity
+    psum), and 4- and 8-device meshes reproduce it to FP addition
+    order (pixel shards are seeded by global pixel id, so the sample
+    streams are mesh-shape-invariant by construction)."""
+    scene = _prb_scene(16)
+    ref = np.asarray(mi.render(scene, spp=4, seed=11))
+
+    img1 = np.asarray(render_sharded(scene, make_mesh(1), seed=11,
+                                     spp=4))
+    np.testing.assert_array_equal(img1, ref)
+
+    for n_dev in (4, 8):
+        img_n = np.asarray(render_sharded(scene, make_mesh(n_dev),
+                                          seed=11, spp=4))
+        np.testing.assert_allclose(img_n, ref, rtol=2e-6, atol=2e-6)
+
+
 def test_prb_sharded_grads_match_across_mesh_sizes():
-    """The same train step on a 1-device and a 4-device mesh must produce
-    identical losses and parameter updates (per-chip seeds differ, so we
-    fix decorrelation by comparing 4-dev against an explicit replica of
-    its own computation via determinism: run twice, same result) and the
-    4-device gradients must be finite and move the parameters."""
+    """The same train step on 1-, 2- and 4-device meshes produces the
+    same loss and parameter updates (identical sample streams per
+    pixel; differences bounded by psum addition order), and the
+    gradients move the parameters."""
     scene = _prb_scene(16)
     target = jnp.zeros((16, 16, 3), jnp.float32)
     optimizer = optax.adam(1e-2)
     params = _params_fn(scene, None)
 
     outs = {}
-    for n_dev in (4, 4):
+    for n_dev in (1, 2, 4):
         mesh = make_mesh(n_dev)
         opt_state = optimizer.init(params)
         new_params, _, loss = train_step_sharded(
             scene, mesh, target, opt_state, optimizer, _params_fn,
             seed=7, spp=1)
-        outs.setdefault(n_dev, []).append((new_params, float(loss)))
+        outs[n_dev] = (new_params, float(loss))
 
-    (p1, l1), (p2, l2) = outs[4]
-    assert l1 == l2
-    for k in p1:
-        np.testing.assert_array_equal(np.asarray(p1[k]), np.asarray(p2[k]))
+    p1, l1 = outs[1]
+    for n_dev in (2, 4):
+        pn, ln = outs[n_dev]
+        assert ln == pytest.approx(l1, rel=1e-5)
+        for k in p1:
+            np.testing.assert_allclose(np.asarray(pn[k]),
+                                       np.asarray(p1[k]),
+                                       rtol=1e-4, atol=1e-6)
     assert any(np.abs(np.asarray(p1[k])
                       - np.asarray(params[k])).max() > 0 for k in p1)
 
