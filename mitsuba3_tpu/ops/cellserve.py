@@ -391,15 +391,6 @@ def _serve_kernel(r0_ref, nr_ref, tris_ref,
     v_out[...] = jnp.zeros((1, B), jnp.float32)
 
     nsub = B // 128
-    # one-time: zero slot-1 buffers so a first-program sub with an odd
-    # window never serves uninitialized scratch (zero features -> det=0,
-    # id=-1 -> no hit; on later programs the stale slab is real geometry
-    # of an earlier block, harmless to an exact min)
-    @pl.when(i == 0)
-    def _():
-        for s in range(nsub):
-            buf[s, 1] = jnp.zeros((K, 128), jnp.float32)
-
     # prologue: first-row DMAs for ALL sub-blocks fly together, so a
     # sub's first fetch overlaps the previous sub's compute instead of
     # stalling its fori serially (~2 us x nsub x programs otherwise)
@@ -408,11 +399,6 @@ def _serve_kernel(r0_ref, nr_ref, tris_ref,
         def _(s=s):
             pltpu.make_async_copy(tris_ref.at[r0_ref[i * nsub + s]],
                                   buf.at[s, 0], sem.at[s, 0]).start()
-
-        @pl.when(nr_ref[i * nsub + s] > 1)
-        def _(s=s):
-            pltpu.make_async_copy(tris_ref.at[r0_ref[i * nsub + s] + 1],
-                                  buf.at[s, 1], sem.at[s, 1]).start()
 
     for s in range(nsub):
         r0 = r0_ref[i * nsub + s]
@@ -431,67 +417,52 @@ def _serve_kernel(r0_ref, nr_ref, tris_ref,
         mz = ox * dy - oy * dx
         oc, dc, mc = (ox, oy, oz), (dx, dy, dz), (mx, my, mz)
 
-        last = r0 + jnp.maximum(nr - 1, 0)
-
-        def serve_slab(slot, c, oc=oc, dc=dc, mc=mc, s=s):
+        def serve_slab(slot, oc=oc, dc=dc, mc=mc, s=s, sub=sub):
             tri = buf[s, slot]
             tmin, prim, uu, vv = _mt_tile_first(tri, oc, dc, mc,
                                                 want_uv)
-            bt, bp, bu, bv = c
-            better = tmin < bt
-            bt = jnp.where(better, tmin, bt)
+            better = tmin[0] < t_out[0, sub]
+            t_out[0, sub] = jnp.where(better, tmin[0], t_out[0, sub])
             if want_uv:
-                bp = jnp.where(better, prim, bp)
-                bu = jnp.where(better, uu, bu)
-                bv = jnp.where(better, vv, bv)
-            return (bt, bp, bu, bv)
+                p_out[0, sub] = jnp.where(better, prim[0],
+                                          p_out[0, sub])
+                u_out[0, sub] = jnp.where(better, uu[0], u_out[0, sub])
+                v_out[0, sub] = jnp.where(better, vv[0], v_out[0, sub])
 
-        def body(k2, carry, r0=r0, nr=nr, s=s, last=last):
-            # two rows per iteration, STATIC slots. Starts and waits
-            # are gated by the SAME predicates (no dangling DMAs — a
-            # post-loop drain was measured to expose one full DMA
-            # latency per sub, ~2 us x 32k subs). Only side-effecting
-            # DMA ops sit under pl.when; the value-carrying serves run
-            # unconditionally: when row r+1 does not exist, slot 1
-            # holds a previously-served (or zeroed) slab — a duplicate
-            # real-geometry serve that the exact min ignores.
-            r = r0 + 2 * k2
-            pltpu.make_async_copy(tris_ref.at[jnp.minimum(r, last)],
-                                  buf.at[s, 0], sem.at[s, 0]).wait()
-            carry = serve_slab(0, carry)
+        def body(k, _, r0=r0, nr=nr, s=s):
+            # round-4-proven loop shape: one row per iteration, parity
+            # slots, prefetch one row ahead, outputs updated in place
+            par = jax.lax.rem(k, 2)
 
-            @pl.when(r + 2 - r0 < nr)
+            @pl.when(k + 1 < nr)
             def _():
-                pltpu.make_async_copy(tris_ref.at[r + 2],
-                                      buf.at[s, 0], sem.at[s, 0]).start()
+                @pl.when(par == 0)
+                def _():
+                    pltpu.make_async_copy(tris_ref.at[r0 + k + 1],
+                                          buf.at[s, 1],
+                                          sem.at[s, 1]).start()
 
-            @pl.when(r + 1 - r0 < nr)
+                @pl.when(par == 1)
+                def _():
+                    pltpu.make_async_copy(tris_ref.at[r0 + k + 1],
+                                          buf.at[s, 0],
+                                          sem.at[s, 0]).start()
+
+            @pl.when(par == 0)
             def _():
-                pltpu.make_async_copy(tris_ref.at[r + 1],
+                pltpu.make_async_copy(tris_ref.at[r0 + k],
+                                      buf.at[s, 0], sem.at[s, 0]).wait()
+                serve_slab(0)
+
+            @pl.when(par == 1)
+            def _():
+                pltpu.make_async_copy(tris_ref.at[r0 + k],
                                       buf.at[s, 1], sem.at[s, 1]).wait()
+                serve_slab(1)
 
-            carry = serve_slab(1, carry)
+            return 0
 
-            @pl.when(r + 3 - r0 < nr)
-            def _():
-                pltpu.make_async_copy(tris_ref.at[r + 3],
-                                      buf.at[s, 1], sem.at[s, 1]).start()
-
-            return carry
-
-        init = (jnp.full((1, 128), BIG, jnp.float32),
-                jnp.full((1, 128), -1, jnp.int32),
-                jnp.zeros((1, 128), jnp.float32),
-                jnp.zeros((1, 128), jnp.float32))
-        nr2 = jax.lax.div(nr + 1, 2)
-        bt, bp, bu, bv = jax.lax.fori_loop(0, nr2, body, init,
-                                           unroll=False)
-
-        t_out[0, sub] = bt[0]
-        if want_uv:
-            p_out[0, sub] = bp[0]
-            u_out[0, sub] = bu[0]
-            v_out[0, sub] = bv[0]
+        jax.lax.fori_loop(0, nr, body, 0, unroll=False)
 
 
 def _serve_blocks_xla(acc: CellServe, r0, nr, rays, want_uv):
