@@ -166,8 +166,11 @@ def main():
             "env": {"type": "constant",
                     "radiance": {"type": "rgb", "value": 0.3}},
         }
+        t_build0 = time.perf_counter()
         tscene = mi.load_dict(dt_scene)
-        _prog("terrain scene loaded; compiling first render...")
+        terrain_build_s = time.perf_counter() - t_build0
+        _prog(f"terrain scene loaded ({terrain_build_s:.1f}s incl accel "
+              "build); compiling first render...")
         img, rays0 = render_with_stats(tscene, seed=0, spp=4,
                                max_wavefront=1 << 20)
         jax.block_until_ready(img)
@@ -183,6 +186,56 @@ def main():
         terrain_mrays = tot / (time.perf_counter() - t0) / 1e6
     except Exception as exc:  # noqa: BLE001 — secondary metric is best-effort
         print(f"# terrain metric failed: {exc}")
+        terrain_build_s = None
+
+    # ---- third metric (VERDICT round-4 #1c): end-to-end render of the
+    # 120k-triangle enclosed interior — the scene class the round-4
+    # production accel collapsed on (0.24 Mrays/s closest); cellserve is
+    # exact here and builds in seconds. Smaller film/reps: the point is
+    # the collapse is gone, measured end to end.
+    interior_mrays = None
+    interior_build_s = None
+    try:
+        from bench_bvh import make_interior
+
+        p0n, e1n, e2n = make_interior(120000)
+        v = np.concatenate([p0n, p0n + e1n, p0n + e2n], 0)
+        f = np.arange(len(p0n) * 3).reshape(3, -1).T
+        di_scene = {
+            "type": "scene",
+            "integrator": {"type": "path", "max_depth": 4},
+            "sensor": {"type": "perspective", "fov": 60.0,
+                       "to_world": mi.ScalarTransform4f().look_at(
+                           origin=[0, -8.5, 1.7], target=[0, 2, 1.5],
+                           up=[0, 0, 1]),
+                       "film": {"width": 256, "height": 256},
+                       "sampler": {"type": "independent",
+                                   "sample_count": 4}},
+            "room": {"type": "mesh", "vertices": v, "faces": f,
+                     "bsdf": {"type": "diffuse"}},
+            "lamp": {"type": "point", "position": [0, 0, 5.0],
+                     "intensity": {"type": "rgb", "value": [60, 60, 60]}},
+        }
+        t_build0 = time.perf_counter()
+        iscene = mi.load_dict(di_scene)
+        interior_build_s = time.perf_counter() - t_build0
+        _prog(f"interior scene loaded ({interior_build_s:.1f}s incl "
+              "accel build); compiling first render...")
+        img, rays0 = render_with_stats(iscene, seed=0, spp=4,
+                                       max_wavefront=1 << 20)
+        jax.block_until_ready(img)
+        _prog("interior first render done; timing reps...")
+        t0 = time.perf_counter()
+        reps = 3
+        tot = 0.0
+        for i in range(reps):
+            img, r = render_with_stats(iscene, seed=i + 1, spp=4,
+                                       max_wavefront=1 << 20)
+            tot += float(r)
+        jax.block_until_ready(img)
+        interior_mrays = tot / (time.perf_counter() - t0) / 1e6
+    except Exception as exc:  # noqa: BLE001
+        print(f"# interior metric failed: {exc}")
 
     out = {
         "metric": "cornell_512_spp64_fwd_plus_prb_bwd_mrays_per_chip",
@@ -192,6 +245,11 @@ def main():
     }
     if terrain_mrays is not None:
         out["terrain64k_fwd_mrays"] = round(terrain_mrays, 3)
+        if terrain_build_s is not None:
+            out["terrain64k_accel_build_s"] = round(terrain_build_s, 2)
+    if interior_mrays is not None:
+        out["interior120k_fwd_mrays"] = round(interior_mrays, 3)
+        out["interior120k_accel_build_s"] = round(interior_build_s, 2)
     print(json.dumps(out))
 
 

@@ -54,7 +54,8 @@ MEASURED = 15
 PPLASTIC = 16
 MEASURED_POLARIZED = 17
 PRINCIPLED_THIN = 18
-N_PARAMS = 17  # bsdf_params row width ([16] = two-sided flag, all types)
+N_PARAMS = 28  # bsdf_params row width ([16] = two-sided flag, all types;
+#                [17:25] + [25] = roughplastic rough-transmittance fit)
 
 _REGISTRY = {}
 

@@ -3,8 +3,9 @@
 GGX/Beckmann specular coat over a diffuse base with internal-scattering
 compensation. The reference precomputes a tabulated rough external
 transmittance (roughplastic.cpp:lerp_gather over
-MI_ROUGH_TRANSMITTANCE_RES); here the smooth Fresnel transmittance 1-F is
-used instead (exact as alpha->0, small energy deviation at high roughness).
+MI_ROUGH_TRANSMITTANCE_RES); the same quadrature runs at scene
+load (bsdfs/rough_transmittance.py) and is stored as a sqrt(mu)-poly
+fit in the params row — table semantics without per-lane gathers.
 Param row: [0:3]=diffuse rgb, [3]=texture id, [4]=eta, [5]=nonlinear,
 [6]=specular sampling weight, [7]=two-sided flag, [8:11]=specular
 reflectance, [11]=alpha, [12]=distribution (0 ggx, 1 beckmann).
@@ -18,8 +19,8 @@ from ..core import math as m
 from ..core.vec import Vec2, Vec3
 from ..core.warp import square_to_cosine_hemisphere_v
 from ..render import microfacet as mf
-from ..render.fresnel import (fresnel_dielectric,
-                              fresnel_diffuse_reflectance, reflect_m)
+from ..render.fresnel import fresnel_dielectric, reflect_m
+from . import rough_transmittance as rtrans
 from ..render.records import BSDFSample
 from ..render.texture import eval_color
 
@@ -62,9 +63,15 @@ def _eval_pdf_local(scene, params, si_uv_scene, si, wi, wo):
     spec = Vec3(params[8], params[9], params[10])
     value = spec * m.safe_div(f * d * g, 4.0 * cos_theta_i)
 
-    t_i = 1.0 - fresnel_dielectric(cos_theta_i, eta)[0]
-    t_o = 1.0 - fresnel_dielectric(cos_theta_o, eta)[0]
-    fdr_int = fresnel_diffuse_reflectance(1.0 / eta)
+    # tabulated ROUGH transmittance (roughplastic.cpp construction
+    # tables): the loader fits T(mu; eta, alpha) at build time into
+    # params[17:25]; params[25] is the rough internal diffuse
+    # reflectance (rough_transmittance.py)
+    t_i = rtrans.eval_fit([params[17 + k] for k in range(rtrans.N_COEF)],
+                          cos_theta_i)
+    t_o = rtrans.eval_fit([params[17 + k] for k in range(rtrans.N_COEF)],
+                          cos_theta_o)
+    fdr_int = params[25]
     diff = eval_color(scene, Vec3(params[0], params[1], params[2]),
                       params[3], si)
     nl = params[5] > 0.5
@@ -91,7 +98,8 @@ def sample(scene, bsdf_idx, si, s1, s2: Vec2):
     eta = params[4]
     alpha = params[11]
 
-    t_i = 1.0 - fresnel_dielectric(wi.z, eta)[0]
+    t_i = rtrans.eval_fit([params[17 + k] for k in range(rtrans.N_COEF)],
+                          wi.z)
     prob_s, _ = _probs(t_i, params[6])
     pick_s = (s1 < prob_s) & active
 

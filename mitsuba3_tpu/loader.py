@@ -661,6 +661,13 @@ def _bsdf_row(spec: dict, textures: list, add_bsdf=None, measured=None,
             return bsdfs_pkg.PLASTIC, params
         params[11] = float(spec.get("alpha", 0.1))
         params[12] = 0.0 if spec.get("distribution", "beckmann") == "ggx" else 1.0
+        # tabulated rough transmittance (roughplastic.cpp construction
+        # quadrature), stored as a sqrt(mu)-polynomial fit in the row
+        from .bsdfs import rough_transmittance as rtrans
+        coeffs, fdr = rtrans.fit(float(params[4]), float(params[11]),
+                                 beckmann=params[12] > 0.5)
+        params[17:17 + rtrans.N_COEF] = coeffs
+        params[25] = fdr
         return bsdfs_pkg.ROUGH_PLASTIC, params
     raise ValueError(f"Unsupported BSDF type {btype!r}")
 

@@ -550,3 +550,71 @@ def test_slot_flags_resolve_adapter_chain():
     lf = bsdfs.lane_flags(scene.bsdf_types, jnp.array([slot]),
                           scene.bsdf_flags)
     assert int(lf[0]) == fl
+
+
+def test_rough_transmittance_table():
+    """roughplastic's tabulated rough transmittance
+    (bsdfs/rough_transmittance.py; roughplastic.cpp construction
+    quadrature): the quadrature matches a Monte-Carlo estimate of the
+    coat's directional albedo, the fit matches the quadrature, and the
+    alpha->0 limit reproduces the smooth Fresnel transmittance."""
+    import numpy as np
+    from mitsuba3_tpu.bsdfs import rough_transmittance as rt
+
+    eta = 1.49
+    # alpha -> 0 limit equals smooth Fresnel
+    mu = np.array([0.1, 0.3, 0.6, 0.9])
+    r0 = rt.directional_reflectance(mu, eta, 5e-4, beckmann=False)
+    np.testing.assert_allclose(r0, rt._fresnel(mu, eta), atol=1e-3)
+
+    # quadrature vs brute-force MC at alpha = 0.4 (GGX), mu = 0.5
+    alpha, mui = 0.4, 0.5
+    rng = np.random.default_rng(5)
+    n = 200000
+    # uniform hemisphere MC over wo
+    ct = rng.uniform(0, 1, n)
+    st = np.sqrt(1 - ct * ct)
+    ph = rng.uniform(0, 2 * np.pi, n)
+    wo = np.stack([st * np.cos(ph), st * np.sin(ph), ct], -1)
+    wi = np.array([np.sqrt(1 - mui ** 2), 0.0, mui])
+    h = wi + wo
+    h /= np.linalg.norm(h, axis=-1, keepdims=True)
+    d = rt._ndf(h[:, 2], alpha, False)
+    f = rt._fresnel(np.clip(wo @ wi + 0 * ct, 0, None) * 0
+                    + np.clip((h @ wi), 0, 1), eta)
+    g = rt._smith_g1(mui, alpha, False) * rt._smith_g1(ct, alpha, False)
+    mc = np.mean(d * f * g / (4 * mui)) * 2 * np.pi
+    quad = rt.directional_reflectance([mui], eta, alpha, False)[0]
+    assert quad == pytest.approx(mc, rel=0.02)
+
+    # the stored fit reproduces the quadrature
+    coeffs, fdr = rt.fit(eta, alpha, beckmann=False)
+    mu_t = np.linspace(0.05, 1.0, 20)
+    t_ref = 1.0 - rt.directional_reflectance(mu_t, eta, alpha, False)
+    u = np.sqrt(mu_t)
+    t_fit = sum(coeffs[k] * u ** k for k in range(rt.N_COEF))
+    np.testing.assert_allclose(t_fit, t_ref, atol=1.5e-2)
+    assert 0.0 < fdr < 1.0
+
+    # end-to-end: a roughplastic render stays finite and darker at high
+    # alpha than the smooth-transmittance would predict at grazing
+    import mitsuba3_tpu as mi
+    d_scene = {
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 2},
+        "sensor": {"type": "perspective", "fov": 45.0,
+                   "to_world": mi.ScalarTransform4f().look_at(
+                       origin=[0, 0, 3], target=[0, 0, 0],
+                       up=[0, 1, 0]),
+                   "film": {"width": 8, "height": 8,
+                            "rfilter": {"type": "box"}},
+                   "sampler": {"type": "independent",
+                               "sample_count": 8}},
+        "quad": {"type": "rectangle",
+                 "bsdf": {"type": "roughplastic", "alpha": 0.5,
+                          "distribution": "ggx"}},
+        "env": {"type": "constant",
+                "radiance": {"type": "rgb", "value": 1.0}},
+    }
+    img = np.asarray(mi.render(mi.load_dict(d_scene), spp=8, seed=2))
+    assert np.isfinite(img).all() and img.max() > 0

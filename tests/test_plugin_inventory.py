@@ -76,7 +76,7 @@ SIMPLIFIED = {
     "bumpmap": "lowered to an equivalent normal map at load",
     "bsplinecurve": "tessellated swept tube, not exact swept-sphere",
     "linearcurve": "tessellated swept tube",
-    "roughplastic": "smooth Fresnel internal transmittance approximation",
+
 }
 
 
