@@ -1076,6 +1076,32 @@ def load_dict(d: dict, spectral: bool = None) -> Scene:
             analytic_rows.append(arow)
             continue
 
+        if spec.get("type") in ("bsplinecurve", "linearcurve") \
+                and not spec.get("tessellate", False) \
+                and spec.get("emitter") is None:
+            # exact swept-sphere curves: round-cone analytic chains
+            # (ops/analytic.py type 3; bsplinecurve.cpp role). Falls
+            # back to tube tessellation above max_cones (hair scale).
+            from .shapes import curves as curves_mod
+            crows = curves_mod.curve_cone_rows(
+                spec, bspline=spec["type"] == "bsplinecurve")
+            if crows is not None:
+                int_spec = (spec.get("interior")
+                            or spec.get("interior_medium"))
+                ext_spec = (spec.get("exterior")
+                            or spec.get("exterior_medium"))
+                m_in = add_medium(int_spec) if int_spec is not None \
+                    else -2
+                m_ex = add_medium(ext_spec) if ext_spec is not None \
+                    else -2
+                for row in crows:
+                    row[15] = s_idx
+                    row[16] = b_idx
+                    row[18] = m_in
+                    row[19] = m_ex
+                    analytic_rows.append(row)
+                continue
+
         mesh = shapes_pkg.build_shape(spec)
         nf = mesh.faces.shape[0]
 

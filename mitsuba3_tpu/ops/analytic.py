@@ -13,16 +13,19 @@ recomputed analytically and differentiably from the table (gradients
 flow into center/radius/axes like mesh vertices).
 
 Row layout:
-  0 type (0 sphere, 1 disk, 2 cylinder)
-  1:4 p        — center (sphere/disk) / axis base point (cylinder)
-  4:7 n        — unit: disk normal / cylinder axis
-  7  radius
-  8  length    — cylinder axis length
+  0 type (0 sphere, 1 disk, 2 cylinder, 3 round cone — a swept-sphere
+    curve segment, bsplinecurve.cpp/linearcurve.cpp role)
+  1:4 p        — center (sphere/disk) / axis base point (cylinder/cone)
+  4:7 n        — unit: disk normal / cylinder+cone axis
+  7  radius    — cone: radius at the base point
+  8  length    — cylinder/cone axis length
   9:12  axis_u — unit tangent (uv frame)
   12:15 axis_v
   15 shape_idx   16 bsdf   17 emitter (area-emitter analytic shapes are
   tessellated instead; -1 here)   18 interior medium   19 exterior
   20 flip_normals
+  21 radius_b  — cone: radius at the far endpoint
+  22 u0  23 u1 — cone: curve-parameter range of this segment (uv.x)
 """
 from __future__ import annotations
 
@@ -130,9 +133,86 @@ def intersect_analytic(table, o: Vec3, d: Vec3, maxt, active=None,
     u_cyl = phi_c * (0.5 / jnp.pi)
     v_cyl = hcy / jnp.maximum(length, 1e-20)
 
-    tt = jnp.where(typ == 0, t_sph, jnp.where(typ == 1, t_disk, t_cyl))
-    uu = jnp.where(typ == 0, u_sph, jnp.where(typ == 1, u_disk, u_cyl))
-    vv = jnp.where(typ == 0, v_sph, jnp.where(typ == 1, v_disk, v_cyl))
+    # ---- round cone (swept-sphere curve segment; bsplinecurve.cpp
+    # role): lateral quadratic + both sphere caps, region-tested so a
+    # cap hit lying on the cone body (an interior point) is rejected.
+    # Exact closed form — no tessellation.
+    rb_ = table[:, 21:22]
+    u0_ = table[:, 22:23]
+    u1_ = table[:, 23:24]
+    bax, bay, baz = nx * length, ny * length, nz * length
+    rr_ = r - rb_
+    m0 = length * length
+    m1 = bax * lx + bay * ly + baz * lz
+    m2 = bax * dx + bay * dy + baz * dz
+    m3 = dx * lx + dy * ly + dz * lz
+    m5 = lx * lx + ly * ly + lz * lz
+    obx, oby, obz = lx - bax, ly - bay, lz - baz
+    m6 = dx * obx + dy * oby + dz * obz
+    m7 = obx * obx + oby * oby + obz * obz
+    d2p = m0 - rr_ * rr_
+    k2 = d2p - m2 * m2
+    k1 = d2p * m3 - m1 * m2 + m2 * rr_ * r
+    k0 = d2p * m5 - m1 * m1 + 2.0 * m1 * rr_ * r - m0 * r * r
+    hq = k1 * k1 - k0 * k2
+    sqhq = jnp.sqrt(jnp.maximum(hq, 0.0))
+    k2s = jnp.where(jnp.abs(k2) < 1e-12, 1e-12, k2)
+    eps_c = 1e-4
+
+    def lat_ok(tc):
+        yy = m1 - r * rr_ + tc * m2
+        return (hq >= 0.0) & (yy > 0.0) & (yy < d2p) & (tc > eps_c)
+
+    def cand(tc, ok):
+        return jnp.where(ok, tc, BIG)
+
+    t_l0 = (-k1 - sqhq) / k2s
+    t_l1 = (-k1 + sqhq) / k2s
+    ha_ = m3 * m3 - m5 + r * r
+    hb_ = m6 * m6 - m7 + rb_ * rb_
+    sq_a = jnp.sqrt(jnp.maximum(ha_, 0.0))
+    sq_b = jnp.sqrt(jnp.maximum(hb_, 0.0))
+
+    def cap_a_ok(tc):
+        yy = m1 - r * rr_ + tc * m2
+        return (ha_ >= 0.0) & (yy <= 0.0) & (tc > eps_c)
+
+    def cap_b_ok(tc):
+        yy = m1 - r * rr_ + tc * m2
+        return (hb_ >= 0.0) & (yy >= d2p) & (tc > eps_c)
+
+    t_cone = jnp.minimum(
+        jnp.minimum(cand(t_l0, lat_ok(t_l0)), cand(t_l1, lat_ok(t_l1))),
+        jnp.minimum(
+            jnp.minimum(cand(-m3 - sq_a, cap_a_ok(-m3 - sq_a)),
+                        cand(-m3 + sq_a, cap_a_ok(-m3 + sq_a))),
+            jnp.minimum(cand(-m6 - sq_b, cap_b_ok(-m6 - sq_b)),
+                        cand(-m6 + sq_b, cap_b_ok(-m6 + sq_b)))))
+    # uv: x = curve parameter (segment range lerp), y = (sin(ring
+    # angle)+1)/2 — the hair-BSDF h convention (shapes/curves.py)
+    qx = lx + t_cone * dx
+    qy = ly + t_cone * dy
+    qz = lz + t_cone * dz
+    y_c = bax * qx + bay * qy + baz * qz - r * rr_
+    s_c = jnp.clip(y_c / jnp.where(d2p <= 0, 1.0, d2p), 0.0, 1.0)
+    rxx = qx - s_c * bax
+    rxy = qy - s_c * bay
+    rxz = qz - s_c * baz
+    rnorm = jnp.sqrt(jnp.maximum(rxx * rxx + rxy * rxy + rxz * rxz,
+                                 1e-20))
+    sin_ring = (rxx * vx + rxy * vy + rxz * vz) / rnorm
+    u_cone = u0_ + s_c * (u1_ - u0_)
+    v_cone = 0.5 * (jnp.clip(sin_ring, -1.0, 1.0) + 1.0)
+
+    tt = jnp.where(typ == 0, t_sph,
+                   jnp.where(typ == 1, t_disk,
+                             jnp.where(typ == 2, t_cyl, t_cone)))
+    uu = jnp.where(typ == 0, u_sph,
+                   jnp.where(typ == 1, u_disk,
+                             jnp.where(typ == 2, u_cyl, u_cone)))
+    vv = jnp.where(typ == 0, v_sph,
+                   jnp.where(typ == 1, v_disk,
+                             jnp.where(typ == 2, v_cyl, v_cone)))
     tt = jnp.where(active[None, :] & (tt <= maxt[None, :]), tt, BIG)
 
     tmin = jnp.min(tt, axis=0)
@@ -188,10 +268,30 @@ def surface_fields(table, aidx, uv: Vec2, ray_o: Vec3, ray_d: Vec3, t):
     p_cyl = p0 + nax * (uv.y * length) + radial * r
     n_cyl = radial
 
+    # round cone: the hit is reconstructed from the ray (the cone's uv
+    # is not invertible from (u, sin-ring) alone); the normal formula
+    # is region-selected — sphere cap a / lateral / sphere cap b
+    rb_c = rows[21]
+    q = ray_o + ray_d * t
+    ba = nax * length
+    rr_c = r - rb_c
+    d2p = length * length - rr_c * rr_c
+    qa = q - p0
+    y_c = ba.dot(qa) - r * rr_c
+    lat_n = (qa * d2p - ba * y_c)
+    cap_a = y_c <= 0.0
+    cap_b = y_c >= d2p
+    pb_ = p0 + ba
+    n_cone = Vec3.where(cap_a, qa,
+                        Vec3.where(cap_b, q - pb_, lat_n)).normalize()
+    p_cone = q
+
     p = Vec3.where(typ == 0, p_sph,
-                   Vec3.where(typ == 1, p_disk, p_cyl))
+                   Vec3.where(typ == 1, p_disk,
+                              Vec3.where(typ == 2, p_cyl, p_cone)))
     ng = Vec3.where(typ == 0, n_sph,
-                    Vec3.where(typ == 1, n_disk, n_cyl))
+                    Vec3.where(typ == 1, n_disk,
+                               Vec3.where(typ == 2, n_cyl, n_cone)))
     ng = Vec3.where(flip, -ng, ng)
     # two-sided orientation: geometric normal faces the incident ray
     # for disk/cylinder like the mesh path's two-sided shading

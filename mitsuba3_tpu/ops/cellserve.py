@@ -57,12 +57,7 @@ MINT = 1e-6
 
 @pytree_dataclass
 class CellServe:
-    tris: jnp.ndarray       # [NR, K, 128] f32 CSR row slabs: tris on
-    #                         sublanes, 16 Plücker features + prim id on
-    #                         lanes (lane 16 = prim id; see build()).
-    #                         Lane dim 128 keeps DMA slices tile-aligned
-    #                         and feature access a cheap lane-broadcast;
-    #                         reductions stay on the sublane axis.
+    tris: jnp.ndarray       # [NR, 16, K] f32 CSR row slabs (9 = prim id)
     start: jnp.ndarray      # [C + 2] i32 CSR offsets (start[C]=start[C+1]=T)
     occ_bytes: jnp.ndarray  # [G, 32] bf16 occupancy bytes (cell c ->
     #                         row c>>8, col (c>>3)&31, bit c&7)
@@ -170,42 +165,20 @@ def build(p0, e1, e2, res: int | None = None, pair_slots: int = 8):
                      (np.uint8(1) << (idx & 7).astype(np.uint8)))
     occ_bytes = occ_b.reshape(G, 32).astype(np.float32)
 
-    # Plücker/feature slabs: tris on the SUBLANE axis, 16 per-triangle
-    # features + prim id on LANES padded to 128. DMA slices stay
-    # tile-aligned; a feature access is a cheap [K, 1] lane-broadcast;
-    # every tile reduction stays on the cheap sublane axis and the ray
-    # features stay [1, R] rows — ZERO relayouts per tile (the measured
-    # loser orientations pay either ~10 lane->sublane transposes or 5
-    # lane-axis log-reductions per tile). The four MT quantities are
-    # bilinear forms between these features and per-ray features
-    # [o, d, m = o x d] (grid-LOCAL o):
-    #   det = -(n . d)
-    #   u'  =  (m . e2) + (d . p0xe2)        u = u'/det
-    #   v'  = -(m . e1) - (d . p0xe1)        v = v'/det
-    #   t'  =  (o . n)  - p0n                t = t'/det
-    # (p0 rebased to the grid origin: cancellation-safe at camera
-    # range); cross products move to build time.
     nr = -(-max(total_padded, 1) // K)
-    # scatter each sorted triangle to its cell-aligned CSR slot
     old_first = np.zeros(C + 1, np.int64)
     np.cumsum(counts_c, out=old_first[1:])
     pos = (start64[cell_sorted]
            + (np.arange(total) - old_first[cell_sorted]))
-    p0l = p0k - lo[None, :].astype(np.float32)
-    nrm = np.cross(e1k, e2k)
-    pxe1 = np.cross(p0l, e1k)
-    pxe2 = np.cross(p0l, e2k)
-    p0n = np.einsum("ij,ij->i", p0l, nrm)
-    feat = np.zeros((nr * K, 128), np.float32)
-    feat[:, 16] = -1.0
-    feat[pos, 0:3] = nrm[tri_sorted]
-    feat[pos, 3:6] = e1k[tri_sorted]
-    feat[pos, 6:9] = e2k[tri_sorted]
-    feat[pos, 9:12] = pxe1[tri_sorted]
-    feat[pos, 12:15] = pxe2[tri_sorted]
-    feat[pos, 15] = p0n[tri_sorted]
-    feat[pos, 16] = prim_ids[tri_sorted].astype(np.float32)
-    rows = feat.reshape(nr, K, 128)
+    flat = np.zeros((10, nr * K), np.float32)
+    flat[9, :] = -1.0
+    flat[0:3, pos] = p0k[tri_sorted].T
+    flat[3:6, pos] = e1k[tri_sorted].T
+    flat[6:9, pos] = e2k[tri_sorted].T
+    flat[9, pos] = prim_ids[tri_sorted].astype(np.float32)
+    rows = np.zeros((nr, 16, K), np.float32)
+    rows[:, 9, :] = -1.0
+    rows[:, :10, :] = flat.reshape(10, nr, K).transpose(1, 0, 2)
 
     return CellServe(
         tris=jnp.asarray(rows),
@@ -332,47 +305,42 @@ def _pairgen(acc: CellServe, og, dg, inv, t_in, t_out, active, t_from):
 # count over the block's CSR row window
 # ---------------------------------------------------------------------------
 
-def _mt_tile_first(tri, orow, drow, mrow, want_uv):
-    """tri [K, 128] feature slab (tris on sublanes, features on lanes;
-    see build()) vs ray ROWS ([1, R] each) -> per-ray best over the
-    slab as [1, R] rows. Zero relayouts: a feature is a [K, 1]
-    lane-broadcast, every op a [K, 1] x [1, R] FMA, every reduction a
-    cheap sublane (axis 0) tree. o is grid-local; m = o x d.
-    First-min-row select: dedup-safe when a triangle binned into
+def _mt_tile_first(tri, ox, oy, oz, dx, dy, dz, want_uv):
+    """tri [16, K] slab vs rays [1, R] -> per-lane best over the slab.
+    First-min-column select: dedup-safe when a triangle binned into
     several cells appears twice in one window with identical t."""
-    ox, oy, oz = orow
-    dx, dy, dz = drow
-    mx, my, mz = mrow
-
-    def f(j):
-        return tri[:, j:j + 1]              # [K, 1] lane slice
-    d0 = -(f(0) * dx + f(1) * dy + f(2) * dz)                      # det
-    d1 = (f(6) * mx + f(7) * my + f(8) * mz
-          + f(12) * dx + f(13) * dy + f(14) * dz)                  # u*det
-    d2 = -(f(3) * mx + f(4) * my + f(5) * mz) \
-        - (f(9) * dx + f(10) * dy + f(11) * dz)                    # v*det
-    d3 = f(0) * ox + f(1) * oy + f(2) * oz - f(15)                 # t*det
-    ids = f(16).astype(jnp.int32)
-    ok = d0 != 0.0
-    dinv = jnp.where(ok, 1.0 / jnp.where(ok, d0, 1.0), 0.0)
-    u = d1 * dinv
-    v = d2 * dinv
-    t = d3 * dinv
+    p0x, p0y, p0z = tri[0, :][:, None], tri[1, :][:, None], tri[2, :][:, None]
+    e1x, e1y, e1z = tri[3, :][:, None], tri[4, :][:, None], tri[5, :][:, None]
+    e2x, e2y, e2z = tri[6, :][:, None], tri[7, :][:, None], tri[8, :][:, None]
+    ids = tri[9, :][:, None].astype(jnp.int32)
+    pvx = dy * e2z - dz * e2y
+    pvy = dz * e2x - dx * e2z
+    pvz = dx * e2y - dy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    ok = det != 0.0
+    dinv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    tvx, tvy, tvz = ox - p0x, oy - p0y, oz - p0z
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * dinv
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (dx * qvx + dy * qvy + dz * qvz) * dinv
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * dinv
     hit = (ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
            & (t > MINT) & (ids >= 0))
-    t_m = jnp.where(hit, t, BIG)                  # [K, R]
-    tmin = jnp.min(t_m, axis=0, keepdims=True)    # [1, R]
+    t_m = jnp.where(hit, t, BIG)
+    tmin = jnp.min(t_m, axis=0)
     if not want_uv:
         return tmin, None, None, None
-    kk = tri.shape[0]
-    rows_i = jax.lax.broadcasted_iota(jnp.int32, (kk, 1), 0)
-    roww = jnp.where(t_m == tmin, rows_i, jnp.int32(kk))
-    jr = jnp.min(roww, axis=0, keepdims=True)
-    oh = rows_i == jr
-    prim = jnp.sum(jnp.where(oh, ids, 0), axis=0, keepdims=True)
+    kk = tri.shape[1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (kk, 1), 0)
+    colw = jnp.where(t_m == tmin[None, :], cols, jnp.int32(kk))
+    jc = jnp.min(colw, axis=0)
+    oh = cols == jc[None, :]
+    prim = jnp.sum(jnp.where(oh, ids, 0), axis=0)
     prim = jnp.where(tmin < BIG, prim, -1)
-    uu = jnp.sum(jnp.where(oh, u, 0.0), axis=0, keepdims=True)
-    vv = jnp.sum(jnp.where(oh, v, 0.0), axis=0, keepdims=True)
+    uu = jnp.sum(jnp.where(oh, u, 0.0), axis=0)
+    vv = jnp.sum(jnp.where(oh, v, 0.0), axis=0)
     return tmin, prim, uu, vv
 
 
@@ -404,34 +372,15 @@ def _serve_kernel(r0_ref, nr_ref, tris_ref,
         r0 = r0_ref[i * nsub + s]
         nr = nr_ref[i * nsub + s]
         sub = slice(s * 128, (s + 1) * 128)
-        # ray features as [1, R] rows — the tile planes are [K, R] with
-        # tris on sublanes, so no relayout anywhere (o is grid-local)
         ox = rays_ref[0, sub][None, :]
         oy = rays_ref[1, sub][None, :]
         oz = rays_ref[2, sub][None, :]
         dx = rays_ref[3, sub][None, :]
         dy = rays_ref[4, sub][None, :]
         dz = rays_ref[5, sub][None, :]
-        mx = oy * dz - oz * dy
-        my = oz * dx - ox * dz
-        mz = ox * dy - oy * dx
-        oc, dc, mc = (ox, oy, oz), (dx, dy, dz), (mx, my, mz)
 
-        def serve_slab(slot, oc=oc, dc=dc, mc=mc, s=s, sub=sub):
-            tri = buf[s, slot]
-            tmin, prim, uu, vv = _mt_tile_first(tri, oc, dc, mc,
-                                                want_uv)
-            better = tmin[0] < t_out[0, sub]
-            t_out[0, sub] = jnp.where(better, tmin[0], t_out[0, sub])
-            if want_uv:
-                p_out[0, sub] = jnp.where(better, prim[0],
-                                          p_out[0, sub])
-                u_out[0, sub] = jnp.where(better, uu[0], u_out[0, sub])
-                v_out[0, sub] = jnp.where(better, vv[0], v_out[0, sub])
-
-        def body(k, _, r0=r0, nr=nr, s=s):
-            # round-4-proven loop shape: one row per iteration, parity
-            # slots, prefetch one row ahead, outputs updated in place
+        def body(k, _, r0=r0, nr=nr, s=s, sub=sub, ox=ox, oy=oy, oz=oz,
+                 dx=dx, dy=dy, dz=dz):
             par = jax.lax.rem(k, 2)
 
             @pl.when(k + 1 < nr)
@@ -448,16 +397,26 @@ def _serve_kernel(r0_ref, nr_ref, tris_ref,
                                           buf.at[s, 0],
                                           sem.at[s, 0]).start()
 
+            def serve_slab(slot):
+                pltpu.make_async_copy(tris_ref.at[r0 + k],
+                                      buf.at[s, slot],
+                                      sem.at[s, slot]).wait()
+                tri = buf[s, slot]
+                tmin, prim, uu, vv = _mt_tile_first(
+                    tri, ox, oy, oz, dx, dy, dz, want_uv)
+                better = tmin < t_out[0, sub]
+                t_out[0, sub] = jnp.where(better, tmin, t_out[0, sub])
+                if want_uv:
+                    p_out[0, sub] = jnp.where(better, prim, p_out[0, sub])
+                    u_out[0, sub] = jnp.where(better, uu, u_out[0, sub])
+                    v_out[0, sub] = jnp.where(better, vv, v_out[0, sub])
+
             @pl.when(par == 0)
             def _():
-                pltpu.make_async_copy(tris_ref.at[r0 + k],
-                                      buf.at[s, 0], sem.at[s, 0]).wait()
                 serve_slab(0)
 
             @pl.when(par == 1)
             def _():
-                pltpu.make_async_copy(tris_ref.at[r0 + k],
-                                      buf.at[s, 1], sem.at[s, 1]).wait()
                 serve_slab(1)
 
             return 0
@@ -475,7 +434,7 @@ def _serve_blocks_xla(acc: CellServe, r0, nr, rays, want_uv):
     n_rows = acc.tris.shape[0]
 
     def slab_at(rows_idx):
-        return jax.vmap(lambda r: acc.tris[r])(rows_idx)  # [NB, K, 128]
+        return jax.vmap(lambda r: acc.tris[r])(rows_idx)  # [NB, 16, K]
 
     rx = rays[0].reshape(nb, B)
     ry = rays[1].reshape(nb, B)
@@ -483,27 +442,29 @@ def _serve_blocks_xla(acc: CellServe, r0, nr, rays, want_uv):
     rdx = rays[3].reshape(nb, B)
     rdy = rays[4].reshape(nb, B)
     rdz = rays[5].reshape(nb, B)
-    rmx = ry * rdz - rz * rdy
-    rmy = rz * rdx - rx * rdz
-    rmz = rx * rdy - ry * rdx
 
     def mt(slab):
-        """[NB, K, 128] feature slab vs rays [NB, B] -> per-pair best
-        this slab (same bilinear forms as the Pallas kernel)."""
+        """[NB, 16, K] vs rays [NB, B] -> per-pair best this slab."""
         def c(i):
-            return slab[:, :, i][:, None, :]          # [NB, 1, K]
+            return slab[:, i, :][:, None, :]
         Dx, Dy, Dz = rdx[:, :, None], rdy[:, :, None], rdz[:, :, None]
         Ox, Oy, Oz = rx[:, :, None], ry[:, :, None], rz[:, :, None]
-        Mx, My, Mz = rmx[:, :, None], rmy[:, :, None], rmz[:, :, None]
-        det = -(c(0) * Dx + c(1) * Dy + c(2) * Dz)
+        e2x, e2y, e2z = c(6), c(7), c(8)
+        pvx = Dy * e2z - Dz * e2y
+        pvy = Dz * e2x - Dx * e2z
+        pvz = Dx * e2y - Dy * e2x
+        e1x, e1y, e1z = c(3), c(4), c(5)
+        det = e1x * pvx + e1y * pvy + e1z * pvz
         ok = det != 0.0
         dinv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
-        u = (c(6) * Mx + c(7) * My + c(8) * Mz
-             + c(12) * Dx + c(13) * Dy + c(14) * Dz) * dinv
-        v = (-(c(3) * Mx + c(4) * My + c(5) * Mz)
-             - (c(9) * Dx + c(10) * Dy + c(11) * Dz)) * dinv
-        t = (c(0) * Ox + c(1) * Oy + c(2) * Oz - c(15)) * dinv
-        ids = c(16).astype(jnp.int32)
+        tvx, tvy, tvz = Ox - c(0), Oy - c(1), Oz - c(2)
+        u = (tvx * pvx + tvy * pvy + tvz * pvz) * dinv
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        v = (Dx * qvx + Dy * qvy + Dz * qvz) * dinv
+        t = (e2x * qvx + e2y * qvy + e2z * qvz) * dinv
+        ids = c(9).astype(jnp.int32)
         hit = (ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
                & (t > MINT) & (ids >= 0))
         t_m = jnp.where(hit, t, BIG)
@@ -564,7 +525,7 @@ def _serve_blocks(acc: CellServe, r0, nr, rays, want_uv,
         out_specs=[pl.BlockSpec((1, B), lambda i, *_: (0, i),
                                 memory_space=pltpu.VMEM)] * 4,
         scratch_shapes=[
-            pltpu.VMEM((B // 128, 2, K, 128), jnp.float32),
+            pltpu.VMEM((B // 128, 2, 16, K), jnp.float32),
             pltpu.SemaphoreType.DMA((B // 128, 2)),
         ])
     outs = pl.pallas_call(
@@ -596,11 +557,9 @@ def _serve(acc: CellServe, slots, o: Vec3, d: Vec3, want_uv: bool):
     # pair i of ray r sits at flat index i * n + r ([P, N] reshape order)
     cells = pad(slots, C)
     pid = jnp.arange(np_pad, dtype=jnp.int32)
-    # grid-local origins: the feature slabs are built with p0 rebased to
-    # the grid origin (cancellation-safe bilinear forms)
-    ox = pad(jnp.broadcast_to(o.x - acc.lo[0], (P, n)), 0.0)
-    oy = pad(jnp.broadcast_to(o.y - acc.lo[1], (P, n)), 0.0)
-    oz = pad(jnp.broadcast_to(o.z - acc.lo[2], (P, n)), 0.0)
+    ox = pad(jnp.broadcast_to(o.x, (P, n)), 0.0)
+    oy = pad(jnp.broadcast_to(o.y, (P, n)), 0.0)
+    oz = pad(jnp.broadcast_to(o.z, (P, n)), 0.0)
     dx = pad(jnp.broadcast_to(d.x, (P, n)), 0.0)
     dy = pad(jnp.broadcast_to(d.y, (P, n)), 0.0)
     dz = pad(jnp.broadcast_to(d.z, (P, n)), 1.0)

@@ -167,3 +167,67 @@ def build_curve_mesh(spec: dict, bspline: bool):
     return MeshData(np.concatenate(all_v, 0), np.concatenate(all_f, 0),
                     uvs=np.concatenate(all_uv, 0),
                     normals=np.concatenate(all_n, 0))
+
+
+def curve_cone_rows(spec: dict, bspline: bool, max_cones: int = 512):
+    """Lower a curve spec to round-cone analytic rows (ops/analytic.py
+    type 3) — the EXACT swept-sphere surface per sub-segment, replacing
+    the faceted tube tessellation (reference bsplinecurve.cpp ray-traces
+    the primitive; linear chains of swept spheres are its piecewise
+    form, with B-splines sampled at `subdiv` per span so the geometric
+    deviation is O(h^2 curvature), far below float render tolerance).
+
+    Returns [M, N_COLS] float32 rows with shape/bsdf/medium slots left
+    zero (the loader fills them), or None when the curve set exceeds
+    `max_cones` (hair-scale inputs keep the tube-mesh path: a dense
+    analytic table does not scale to thousands of segments)."""
+    from ..ops.analytic import N_COLS
+    if "filename" in spec:
+        curves = read_curve_file(spec["filename"])
+    else:
+        cp = np.asarray(spec["control_points"], np.float64).reshape(-1, 4)
+        seg = list(spec.get("segment_indices", [0]))
+        seg.append(cp.shape[0])
+        curves = [(cp[a:b, :3], cp[a:b, 3])
+                  for a, b in zip(seg[:-1], seg[1:]) if b - a >= 2]
+    subdiv = int(spec.get("subdiv", 8 if bspline else 1))
+    rows = []
+    for pts, rad in curves:
+        if bspline:
+            pts, rad = bspline_to_polyline(pts, rad, max(subdiv, 2))
+        p = np.asarray(pts, np.float64)
+        r = np.asarray(rad, np.float64)
+        seg_len = np.linalg.norm(np.diff(p, axis=0), axis=1)
+        arc = np.concatenate([[0.0], np.cumsum(seg_len)])
+        total = max(arc[-1], 1e-12)
+        _, frames = _transport_frames(p)
+        for i in range(p.shape[0] - 1):
+            if seg_len[i] < 1e-9:
+                continue
+            axis = (p[i + 1] - p[i]) / seg_len[i]
+            # frame perpendicular to THIS segment's axis (ring angle uv)
+            u = frames[i, 0] - axis * np.dot(frames[i, 0], axis)
+            nu = np.linalg.norm(u)
+            if nu < 1e-9:
+                a = (np.array([0.0, 1.0, 0.0])
+                     if abs(axis[1]) < 0.9 else np.array([1.0, 0, 0]))
+                u = np.cross(axis, a)
+                nu = np.linalg.norm(u)
+            u /= nu
+            v = np.cross(axis, u)
+            row = np.zeros(N_COLS, np.float32)
+            row[0] = 3.0
+            row[1:4] = p[i]
+            row[4:7] = axis
+            row[7] = r[i]
+            row[8] = seg_len[i]
+            row[9:12] = u
+            row[12:15] = v
+            row[17] = -1.0
+            row[21] = r[i + 1]
+            row[22] = arc[i] / total
+            row[23] = arc[i + 1] / total
+            rows.append(row)
+    if not rows or len(rows) > max_cones:
+        return None
+    return np.stack(rows, 0)
