@@ -4,7 +4,11 @@ coordinator path in parallel/distributed.py, builds the global mesh,
 renders a sharded cornell and runs one sharded PRB train step, then
 prints machine-readable results for the parent to compare against the
 single-process 8-device run."""
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def main():
@@ -14,7 +18,18 @@ def main():
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 4)
 
-    from mitsuba3_tpu.parallel import distributed as dist
+    # initialize BEFORE importing the package: module-level jnp
+    # constants (core/spectrum.py tables) would initialise the XLA
+    # backend first. Load the real parallel/distributed.py standalone —
+    # it is self-contained — so the coordinator branch under test is
+    # the shipped code.
+    import importlib.util
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "mi3t_distributed",
+        os.path.join(root, "mitsuba3_tpu", "parallel", "distributed.py"))
+    dist = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(dist)
     dist.initialize(coordinator=f"127.0.0.1:{port}", num_processes=2,
                     process_id=rank)
     assert jax.process_count() == 2, jax.process_count()

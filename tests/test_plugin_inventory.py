@@ -74,8 +74,11 @@ SIMPLIFIED = {
     "sunsky": "Preetham analytic fit baked to an envmap (Hosek-Wilkie "
               "dataset absent from the reference snapshot)",
     "bumpmap": "lowered to an equivalent normal map at load",
-    "bsplinecurve": "tessellated swept tube, not exact swept-sphere",
-    "linearcurve": "tessellated swept tube",
+    "bsplinecurve": "round-cone analytic chain (exact swept-sphere "
+                    "lateral+caps per sampled span); tube tessellation "
+                    "above 512 cones (hair scale)",
+    "linearcurve": "round-cone analytic chain; tube fallback at hair "
+                   "scale",
 
 }
 
