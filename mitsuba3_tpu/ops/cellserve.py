@@ -128,7 +128,8 @@ def build(p0, e1, e2, res: int | None = None, pair_slots: int = 8):
     # window at ~1.2-row need). Small cells stay packed — padding them
     # would blow up sparse multi-cell windows. Gaps hold degenerate
     # id=-1 slots (never hit).
-    PAD_MIN = 64
+    import os as _os
+    PAD_MIN = int(_os.environ.get("MI3T_CELLS_PAD_MIN", "64"))
     counts_c = np.bincount(cell_sorted, minlength=C).astype(np.int64)
     start64 = np.zeros(C + 2, np.int64)
     off = 0
