@@ -680,11 +680,33 @@ def _trace(acc: CellServe, o: Vec3, d: Vec3, maxt, active, closest: bool):
             cond, body, (unres, bt, bp, bu, bv, resume, jnp.int32(0)))
         _, bt, bp, bu, bv, _, _ = s
     else:
-        # worst case: all n lanes need the full R resume rounds. Each
-        # tail iteration advances n/8 lanes one round -> 8R iterations
-        # while the unresolved set exceeds the compaction width, plus up
-        # to R more to drain the final group (+ slack)
         R = -(-(3 * acc.res + 4) // acc.pair_slots) + 1
+
+        # phase A2: MORE full-width rounds while the unresolved set
+        # still exceeds the compaction width. Enclosed scenes (interior
+        # bench: hit rate 1.0, rays inside clutter) overflow phase A on
+        # most lanes; draining 200k+ lanes through the 1/8-wide tail
+        # was measured at dozens of ~27 ms rounds (~2.2 s per query,
+        # the round-5 interior collapse). The while cond skips these
+        # rounds at runtime when phase A resolved enough (terrain:
+        # ~31k unresolved < 64k width -> zero A2 rounds).
+        def cond_f(s):
+            return (jnp.sum(s[0].astype(jnp.int32)) > nw) & (s[-1] < R)
+
+        def body_f(s):
+            unres, bt, bp, bu, bv, t_from, r = s
+            unres, bt, bp, bu, bv, resume = _round(
+                acc, og, dg, inv, t_in, t_out, o, d, maxt, closest,
+                unres, bt, bp, bu, bv, t_from)
+            return (unres, bt, bp, bu, bv, resume, r + 1)
+
+        s = jax.lax.while_loop(
+            cond_f, body_f,
+            (unres, bt, bp, bu, bv, resume, jnp.int32(0)))
+        unres, bt, bp, bu, bv, resume = s[:6]
+
+        # worst case for the narrow tail: all remaining nw lanes need
+        # the full R resume rounds, plus drain slack
         max_tail = 9 * R + 8
 
         def cond(s):
