@@ -246,10 +246,10 @@ def main():
     if terrain_mrays is not None:
         out["terrain64k_fwd_mrays"] = round(terrain_mrays, 3)
         if terrain_build_s is not None:
-            out["terrain64k_accel_build_s"] = round(terrain_build_s, 2)
+            out["terrain64k_scene_build_s"] = round(terrain_build_s, 2)
     if interior_mrays is not None:
         out["interior120k_fwd_mrays"] = round(interior_mrays, 3)
-        out["interior120k_accel_build_s"] = round(interior_build_s, 2)
+        out["interior120k_scene_build_s"] = round(interior_build_s, 2)
     print(json.dumps(out))
 
 
